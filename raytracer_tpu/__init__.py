@@ -1,0 +1,45 @@
+"""raytracer_tpu — a TPU-native rebuild of sightpy (lmondada/Python-Raytracer).
+
+Public API mirrors the reference's flat star-import surface
+(sightpy/__init__.py:1-12): `from raytracer_tpu import *` provides Scene,
+Camera, vec3/rgb, all primitives, materials, textures, lights and the
+animation helpers.  `np` is re-exported because the reference examples rely
+on it leaking through the star import (e.g. example1.py:33).
+
+Under the hood everything renders through a jit-compiled JAX wavefront path
+tracer (core/integrator.py) designed for TPU: flat SoA scene tables, masked
+fixed-shape execution, threefry RNG, shard_map multi-chip scaling
+(parallel/).
+"""
+
+import numpy as np
+
+from .animation import create_animation, create_animation_using_opencv
+from .backgrounds.environment import Panorama, SkyBox, procedural_sky
+from .core.camera import Camera
+from .core.integrator import RenderSettings
+from .core.scene import Scene
+from .core.vec import rgb, vec3
+from .geometry.primitive import (Cuboid, Plane, Primitive, Sphere, Triangle,
+                                 TriangleMesh)
+from .lights import DirectionalLight, PointLight
+from .materials.base import (Diffuse, Emissive, Glossy, Material, Refractive,
+                             ThinFilmInterference)
+from .textures.texture import image, solid_color, texture
+from .utils.colour import srgb_linear_to_srgb, srgb_to_srgb_linear
+from .utils.image_io import add_asset_root, load_image, load_image_as_linear_srgb
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Scene", "Camera", "vec3", "rgb", "np",
+    "Sphere", "Plane", "Cuboid", "Triangle", "TriangleMesh", "Primitive",
+    "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
+    "Material", "texture", "image", "solid_color",
+    "PointLight", "DirectionalLight",
+    "SkyBox", "Panorama", "procedural_sky",
+    "create_animation", "create_animation_using_opencv",
+    "RenderSettings", "add_asset_root",
+    "load_image", "load_image_as_linear_srgb",
+    "srgb_linear_to_srgb", "srgb_to_srgb_linear",
+]

@@ -1,0 +1,81 @@
+"""Environment geometry: SkyBox (cubemap cross) and Panorama (equirect).
+
+Reference: sightpy/backgrounds/skybox.py and panorama.py — a giant cube /
+sphere around the scene whose material samples the environment texture.  The
+optional lightmap is added only for secondary rays (depth != 0) scaled by
+light_intensity — the reference's poor-man's IBL (skybox.py:74-88).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.primitive import Cuboid, Primitive, Sphere
+from ..materials.base import MAT_ENV, Material
+from ..utils.colour import srgb_to_srgb_linear
+from ..utils.constants import SKYBOX_DISTANCE
+from ..utils.image_io import load_image
+from .blur import blur_skybox_array
+
+
+class EnvironmentMaterial(Material):
+    mat_type = MAT_ENV
+
+    def __init__(self, img, light_intensity=0.0, blur=0.0):
+        super().__init__()
+        if isinstance(img, np.ndarray):
+            raw = np.asarray(img, dtype=np.float32)
+        else:
+            raw = load_image(img, subdir_hint="backgrounds")
+        self.texture = srgb_to_srgb_linear(raw).astype(np.float32)
+        self.light_intensity = float(light_intensity)
+        self.lightmap = None
+        if light_intensity != 0.0:
+            if isinstance(img, str):
+                try:
+                    self.lightmap = load_image(img, subdir_hint="backgrounds/lightmaps")
+                except FileNotFoundError:
+                    # fall back to the texture itself as the light source
+                    self.lightmap = raw
+            else:
+                self.lightmap = raw
+        if blur != 0.0:
+            self.blur_texture = blur_skybox_array(raw, blur)
+        else:
+            self.blur_texture = None
+
+
+class SkyBox(Cuboid):
+    """Cubemap on a giant cube (reference skybox.py:9-32)."""
+
+    def __init__(self, cubemap, center=(0.0, 0.0, 0.0), light_intensity=0.0, blur=0.0):
+        material = EnvironmentMaterial(cubemap, light_intensity, blur)
+        l = SKYBOX_DISTANCE
+        super().__init__(center=center, material=material,
+                         width=2 * l, height=2 * l, length=2 * l,
+                         max_ray_depth=9999, shadow=False)
+        self.light_intensity = light_intensity
+
+
+class Panorama(Sphere):
+    """Equirect panorama on a giant sphere (reference panorama.py:10-26)."""
+
+    def __init__(self, panorama, center=(0.0, 0.0, 0.0), light_intensity=0.0, blur=0.0):
+        material = EnvironmentMaterial(panorama, light_intensity, blur)
+        super().__init__(center=center, material=material,
+                         radius=SKYBOX_DISTANCE, max_ray_depth=9999, shadow=False)
+        self.light_intensity = light_intensity
+
+
+def procedural_sky(width=1024, height=768):
+    """Simple gradient cubemap cross for asset-free demos and tests."""
+    img = np.zeros((height, width, 3), dtype=np.float32)
+    ch, cw = height // 3, width // 4
+    yy = np.linspace(0, 1, height)[:, None]
+    horizon = np.array([0.85, 0.88, 0.95], np.float32)
+    zenith = np.array([0.25, 0.45, 0.85], np.float32)
+    img[:] = horizon + (zenith - horizon) * yy[..., None]
+    # top face brighter (sky), bottom face ground-ish
+    img[0:ch, cw:2 * cw] = np.array([0.35, 0.3, 0.25], np.float32)
+    img[2 * ch:, cw:2 * cw] = zenith
+    return img

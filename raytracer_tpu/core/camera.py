@@ -1,0 +1,106 @@
+"""Pinhole / thin-lens camera and jit-compatible ray generation.
+
+Reference: sightpy/camera.py.  The camera splits into a host-side config
+(`Camera`, same constructor kwargs as the reference) and a traced parameter
+pytree (`CameraParams`) so animating the camera does NOT recompile the
+render program — frames reuse one XLA executable with new parameter arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import NUDGE_EPS  # noqa: F401  (re-exported constants namespace)
+from . import rng
+from .vec import as_float3
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CameraParams:
+    origin: Any        # (3,) look_from
+    fwd: Any           # (3,)
+    right: Any         # (3,)
+    up: Any            # (3,)
+    cam_w: Any         # () film width at unit distance
+    cam_h: Any         # ()
+    lens_radius: Any   # ()
+    focal: Any         # () focal distance
+
+
+class Camera:
+    """Host-side camera description (reference camera.py:8-49)."""
+
+    def __init__(self, look_from, look_at, screen_width=400, screen_height=300,
+                 field_of_view=90.0, aperture=0.0, focal_distance=1.0):
+        self.screen_width = int(screen_width)
+        self.screen_height = int(screen_height)
+        self.aspect_ratio = float(screen_width) / screen_height
+        self.look_from = as_float3(look_from, "look_from")
+        self.look_at = as_float3(look_at, "look_at")
+        self.field_of_view = float(field_of_view)
+        self.aperture = float(aperture)
+        self.focal_distance = float(focal_distance)
+
+    def params(self) -> CameraParams:
+        cam_w = np.tan(self.field_of_view * np.pi / 180 / 2.0) * 2.0
+        cam_h = cam_w / self.aspect_ratio
+        fwd = self.look_at - self.look_from
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+        right = right / np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        f = lambda v: jnp.asarray(np.asarray(v, dtype=np.float32))
+        return CameraParams(
+            origin=f(self.look_from), fwd=f(fwd), right=f(right), up=f(up),
+            cam_w=f(cam_w), cam_h=f(cam_h),
+            lens_radius=f(self.aperture / 2.0), focal=f(self.focal_distance),
+        )
+
+
+def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
+                  dtype=jnp.float32, row0=0, rows=None):
+    """Generate a (spp * rows * W, 3) wavefront of camera rays.
+
+    Per-sample sub-pixel AA jitter and thin-lens depth of field exactly as
+    the reference (camera.py:51-85), but from counter-based threefry keys.
+    Ray ordering is [sample, pixel(row-major)] so a (spp, rows*W, 3) reshape
+    gives per-sample frames.
+
+    row0/rows select a horizontal band of the film — the unit of pixel
+    sharding across devices (parallel/sharded.py).  `rows` must be static;
+    `row0` may be traced (e.g. derived from a mesh axis index).
+    """
+    if rows is None:
+        rows = height
+    n_pix = width * rows
+    n = spp * n_pix
+    k_jx, k_jy, k_disk = jax.random.split(key, 3)
+
+    # pixel centers in camera units (reference camera.py:36-49)
+    xs = (jnp.arange(width, dtype=dtype) / (width - 1) - 0.5) * params.cam_w
+    ys = (0.5 - (row0 + jnp.arange(rows, dtype=dtype)) / (height - 1)) * params.cam_h
+    gx = jnp.tile(xs[None, :], (rows, 1)).reshape(-1)       # (rows*W,)
+    gy = jnp.tile(ys[:, None], (1, width)).reshape(-1)
+    gx = jnp.tile(gx, (spp,))
+    gy = jnp.tile(gy, (spp,))
+
+    x = gx + (jax.random.uniform(k_jx, (n,), dtype) - 0.5) * (params.cam_w / width)
+    y = gy + (jax.random.uniform(k_jy, (n,), dtype) - 0.5) * (params.cam_h / height)
+
+    rx, ry = rng.random_in_unit_disk(k_disk, (n,))
+    origin = (params.origin[None, :]
+              + params.right[None, :] * (rx * params.lens_radius)[:, None]
+              + params.up[None, :] * (ry * params.lens_radius)[:, None])
+    target = (params.origin[None, :]
+              + params.up[None, :] * (y * params.focal)[:, None]
+              + params.right[None, :] * (x * params.focal)[:, None]
+              + params.fwd[None, :] * params.focal)
+    d = target - origin
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return origin, d

@@ -1,0 +1,432 @@
+"""Scene compiler: object graph -> flat SoA device tables.
+
+This is the framework's "graph builder".  The reference keeps the scene as a
+Python list of collider objects and loops over them per ray bundle
+(sightpy/ray.py:124); on TPU that structure cannot be traced.  Instead the
+scene is lowered once into:
+
+* `SceneData`   — a pytree of jnp arrays (geometry tables per primitive type,
+  per-object attribute tables, material parameter tables, light tables,
+  textures).  Pure data: changing it (e.g. animation) does NOT retrigger
+  compilation of the render function.
+* `SceneStatic` — a small hashable dataclass of structural facts (counts,
+  which material types exist, which slots use image textures, ...).  It is a
+  static jit argument: two scenes with the same structure share one XLA
+  executable.
+
+Object-id layout (shared with geometry/intersect.py and geometry/attrs.py):
+spheres, then planes, then boxes, then triangles, in insertion order within
+each type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backgrounds.environment import EnvironmentMaterial, Panorama, SkyBox
+from ..geometry.primitive import Cuboid, Plane, Primitive, Sphere, Triangle, TriangleMesh
+from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
+                              MAT_REFRACTIVE, MAT_THINFILM)
+from ..textures.texture import image as image_texture
+from ..textures.texture import solid_color
+
+F32 = np.float32
+I32 = np.int32
+
+
+def _f(x):
+    return jnp.asarray(np.asarray(x, dtype=F32))
+
+
+def _i(x):
+    return jnp.asarray(np.asarray(x, dtype=I32))
+
+
+def _stack3(rows):
+    if not rows:
+        return jnp.zeros((0, 3), jnp.float32)
+    return _f(np.stack(rows))
+
+
+def _arr1(rows):
+    return _f(np.asarray(rows, dtype=F32)) if rows else jnp.zeros((0,), jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GeometryTables:
+    sphere_center: Any
+    sphere_radius: Any
+    plane_center: Any
+    plane_normal: Any
+    plane_u_axis: Any
+    plane_v_axis: Any
+    plane_half_w: Any
+    plane_half_h: Any
+    plane_uv_shift: Any
+    box_basis: Any
+    box_center: Any
+    box_whl: Any
+    box_lb_local: Any
+    box_rt_local: Any
+    tri_p1: Any
+    tri_p2: Any
+    tri_p3: Any
+    tri_normal: Any
+    tri_centroid: Any
+    tri_n31: Any
+    tri_n12: Any
+    tri_n23: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ObjectTables:
+    mat_type: Any      # (O,) int32
+    mat_slot: Any      # (O,) int32 index into the type's material table
+    max_depth: Any     # (O,) int32
+    mc: Any            # (O,) bool
+    shadow: Any        # (O,) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class MaterialTables:
+    diffuse_color: Any
+    diffuse_ambient_weight: Any
+    glossy_color: Any
+    glossy_n_re: Any
+    glossy_n_im: Any
+    glossy_roughness: Any
+    glossy_spec: Any
+    glossy_diff: Any
+    refr_n_re: Any
+    refr_n_im: Any
+    tf_thickness: Any
+    tf_noise: Any
+    emissive_color: Any
+    env_light_intensity: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LightTables:
+    dir_l: Any
+    dir_color: Any
+    point_pos: Any
+    point_color: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SceneData:
+    geom: GeometryTables
+    obj: ObjectTables
+    mats: MaterialTables
+    lights: LightTables
+    is_center: Any       # (K, 3) importance-sampled target centers
+    is_radius: Any       # (K,)
+    textures: Tuple[Any, ...]
+    ambient_color: Any   # (3,)
+    scene_n_re: Any      # (3,)
+    scene_n_im: Any      # (3,)
+
+
+@dataclass(frozen=True)
+class TexRef:
+    """Static reference to an image texture used by a material slot."""
+    slot: int
+    tex: int
+    repeat: float
+
+
+@dataclass(frozen=True)
+class NormalMapRef:
+    """Static reference: object `obj` perturbs its normal with texture `tex`."""
+    obj: int
+    tex: int
+    repeat: float
+    basis_kind: str    # 'plane' or 'box'
+    local_id: int      # index into the type's geometry table
+
+
+@dataclass(frozen=True)
+class EnvSlot:
+    slot: int
+    kind: str                    # 'box' | 'sphere'
+    tex: int                     # texture index (blurred variant if blur != 0)
+    lightmap: Optional[int]      # texture index or None
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    n_spheres: int
+    n_planes: int
+    n_boxes: int
+    n_tris: int
+    n_objects: int
+    n_dir_lights: int
+    n_point_lights: int
+    n_is_targets: int
+    mat_types_present: Tuple[int, ...]
+    diffuse_tex: Tuple[TexRef, ...]
+    glossy_tex: Tuple[TexRef, ...]
+    emissive_tex: Tuple[TexRef, ...]
+    thinfilm_lut: Tuple[TexRef, ...]     # per thin-film slot: LUT texture
+    thinfilm_noise: Tuple[TexRef, ...]   # per thin-film slot: noise texture
+    env_slots: Tuple[EnvSlot, ...]
+    normal_maps: Tuple[NormalMapRef, ...]
+    has_shadow_objects: bool
+    max_object_depth: int
+
+
+class _Builder:
+    def __init__(self):
+        self.spheres = []          # (center, radius)
+        self.planes = []           # (center, u, v, w2, h2, shift)
+        self.boxes = []            # (basis, center, whl, lb_local, rt_local)
+        self.tris = []             # (p1, p2, p3)
+        # per-type object property rows (merged in type order at the end)
+        self.props = {k: [] for k in ("sphere", "plane", "box", "tri")}
+        self.textures = []
+        self._tex_ids = {}
+        self.mat_slots = {}        # id(material) -> (type, slot)
+        self.mat_rows = {MAT_DIFFUSE: [], MAT_GLOSSY: [], MAT_REFRACTIVE: [],
+                         MAT_THINFILM: [], MAT_EMISSIVE: [], MAT_ENV: []}
+        self.diffuse_tex = []
+        self.glossy_tex = []
+        self.emissive_tex = []
+        self.thinfilm_lut = []
+        self.thinfilm_noise = []
+        self.env_slots = []
+        self.normal_maps = []      # (type_key, local_id, tex, repeat, kind)
+
+    # -- textures ----------------------------------------------------------
+    def add_texture(self, arr):
+        key = id(arr)
+        if key not in self._tex_ids:
+            self._tex_ids[key] = len(self.textures)
+            a = np.asarray(arr, dtype=F32)
+            if a.ndim == 2:
+                a = a[..., None].repeat(3, axis=-1)
+            self.textures.append(a[..., :3])
+        return self._tex_ids[key]
+
+    # -- materials ---------------------------------------------------------
+    def material_slot(self, mat):
+        key = id(mat)
+        if key in self.mat_slots:
+            return self.mat_slots[key]
+        t = mat.mat_type
+        slot = len(self.mat_rows[t])
+        self.mat_rows[t].append(mat)
+        self.mat_slots[key] = (t, slot)
+
+        def tex_of(texture_obj, out_list):
+            if isinstance(texture_obj, image_texture):
+                out_list.append(TexRef(slot, self.add_texture(texture_obj.img),
+                                       texture_obj.repeat))
+
+        if t == MAT_DIFFUSE:
+            tex_of(mat.diff_texture, self.diffuse_tex)
+        elif t == MAT_GLOSSY:
+            tex_of(mat.diff_texture, self.glossy_tex)
+        elif t == MAT_EMISSIVE:
+            tex_of(mat.texture_color, self.emissive_tex)
+        elif t == MAT_THINFILM:
+            self.thinfilm_lut.append(TexRef(slot, self.add_texture(mat.lut), 1.0))
+            self.thinfilm_noise.append(TexRef(slot, self.add_texture(mat.noise_texture), 1.0))
+        elif t == MAT_ENV:
+            tex = mat.blur_texture if mat.blur_texture is not None else mat.texture
+            lm = self.add_texture(mat.lightmap) if mat.lightmap is not None else None
+            # kind is patched by the caller (depends on the carrier geometry)
+            self.env_slots.append(EnvSlot(slot, "box", self.add_texture(tex), lm))
+        return (t, slot)
+
+    # -- primitives --------------------------------------------------------
+    def add_primitive(self, prim: Primitive):
+        t, slot = self.material_slot(prim.material)
+        row = dict(mat_type=t, mat_slot=slot, max_depth=min(prim.max_ray_depth, 10 ** 6),
+                   mc=prim.mc, shadow=prim.shadow)
+
+        def register_normalmap(kind, type_key, local_id):
+            m = prim.material
+            if m.normalmap is not None:
+                self.normal_maps.append(
+                    (type_key, local_id, self.add_texture(m.normalmap),
+                     m.normalmap_repeat, kind))
+
+        if isinstance(prim, (Sphere, Panorama)):
+            local = len(self.spheres)
+            self.spheres.append((prim.center, prim.radius))
+            self.props["sphere"].append(row)
+            if isinstance(prim, Panorama):
+                self._patch_env_kind(slot, "sphere")
+            elif prim.material.normalmap is not None:
+                raise ValueError("normal maps require a (u,v,n) basis; "
+                                 "supported on Plane and Cuboid only")
+        elif isinstance(prim, Plane):
+            local = len(self.planes)
+            self.planes.append((prim.center, prim.u_axis, prim.v_axis,
+                                prim.width / 2, prim.height / 2, prim.uv_shift))
+            self.props["plane"].append(row)
+            register_normalmap("plane", "plane", local)
+        elif isinstance(prim, (Cuboid, SkyBox)):
+            local = len(self.boxes)
+            whl = (prim.width, prim.height, prim.length)
+            self.boxes.append((prim.basis, prim.center, whl, prim.lb_local, prim.rt_local))
+            self.props["box"].append(row)
+            if isinstance(prim, SkyBox):
+                self._patch_env_kind(slot, "box")
+            else:
+                register_normalmap("box", "box", local)
+        elif isinstance(prim, TriangleMesh):
+            for tri in prim.triangles:
+                self.tris.append((tri[0], tri[1], tri[2]))
+                self.props["tri"].append(dict(row))
+        elif isinstance(prim, Triangle):
+            self.tris.append((prim.p1, prim.p2, prim.p3))
+            self.props["tri"].append(row)
+        else:
+            raise TypeError(f"unsupported primitive {type(prim).__name__}")
+
+    def _patch_env_kind(self, slot, kind):
+        for i, e in enumerate(self.env_slots):
+            if e.slot == slot:
+                self.env_slots[i] = dataclasses.replace(e, kind=kind)
+
+
+def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
+    b = _Builder()
+    for prim in scene.scene_primitives:
+        b.add_primitive(prim)
+
+    # ---- geometry tables -------------------------------------------------
+    geom = GeometryTables(
+        sphere_center=_stack3([np.asarray(c) for c, _ in b.spheres]),
+        sphere_radius=_arr1([r for _, r in b.spheres]),
+        plane_center=_stack3([np.asarray(c) for c, *_ in b.planes]),
+        plane_normal=_stack3([
+            (lambda n: n / np.linalg.norm(n))(np.cross(u, v))
+            for _, u, v, *_ in b.planes]),
+        plane_u_axis=_stack3([u for _, u, *_ in b.planes]),
+        plane_v_axis=_stack3([v for _, _, v, *_ in b.planes]),
+        plane_half_w=_arr1([w for *_, w, _, _ in b.planes]),
+        plane_half_h=_arr1([h for *_, h, _ in b.planes]),
+        plane_uv_shift=(_f(np.stack([s for *_, s in b.planes]))
+                        if b.planes else jnp.zeros((0, 2), jnp.float32)),
+        box_basis=(_f(np.stack([m for m, *_ in b.boxes]))
+                   if b.boxes else jnp.zeros((0, 3, 3), jnp.float32)),
+        box_center=_stack3([c for _, c, *_ in b.boxes]),
+        box_whl=_stack3([np.asarray(w) for *_, w, _, _ in b.boxes]),
+        box_lb_local=_stack3([lb for *_, lb, _ in b.boxes]),
+        box_rt_local=_stack3([rt for *_, rt in b.boxes]),
+        tri_p1=_stack3([p1 for p1, _, _ in b.tris]),
+        tri_p2=_stack3([p2 for _, p2, _ in b.tris]),
+        tri_p3=_stack3([p3 for _, _, p3 in b.tris]),
+        tri_normal=_stack3([
+            (lambda n: n / np.linalg.norm(n))(np.cross(p2 - p1, p3 - p1))
+            for p1, p2, p3 in b.tris]),
+        tri_centroid=_stack3([(p1 + p2 + p3) / 3.0 for p1, p2, p3 in b.tris]),
+        tri_n31=_stack3([
+            np.cross(p3 - p1, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
+            for p1, p2, p3 in b.tris]),
+        tri_n12=_stack3([
+            np.cross(p1 - p2, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
+            for p1, p2, p3 in b.tris]),
+        tri_n23=_stack3([
+            np.cross(p2 - p3, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
+            for p1, p2, p3 in b.tris]),
+    )
+
+    # ---- object tables in global id order --------------------------------
+    rows = (b.props["sphere"] + b.props["plane"] + b.props["box"] + b.props["tri"])
+    obj = ObjectTables(
+        mat_type=_i([r["mat_type"] for r in rows]) if rows else jnp.zeros((0,), jnp.int32),
+        mat_slot=_i([r["mat_slot"] for r in rows]) if rows else jnp.zeros((0,), jnp.int32),
+        max_depth=_i([r["max_depth"] for r in rows]) if rows else jnp.zeros((0,), jnp.int32),
+        mc=jnp.asarray(np.asarray([r["mc"] for r in rows], dtype=bool)) if rows else jnp.zeros((0,), bool),
+        shadow=jnp.asarray(np.asarray([r["shadow"] for r in rows], dtype=bool)) if rows else jnp.zeros((0,), bool),
+    )
+
+    # ---- material tables -------------------------------------------------
+    def solid_of(m, attr):
+        t = getattr(m, attr)
+        return t.color if isinstance(t, solid_color) else np.zeros(3)
+
+    dif = b.mat_rows[MAT_DIFFUSE]
+    glo = b.mat_rows[MAT_GLOSSY]
+    ref = b.mat_rows[MAT_REFRACTIVE]
+    tfi = b.mat_rows[MAT_THINFILM]
+    emi = b.mat_rows[MAT_EMISSIVE]
+    env = b.mat_rows[MAT_ENV]
+    mats = MaterialTables(
+        diffuse_color=_stack3([solid_of(m, "diff_texture") for m in dif]),
+        diffuse_ambient_weight=_arr1([m.ambient_weight for m in dif]),
+        glossy_color=_stack3([solid_of(m, "diff_texture") for m in glo]),
+        glossy_n_re=_stack3([np.real(m.n) for m in glo]),
+        glossy_n_im=_stack3([np.imag(m.n) for m in glo]),
+        glossy_roughness=_arr1([m.roughness for m in glo]),
+        glossy_spec=_arr1([m.spec_coeff for m in glo]),
+        glossy_diff=_arr1([m.diff_coeff for m in glo]),
+        refr_n_re=_stack3([np.real(m.n) for m in ref]),
+        refr_n_im=_stack3([np.imag(m.n) for m in ref]),
+        tf_thickness=_arr1([m.thickness for m in tfi]),
+        tf_noise=_arr1([m.noise_factor for m in tfi]),
+        emissive_color=_stack3([solid_of(m, "texture_color") for m in emi]),
+        env_light_intensity=_arr1([m.light_intensity for m in env]),
+    )
+
+    lights = LightTables(
+        dir_l=_stack3([l.Ldir for l in scene.Light_list if hasattr(l, "Ldir")]),
+        dir_color=_stack3([l.color for l in scene.Light_list if hasattr(l, "Ldir")]),
+        point_pos=_stack3([l.pos for l in scene.Light_list if hasattr(l, "pos")]),
+        point_color=_stack3([l.color for l in scene.Light_list if hasattr(l, "pos")]),
+    )
+
+    is_center = _stack3([p.center for p in scene.importance_sampled_list])
+    is_radius = _arr1([p.bounded_sphere_radius for p in scene.importance_sampled_list])
+
+    # normal maps -> static refs with global ids
+    S, Pn, B = len(b.spheres), len(b.planes), len(b.boxes)
+    offsets = {"sphere": 0, "plane": S, "box": S + Pn, "tri": S + Pn + B}
+    nmaps = tuple(
+        NormalMapRef(obj=offsets[type_key] + local, tex=tex, repeat=rep,
+                     basis_kind=kind, local_id=local)
+        for (type_key, local, tex, rep, kind) in b.normal_maps
+    )
+
+    present = tuple(sorted({int(r["mat_type"]) for r in rows}))
+    static = SceneStatic(
+        n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=len(b.tris),
+        n_objects=len(rows),
+        n_dir_lights=int(lights.dir_l.shape[0]),
+        n_point_lights=int(lights.point_pos.shape[0]),
+        n_is_targets=int(is_center.shape[0]),
+        mat_types_present=present,
+        diffuse_tex=tuple(b.diffuse_tex),
+        glossy_tex=tuple(b.glossy_tex),
+        emissive_tex=tuple(b.emissive_tex),
+        thinfilm_lut=tuple(b.thinfilm_lut),
+        thinfilm_noise=tuple(b.thinfilm_noise),
+        env_slots=tuple(b.env_slots),
+        normal_maps=nmaps,
+        has_shadow_objects=any(r["shadow"] for r in rows),
+        max_object_depth=max([r["max_depth"] for r in rows if r["max_depth"] < 10 ** 6] or [5]),
+    )
+
+    data = SceneData(
+        geom=geom, obj=obj, mats=mats, lights=lights,
+        is_center=is_center, is_radius=is_radius,
+        textures=tuple(jnp.asarray(t) for t in b.textures),
+        ambient_color=_f(scene.ambient_color),
+        scene_n_re=_f(np.real(scene.n)),
+        scene_n_im=_f(np.imag(scene.n)),
+    )
+    return static, data

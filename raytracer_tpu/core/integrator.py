@@ -1,0 +1,215 @@
+"""Wavefront path-tracing integrator.
+
+Replaces the reference's recursive `get_raycolor` (sightpy/ray.py:122-148).
+One fixed-size ray wavefront iterates over bounces:
+
+  bounce k:  intersect ALL primitive tables  ->  nearest hit (argmin)
+             -> hit attributes (normal, uv)  ->  per-material-type shading
+             -> radiance/throughput update   ->  continuation rays
+
+Everything is fixed-shape masked execution: no stream compaction
+(reference's np.extract/place, ray.py:137-146), no dynamic shapes, no Python
+recursion — the whole loop jit-compiles into one XLA program per scene
+structure.  Path state lives in a flat SoA pytree in HBM; XLA fuses the
+elementwise shading math into the intersection sweeps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.attrs import hit_attributes
+from ..geometry.intersect import intersect_all
+from ..materials import shade
+from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
+                              MAT_REFRACTIVE, MAT_THINFILM)
+from ..utils.constants import MISS_THRESHOLD, NUDGE_EPS, WAVELENGTHS_NM
+
+_SHADERS = {
+    MAT_EMISSIVE: shade.shade_emissive,
+    MAT_GLOSSY: shade.shade_glossy,
+    MAT_DIFFUSE: shade.shade_diffuse,
+    MAT_REFRACTIVE: shade.shade_refractive,
+    MAT_THINFILM: shade.shade_thinfilm,
+    MAT_ENV: shade.shade_env,
+}
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static knobs of the compiled render program.
+
+    The reference buries these in hard-coded constants (SURVEY.md §5):
+    nudge eps 1e-6 (glossy.py:35), diffuse cap 2 (diffuse.py:22), etc.
+    """
+
+    max_bounces: int = 8
+    nudge_eps: float = NUDGE_EPS
+    # collect per-bounce ray counts for the Mrays/s metric
+    collect_stats: bool = False
+
+
+@dataclass
+class ShadeCtx:
+    """Read-only view handed to the per-material shading kernels."""
+
+    data: Any        # SceneData
+    static: Any      # SceneStatic
+    bounce: int      # python int (loop is unrolled at trace time)
+    key: Any         # per-(bounce, material) PRNG key
+    # ray state
+    D: Any           # (N, 3) incoming ray directions
+    n_re: Any        # (N, 3) current medium IoR
+    n_im: Any
+    depth: Any       # (N,) int32
+    diffuse_reflections: Any
+    # hit state
+    t: Any           # (N,) hit distance
+    P: Any           # (N, 3) hit points
+    N: Any           # (N, 3) shading normal (oriented, normal-mapped)
+    uv: Any          # (N, 2)
+    orient: Any      # (N,) +1 entering / -1 exiting
+    mat_slot: Any    # (N,) int32
+    obj_max_depth: Any   # (N,) int32
+    obj_mc: Any      # (N,) bool
+    eps: Any         # (N,) scale-aware nudge offsets
+    wavelengths: Any = WAVELENGTHS_NM
+
+
+def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
+    """Tangent-space normal mapping (reference material.py:18-36).
+
+    Each normal-mapped object is a static entry: fetch the map, decode to
+    [-1,1], rotate by the object's (u, v, n) basis, renormalize.
+    """
+    if not static.normal_maps:
+        return N_geo
+    N = N_geo
+    for ref in static.normal_maps:
+        tex = data.textures[ref.tex]
+        m = shade.fetch_texture(tex, uv, ref.repeat) - 0.5
+        if ref.basis_kind == "plane":
+            u_ax = data.geom.plane_u_axis[ref.local_id]
+            v_ax = data.geom.plane_v_axis[ref.local_id]
+            n_ax = data.geom.plane_normal[ref.local_id]
+            basis = jnp.stack([u_ax, v_ax, n_ax], axis=-1)    # columns
+        else:  # box: inverse basis columns are the box axes = basis rows
+            basis = data.geom.box_basis[ref.local_id].T
+        Nm = (m * 2.0) @ basis.T
+        Nm = Nm / jnp.maximum(jnp.linalg.norm(Nm, axis=-1, keepdims=True), 1e-20)
+        N = jnp.where((obj_id == ref.obj)[..., None], Nm, N)
+    return N
+
+
+def trace(key, origin, direction, n_re, n_im, data, static, settings):
+    """Trace a wavefront of rays to completion.
+
+    origin/direction: (N, 3); n_re/n_im: (N, 3) starting medium IoR.
+    Returns (radiance (N, 3), stats dict of scalar counters).
+    """
+    n = origin.shape[0]
+    f3 = lambda v: jnp.full((n, 3), v, origin.dtype)
+    if static.n_objects == 0:
+        # empty scene: every ray misses -> black (reference ray.py:128-131)
+        stats = {"rays_traced": jnp.asarray(n, jnp.int32)} if settings.collect_stats else {}
+        return f3(0.0), stats
+    L = f3(0.0)
+    beta = f3(1.0)
+    alive = jnp.ones((n,), bool)
+    depth = jnp.zeros((n,), jnp.int32)
+    diffuse_refl = jnp.zeros((n,), jnp.int32)
+    reflections = jnp.zeros((n,), jnp.int32)
+    transmissions = jnp.zeros((n,), jnp.int32)
+    rays_traced = jnp.asarray(0, jnp.int32) if settings.collect_stats else None
+
+    O, D = origin, direction
+    for bounce in range(settings.max_bounces):
+        t_all, o_all = intersect_all(O, D, data.geom)
+        obj = jnp.argmin(t_all, axis=0)                       # (N,)
+        t = jnp.min(t_all, axis=0)
+        orient = jnp.take_along_axis(o_all, obj[None, :], axis=0)[0]
+        miss = t >= MISS_THRESHOLD
+
+        P = O + D * t[..., None]
+        N_geo, uv = hit_attributes(P, obj, data.geom, static)
+        N_shad = _apply_normal_maps(N_geo, P, uv, obj, data, static)
+        N_shad = N_shad * orient[..., None]
+
+        mat_type = jnp.take(data.obj.mat_type, obj, mode="clip")
+        mat_slot = jnp.take(data.obj.mat_slot, obj, mode="clip")
+        obj_max_depth = jnp.take(data.obj.max_depth, obj, mode="clip")
+        obj_mc = jnp.take(data.obj.mc, obj, mode="clip")
+
+        # scale-aware surface nudge: the reference's absolute 1e-6
+        # (glossy.py:35) vanishes in float32 at Cornell-box coordinate scales
+        eps = settings.nudge_eps * jnp.maximum(1.0, jnp.max(jnp.abs(P), axis=-1))
+
+        key_b = jax.random.fold_in(key, bounce)
+        add = f3(0.0)
+        beta_mult = f3(1.0)
+        new_O, new_D = P, D
+        new_n_re, new_n_im = n_re, n_im
+        cont = jnp.zeros((n,), bool)
+        inc_refl = jnp.zeros((n,), bool)
+        inc_trans = jnp.zeros((n,), bool)
+        inc_diff = jnp.zeros((n,), bool)
+
+        for mt in static.mat_types_present:
+            if mt not in _SHADERS:
+                continue
+            ctx = ShadeCtx(
+                data=data, static=static, bounce=bounce,
+                key=jax.random.fold_in(key_b, mt),
+                D=D, n_re=n_re, n_im=n_im, depth=depth,
+                diffuse_reflections=diffuse_refl,
+                t=t, P=P, N=N_shad, uv=uv, orient=orient,
+                mat_slot=mat_slot, obj_max_depth=obj_max_depth,
+                obj_mc=obj_mc, eps=eps,
+            )
+            out = _SHADERS[mt](ctx)
+            m = (mat_type == mt)
+            m3 = m[..., None]
+            add = jnp.where(m3, out.add, add)
+            beta_mult = jnp.where(m3, out.beta_mult, beta_mult)
+            new_O = jnp.where(m3, out.new_origin, new_O)
+            new_D = jnp.where(m3, out.new_dir, new_D)
+            new_n_re = jnp.where(m3, out.new_n_re, new_n_re)
+            new_n_im = jnp.where(m3, out.new_n_im, new_n_im)
+            cont = jnp.where(m, out.cont, cont)
+            inc_refl = jnp.where(m, out.is_reflection, inc_refl)
+            inc_trans = jnp.where(m, out.is_transmission, inc_trans)
+            inc_diff = jnp.where(m, out.is_diffuse, inc_diff)
+
+        shaded = alive & ~miss
+        L = L + jnp.where(shaded[..., None], beta * add, 0.0)
+        if settings.collect_stats:
+            rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
+
+        alive = shaded & cont
+        a3 = alive[..., None]
+        beta = jnp.where(a3, beta * beta_mult, beta)
+        O = jnp.where(a3, new_O, O)
+        D = jnp.where(a3, new_D, D)
+        n_re = jnp.where(a3, new_n_re, n_re)
+        n_im = jnp.where(a3, new_n_im, n_im)
+        depth = depth + alive.astype(jnp.int32)
+        reflections = reflections + (alive & inc_refl).astype(jnp.int32)
+        transmissions = transmissions + (alive & inc_trans).astype(jnp.int32)
+        diffuse_refl = diffuse_refl + (alive & inc_diff).astype(jnp.int32)
+
+    stats = {}
+    if settings.collect_stats:
+        stats["rays_traced"] = rays_traced
+    return L, stats
+
+
+def trace_distances(origin, direction, data, max_r_distance=10.0):
+    """Depth AOV for debugging (reference ray.py:151-163, scene.py:142-166)."""
+    t_all, _ = intersect_all(origin, direction, data.geom)
+    nearest = jnp.min(t_all, axis=0)
+    r = jnp.minimum(nearest, max_r_distance) / max_r_distance
+    return jnp.stack([r, r, r], axis=-1)

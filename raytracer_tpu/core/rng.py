@@ -1,0 +1,189 @@
+"""Counter-based sampling primitives (threefry) and importance-sampling PDFs.
+
+Replaces sightpy/utils/random.py.  The reference draws from the *global*
+unseeded numpy RNG (random.py:6-17 etc.), making renders irreproducible; here
+every sample is a pure function of a `jax.random` key, so renders are
+deterministic and each (pixel, sample, bounce) draws an independent stream.
+
+All functions are jit-safe and operate on batched shapes: directions/normals
+are arrays of shape (..., 3); returned samples match the batch shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# basic geometric samplers
+# ---------------------------------------------------------------------------
+
+
+def random_in_unit_disk(key, shape):
+    """Uniform points in the unit disk -> (rx, ry), each of `shape`.
+
+    Reference: random.py:6-9.
+    """
+    k1, k2 = jax.random.split(key)
+    r = jnp.sqrt(jax.random.uniform(k1, shape))
+    phi = jax.random.uniform(k2, shape) * (2.0 * jnp.pi)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def random_in_unit_sphere(key, shape):
+    """Uniform directions on the unit sphere, shape (..., 3).
+
+    Reference: random.py:12-17.
+    """
+    k1, k2 = jax.random.split(key)
+    phi = jax.random.uniform(k1, shape) * (2.0 * jnp.pi)
+    u = 2.0 * jax.random.uniform(k2, shape) - 1.0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - u * u))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), u], axis=-1)
+
+
+def _orthonormal_basis(w):
+    """Build (u, v) orthonormal to unit vectors w (..., 3).
+
+    Same construction as the reference (random.py:63-66): pick a helper axis
+    depending on |w.x|, then two cross products.
+    """
+    a = jnp.where(
+        (jnp.abs(w[..., 0:1]) > 0.9),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], w.dtype), w.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], w.dtype), w.shape),
+    )
+    v = jnp.cross(w, a)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    u = jnp.cross(w, v)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# cosine-weighted hemisphere
+# ---------------------------------------------------------------------------
+
+
+def cosine_sample(key, normal):
+    """Cosine-weighted directions about `normal` (..., 3).
+
+    Reference: cosine_pdf.generate, random.py:62-74.
+    """
+    ax_u, ax_v = _orthonormal_basis(normal)
+    k1, k2 = jax.random.split(key)
+    batch = normal.shape[:-1]
+    phi = jax.random.uniform(k1, batch) * (2.0 * jnp.pi)
+    r2 = jax.random.uniform(k2, batch)
+    z = jnp.sqrt(1.0 - r2)
+    x = jnp.cos(phi) * jnp.sqrt(r2)
+    y = jnp.sin(phi) * jnp.sqrt(r2)
+    return ax_u * x[..., None] + ax_v * y[..., None] + normal * z[..., None]
+
+
+def cosine_pdf_value(direction, normal):
+    """PDF of cosine_sample at `direction` (reference random.py:57-59)."""
+    c = jnp.clip(jnp.sum(direction * normal, axis=-1), 0.0, 1.0)
+    return c / jnp.pi
+
+
+def hemisphere_sample(key, normal):
+    """Uniform hemisphere about `normal` (reference random.py:44-46)."""
+    r = random_in_unit_sphere(key, normal.shape[:-1])
+    flip = jnp.sum(normal * r, axis=-1, keepdims=True) < 0.0
+    return jnp.where(flip, -r, r)
+
+
+def hemisphere_pdf_value(direction, normal):
+    del direction, normal
+    return 1.0 / (2.0 * jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# spherical caps toward importance-sampled targets
+# ---------------------------------------------------------------------------
+
+
+def caps_geometry(origin, targets_center, targets_radius):
+    """Per-(ray, target) cap axis and cos(theta_max).
+
+    origin: (..., 3) ray origins; targets_center: (K, 3); targets_radius: (K,).
+    Returns ax_w (..., K, 3) unit axes toward each target and cos_max (..., K).
+    Reference: spherical_caps_pdf, random.py:98-133.
+    """
+    d = targets_center - origin[..., None, :]                       # (..., K, 3)
+    dist = jnp.linalg.norm(d, axis=-1)                               # (..., K)
+    ax_w = d / jnp.maximum(dist, 1e-20)[..., None]
+    sin_max = jnp.clip(targets_radius / jnp.maximum(dist, 1e-20), 0.0, 1.0)
+    cos_max = jnp.sqrt(1.0 - sin_max * sin_max)
+    return ax_w, cos_max
+
+
+def caps_sample(key, origin, targets_center, targets_radius):
+    """Sample a direction in the union-of-caps mixture (uniform over targets).
+
+    Reference: spherical_caps_pdf.generate, random.py:98-151.
+    """
+    k_pick, k_phi, k_r2 = jax.random.split(key, 3)
+    batch = origin.shape[:-1]
+    K = targets_center.shape[0]
+
+    ax_w, cos_max = caps_geometry(origin, targets_center, targets_radius)
+    pick = jax.random.randint(k_pick, batch, 0, K)                   # (...)
+    ax_w_sel = jnp.take_along_axis(ax_w, pick[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    cos_sel = jnp.take_along_axis(cos_max, pick[..., None], axis=-1)[..., 0]
+
+    ax_u, ax_v = _orthonormal_basis(ax_w_sel)
+    phi = jax.random.uniform(k_phi, batch) * (2.0 * jnp.pi)
+    r2 = jax.random.uniform(k_r2, batch)
+    z = 1.0 + r2 * (cos_sel - 1.0)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return ax_u * (jnp.cos(phi) * s)[..., None] + ax_v * (jnp.sin(phi) * s)[..., None] + ax_w_sel * z[..., None]
+
+
+def caps_pdf_value(direction, origin, targets_center, targets_radius):
+    """Mixture PDF of caps_sample at `direction` (reference random.py:87-96)."""
+    ax_w, cos_max = caps_geometry(origin, targets_center, targets_radius)
+    K = targets_center.shape[0]
+    inside = jnp.sum(direction[..., None, :] * ax_w, axis=-1) > cos_max     # (..., K)
+    per_cap = jnp.where(inside, 1.0 / ((1.0 - cos_max) * 2.0 * jnp.pi), 0.0)
+    return jnp.sum(per_cap, axis=-1) / K
+
+
+def spherical_cap_sample(key, cos_max, normal):
+    """Sample within the cap of half-angle acos(cos_max) about `normal`.
+
+    Reference: random_in_unit_spherical_cap, random.py:239-253.
+    """
+    ax_u, ax_v = _orthonormal_basis(normal)
+    k_phi, k_r2 = jax.random.split(key)
+    batch = normal.shape[:-1]
+    phi = jax.random.uniform(k_phi, batch) * (2.0 * jnp.pi)
+    r2 = jax.random.uniform(k_r2, batch)
+    z = 1.0 + r2 * (cos_max - 1.0)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return ax_u * (jnp.cos(phi) * s)[..., None] + ax_v * (jnp.sin(phi) * s)[..., None] + normal * z[..., None]
+
+
+# ---------------------------------------------------------------------------
+# mixture used by the Diffuse BRDF
+# ---------------------------------------------------------------------------
+
+
+def mixed_cosine_caps_sample(key, normal, origin, targets_center, targets_radius,
+                             cosine_weight):
+    """Sample the Diffuse importance mixture and return (direction, pdf).
+
+    With probability `cosine_weight` draw from the cosine lobe about the
+    normal, otherwise from the union-of-caps toward the importance-sampled
+    targets; the returned pdf is the full mixture density (reference
+    mixed_pdf, random.py:153-174, as used by diffuse.py:49-61).
+    """
+    k_mix, k_cos, k_caps = jax.random.split(key, 3)
+    batch = normal.shape[:-1]
+    use_cos = jax.random.uniform(k_mix, batch) < cosine_weight
+    d_cos = cosine_sample(k_cos, normal)
+    d_caps = caps_sample(k_caps, origin, targets_center, targets_radius)
+    d = jnp.where(use_cos[..., None], d_cos, d_caps)
+    pdf = (cosine_weight * cosine_pdf_value(d, normal)
+           + (1.0 - cosine_weight) * caps_pdf_value(d, origin, targets_center, targets_radius))
+    return d, pdf

@@ -1,0 +1,200 @@
+"""Scene registry and the render entry point.
+
+User-facing API matches the reference Scene (sightpy/scene.py:28-166):
+add_Camera / add_PointLight / add_DirectionalLight / add / add_Background /
+render / get_distances.  The execution model is completely different:
+
+reference: per-sample numpy ray bundles farmed to a multiprocessing.Pool
+           with a deep-copied scene per batch (scene.py:71-123).
+here:      the scene lowers to flat device tables (core/compile.py); a single
+           jit-compiled wavefront program traces spp-chunks of W*H rays and
+           accumulates on-device.  Host<->device traffic per render is one
+           scene upload and one (H, W, 3) image download.
+
+Sample batching is chunked to bound HBM footprint; every chunk re-uses the
+same XLA executable (chunk size is part of the jit static key).  Long renders
+can checkpoint the linear accumulator + sample counter and resume
+(SURVEY.md §5 — the reference has no checkpointing at all).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import lights as lights_mod
+from ..backgrounds.environment import Panorama, SkyBox
+from ..utils.colour import srgb_linear_to_srgb
+from ..utils.image_io import array_to_pil
+from .camera import Camera, generate_rays
+from .compile import compile_scene
+from .integrator import RenderSettings, trace, trace_distances
+from .vec import as_complex3, as_float3
+
+# default cap on rays per traced chunk (keeps wavefront state in HBM bounds)
+MAX_RAYS_PER_CHUNK = 1 << 22
+
+
+@partial(jax.jit, static_argnames=("static", "settings", "width", "height", "spp"))
+def _render_chunk(key, data, cam, static, settings, width, height, spp):
+    k_ray, k_trace = jax.random.split(key)
+    O, D = generate_rays(k_ray, cam, width, height, spp)
+    n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
+    n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
+    L, stats = trace(k_trace, O, D, n_re, n_im, data, static, settings)
+    L = L.reshape(spp, height * width, 3).sum(axis=0)
+    return L, stats
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _distances_chunk(key, data, cam, width, height):
+    O, D = generate_rays(key, cam, width, height, 1)
+    return trace_distances(O, D, data)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _tonemap(acc, n_samples, width, height):
+    linear = acc / n_samples
+    return srgb_linear_to_srgb(linear).reshape(height, width, 3)
+
+
+class Scene:
+    def __init__(self, ambient_color=(0.01, 0.01, 0.01), n=(1.0, 1.0, 1.0)):
+        self.scene_primitives = []
+        self.Light_list = []
+        self.importance_sampled_list = []
+        self.ambient_color = as_float3(ambient_color, "ambient_color")
+        self.n = as_complex3(n, "n")
+        self.camera = None
+        self.settings = RenderSettings()
+
+    # -- construction API (reference scene.py:41-69) -----------------------
+    def add_Camera(self, look_from, look_at, **kwargs):
+        self.camera = Camera(look_from, look_at, **kwargs)
+
+    def add_PointLight(self, pos, color):
+        self.Light_list.append(lights_mod.PointLight(pos, color))
+
+    def add_DirectionalLight(self, Ldir, color):
+        self.Light_list.append(lights_mod.DirectionalLight(Ldir, color))
+
+    def add(self, primitive, importance_sampled=False):
+        self.scene_primitives.append(primitive)
+        if importance_sampled:
+            self.importance_sampled_list.append(primitive)
+
+    def add_Background(self, img, light_intensity=0.0, blur=0.0, spherical=False):
+        cls = Panorama if spherical else SkyBox
+        self.scene_primitives.append(
+            cls(img, light_intensity=light_intensity, blur=blur))
+
+    # -- rendering ---------------------------------------------------------
+    def _settings_for_render(self, collect_stats):
+        static, data = compile_scene(self)
+        max_b = self.settings.max_bounces
+        if max_b == RenderSettings.max_bounces:
+            # derive from scene structure: deepest per-object cap + the two
+            # extra diffuse bounces the reference always allows (diffuse.py:22)
+            max_b = min(static.max_object_depth + 2, 12)
+        settings = RenderSettings(max_bounces=max_b,
+                                  nudge_eps=self.settings.nudge_eps,
+                                  collect_stats=collect_stats)
+        return static, data, settings
+
+    def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
+               seed=0, return_stats=False, checkpoint_path=None):
+        """Render and return a PIL image (reference scene.py:71-140).
+
+        batch_size: samples per traced chunk (defaults to an HBM-bounded
+        choice).  If spp does not divide evenly, full chunks are traced and
+        the extra samples are folded into the average (never fewer than
+        requested — unlike the reference, whose partial-batch accumulation is
+        broken, scene.py:103-116).
+        """
+        if self.camera is None:
+            raise RuntimeError("call add_Camera() first")
+        if samples_per_pixel < 1:
+            raise ValueError("samples_per_pixel must be >= 1")
+        t0 = time.time()
+        W, H = self.camera.screen_width, self.camera.screen_height
+        static, data, settings = self._settings_for_render(return_stats)
+        cam = self.camera.params()
+
+        chunk = batch_size or max(1, min(samples_per_pixel, MAX_RAYS_PER_CHUNK // (W * H)))
+        n_chunks = -(-samples_per_pixel // chunk)
+
+        base_key = jax.random.PRNGKey(seed)
+        acc = jnp.zeros((H * W, 3), jnp.float32)
+        start_chunk = 0
+        total_stats = {"rays_traced": 0}
+
+        if checkpoint_path is not None:
+            loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed)
+            if loaded is not None:
+                acc, start_chunk = loaded
+
+        if progress_bar:
+            print("Rendering...")
+        for i in range(start_chunk, n_chunks):
+            L, stats = _render_chunk(jax.random.fold_in(base_key, i), data, cam,
+                                     static, settings, W, H, chunk)
+            acc = acc + L
+            if return_stats:
+                total_stats["rays_traced"] += int(stats["rays_traced"])
+            if progress_bar:
+                acc.block_until_ready()
+                print(f"  chunk {i + 1}/{n_chunks} "
+                      f"({(i + 1) * chunk} samples) {time.time() - t0:.2f}s",
+                      flush=True)
+            if checkpoint_path is not None:
+                _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed)
+
+        n_samples = n_chunks * chunk
+        img = np.asarray(_tonemap(acc, float(n_samples), W, H))
+        dt = time.time() - t0
+        if progress_bar:
+            print("Render Took", dt)
+        pil = array_to_pil(img)
+        if return_stats:
+            total_stats.update(
+                wall_s=dt, samples=n_samples, width=W, height=H,
+                mrays_per_s=total_stats["rays_traced"] / dt / 1e6 if dt > 0 else 0.0)
+            return pil, total_stats
+        return pil
+
+    def render_array(self, samples_per_pixel, **kwargs):
+        """Like render() but returns the float (H, W, 3) sRGB array."""
+        out = self.render(samples_per_pixel, **kwargs)
+        if isinstance(out, tuple):
+            return np.asarray(out[0], dtype=np.float32) / 255.0, out[1]
+        return np.asarray(out, dtype=np.float32) / 255.0
+
+    def get_distances(self, seed=0):
+        """Depth AOV debug render (reference scene.py:142-166)."""
+        if self.camera is None:
+            raise RuntimeError("call add_Camera() first")
+        W, H = self.camera.screen_width, self.camera.screen_height
+        _, data = compile_scene(self)
+        grey = _distances_chunk(jax.random.PRNGKey(seed), data,
+                                self.camera.params(), W, H)
+        img = np.asarray(grey).reshape(H, W, 3)
+        return array_to_pil(img)
+
+
+def _save_checkpoint(path, acc, chunks_done, chunk, seed):
+    np.savez(path, acc=np.asarray(acc), chunks_done=chunks_done,
+             chunk=chunk, seed=seed)
+
+
+def _load_checkpoint(path, n_pix, chunk, seed):
+    import os
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    if int(z["chunk"]) != chunk or int(z["seed"]) != seed or z["acc"].shape[0] != n_pix:
+        return None
+    return jnp.asarray(z["acc"]), int(z["chunks_done"])

@@ -1,0 +1,193 @@
+"""Host-side 3-vector used by the scene-description API.
+
+The reference (sightpy/utils/vector3.py:12-234) uses one struct-of-arrays
+``vec3`` class for *everything*, including million-ray bundles.  In this
+framework the split is deliberate:
+
+* ``vec3`` here is a small host-side value type used while *describing* a
+  scene (camera position, colors, indices of refraction).  Components are
+  Python numbers (possibly complex) or small numpy arrays.
+* All per-ray device math uses plain ``jnp`` arrays of shape ``(..., 3)``
+  inside jit-compiled wavefront kernels (see core/integrator.py) — a struct
+  of three separate arrays would defeat XLA's layout/vectorization on TPU.
+
+``rgb`` is an alias of ``vec3``, matching the reference public API.
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import numpy as np
+
+_SCALARS = (numbers.Number, np.ndarray, np.generic)
+
+
+class vec3:
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, x, y, z):
+        self.x = x
+        self.y = y
+        self.z = z
+
+    # -- debugging ---------------------------------------------------------
+    def __repr__(self):
+        return f"vec3({self.x}, {self.y}, {self.z})"
+
+    # -- arithmetic --------------------------------------------------------
+    def __add__(self, v):
+        if isinstance(v, vec3):
+            return vec3(self.x + v.x, self.y + v.y, self.z + v.z)
+        if isinstance(v, _SCALARS):
+            return vec3(self.x + v, self.y + v, self.z + v)
+        return NotImplemented
+
+    __radd__ = __add__
+
+    def __sub__(self, v):
+        if isinstance(v, vec3):
+            return vec3(self.x - v.x, self.y - v.y, self.z - v.z)
+        if isinstance(v, _SCALARS):
+            return vec3(self.x - v, self.y - v, self.z - v)
+        return NotImplemented
+
+    def __rsub__(self, v):
+        if isinstance(v, _SCALARS):
+            return vec3(v - self.x, v - self.y, v - self.z)
+        return NotImplemented
+
+    def __mul__(self, v):
+        if isinstance(v, vec3):
+            return vec3(self.x * v.x, self.y * v.y, self.z * v.z)
+        if isinstance(v, _SCALARS):
+            return vec3(self.x * v, self.y * v, self.z * v)
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, v):
+        if isinstance(v, vec3):
+            return vec3(self.x / v.x, self.y / v.y, self.z / v.z)
+        if isinstance(v, _SCALARS):
+            return vec3(self.x / v, self.y / v, self.z / v)
+        return NotImplemented
+
+    def __rtruediv__(self, v):
+        if isinstance(v, _SCALARS):
+            return vec3(v / self.x, v / self.y, v / self.z)
+        return NotImplemented
+
+    def __neg__(self):
+        return vec3(-self.x, -self.y, -self.z)
+
+    def __pow__(self, a):
+        return vec3(self.x ** a, self.y ** a, self.z ** a)
+
+    def __abs__(self):
+        return vec3(np.abs(self.x), np.abs(self.y), np.abs(self.z))
+
+    def __eq__(self, other):
+        if not isinstance(other, vec3):
+            return NotImplemented
+        return (self.x == other.x) & (self.y == other.y) & (self.z == other.z)
+
+    def __hash__(self):
+        return hash((self.x, self.y, self.z))
+
+    # -- geometry ----------------------------------------------------------
+    def dot(self, v):
+        return self.x * v.x + self.y * v.y + self.z * v.z
+
+    def cross(self, v):
+        return vec3(
+            self.y * v.z - self.z * v.y,
+            self.z * v.x - self.x * v.z,
+            self.x * v.y - self.y * v.x,
+        )
+
+    def length(self):
+        return np.sqrt(np.real(self.dot(self.conj_if_complex())))
+
+    def square_length(self):
+        return self.dot(self)
+
+    def normalize(self):
+        mag = self.length()
+        return self * (1.0 / np.where(mag == 0, 1, mag))
+
+    def average(self):
+        return (self.x + self.y + self.z) / 3
+
+    def matmul(self, matrix):
+        """Apply a 3x3 matrix (numpy array) to this vector."""
+        a = np.asarray(matrix) @ self.to_array()
+        return vec3(a[0], a[1], a[2])
+
+    def conj_if_complex(self):
+        if any(isinstance(c, complex) or np.iscomplexobj(c)
+               for c in (self.x, self.y, self.z)):
+            return vec3(np.conj(self.x), np.conj(self.y), np.conj(self.z))
+        return self
+
+    # -- component helpers -------------------------------------------------
+    def components(self):
+        return (self.x, self.y, self.z)
+
+    def to_array(self, dtype=None):
+        return np.array([self.x, self.y, self.z], dtype=dtype)
+
+    @staticmethod
+    def real(v):
+        return vec3(np.real(v.x), np.real(v.y), np.real(v.z))
+
+    @staticmethod
+    def imag(v):
+        return vec3(np.imag(v.x), np.imag(v.y), np.imag(v.z))
+
+    @staticmethod
+    def exp(v):
+        return vec3(np.exp(v.x), np.exp(v.y), np.exp(v.z))
+
+    @staticmethod
+    def sqrt(v):
+        return vec3(np.sqrt(v.x), np.sqrt(v.y), np.sqrt(v.z))
+
+    @staticmethod
+    def where(cond, a, b):
+        return vec3(np.where(cond, a.x, b.x),
+                    np.where(cond, a.y, b.y),
+                    np.where(cond, a.z, b.z))
+
+    def clip(self, lo, hi):
+        return vec3(np.clip(self.x, lo, hi),
+                    np.clip(self.y, lo, hi),
+                    np.clip(self.z, lo, hi))
+
+
+# The reference exposes colors through the same type (vector3.py:233-234).
+rgb = vec3
+
+
+def as_float3(v, name="value"):
+    """Lower a vec3 / 3-sequence / scalar to a float64 numpy (3,) array."""
+    if isinstance(v, vec3):
+        return np.array([v.x, v.y, v.z], dtype=np.float64)
+    a = np.asarray(v, dtype=np.float64)
+    if a.ndim == 0:
+        return np.full(3, float(a))
+    if a.shape != (3,):
+        raise ValueError(f"{name} must be a vec3 or length-3 sequence, got shape {a.shape}")
+    return a
+
+
+def as_complex3(v, name="value"):
+    """Lower a (possibly complex) vec3 to a complex128 numpy (3,) array."""
+    if isinstance(v, vec3):
+        return np.array([v.x, v.y, v.z], dtype=np.complex128)
+    a = np.asarray(v, dtype=np.complex128)
+    if a.ndim == 0:
+        return np.full(3, complex(a))
+    if a.shape != (3,):
+        raise ValueError(f"{name} must be a vec3 or length-3 sequence, got shape {a.shape}")
+    return a

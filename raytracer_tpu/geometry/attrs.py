@@ -1,0 +1,173 @@
+"""Hit attribute computation: geometric normals and texture uv per hit.
+
+The reference computes these lazily per Hit object (sightpy/ray.py:111-119)
+with per-collider virtual methods.  Here the winning object id (from the
+nearest-hit argmin) selects into per-type formulas; each present type is
+evaluated masked over the whole wavefront and combined with `where` —
+fixed shapes, no divergence.
+
+Object-id layout (must match intersect.intersect_all):
+  [0, S)            spheres
+  [S, S+P)          planes
+  [S+P, S+P+B)      boxes
+  [S+P+B, S+P+B+T)  triangles
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather(table, idx):
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
+def sphere_attrs(P, local_id, geom):
+    """Normal + spherical uv (reference sphere.py:54-64)."""
+    c = _gather(geom.sphere_center, local_id)
+    r = _gather(geom.sphere_radius, local_id)
+    N = (P - c) / r[..., None]
+    phi = jnp.arctan2(N[..., 2], N[..., 0])
+    theta = jnp.arcsin(jnp.clip(N[..., 1], -1.0, 1.0))
+    u = (phi + jnp.pi) / (2.0 * jnp.pi)
+    v = (theta + jnp.pi / 2.0) / jnp.pi
+    return N, jnp.stack([u, v], axis=-1)
+
+
+def plane_attrs(P, local_id, geom):
+    """Normal + planar uv with uv_shift (reference plane.py:98-105)."""
+    N = _gather(geom.plane_normal, local_id)
+    c = _gather(geom.plane_center, local_id)
+    ua = _gather(geom.plane_u_axis, local_id)
+    va = _gather(geom.plane_v_axis, local_id)
+    w = _gather(geom.plane_half_w, local_id)
+    h = _gather(geom.plane_half_h, local_id)
+    shift = _gather(geom.plane_uv_shift, local_id)
+    M_C = P - c
+    u = (jnp.sum(ua * M_C, axis=-1) / w + 1.0) / 2.0 + shift[..., 0]
+    v = (jnp.sum(va * M_C, axis=-1) / h + 1.0) / 2.0 + shift[..., 1]
+    return N, jnp.stack([u, v], axis=-1)
+
+
+def box_attrs(P, local_id, geom):
+    """Face normal via max-|axis| + 4x3 cube-cross uv.
+
+    Reference cuboid.py:142-187.  Note the reference divides every uv term by
+    `width` (not height/length) — correct only for cubes, but replicated here
+    because the cube-cross layout (and the SkyBox, which is always a cube)
+    depends on it.  The final (u/4, v/3) scaling of Cuboid.get_uv /
+    SkyBox.get_uv (cuboid.py:29-32, skybox.py:29-32) is applied here.
+    """
+    basis = _gather(geom.box_basis, local_id)          # (N, 3, 3) rows = axes
+    center = _gather(geom.box_center, local_id)
+    whl = _gather(geom.box_whl, local_id)              # (N, 3) width/height/length
+    M_C = P - center
+    # local coordinates of the hit relative to box center
+    P_l = jnp.einsum("nij,nj->ni", basis, M_C)
+    absP = jnp.abs(P_l) / whl
+    Pmax = jnp.max(absP, axis=-1, keepdims=True)
+    N_l = jnp.where(Pmax == absP, jnp.sign(P_l), 0.0)
+    # local -> world: columns of inverse basis are the axes = basis rows
+    N = jnp.einsum("nji,nj->ni", basis, N_l)
+
+    width = whl[..., 0]
+    ax_w_d = P_l[..., 0]   # ax_w . M_C
+    ax_h_d = P_l[..., 1]
+    ax_l_d = P_l[..., 2]
+    s = 2.0 * 0.985 / width
+
+    bottom = (N_l[..., 1] == -1.0)
+    top = (N_l[..., 1] == 1.0)
+    right = (N_l[..., 0] == 1.0)
+    left = (N_l[..., 0] == -1.0)
+    front = (N_l[..., 2] == 1.0)
+    back = (N_l[..., 2] == -1.0)
+
+    u = jnp.select(
+        [bottom, top, right, left, front, back],
+        [
+            (ax_w_d * s + 1.0) / 2.0 + 1.0,
+            (ax_w_d * s + 1.0) / 2.0 + 1.0,
+            (ax_l_d * s + 1.0) / 2.0 + 2.0,
+            (-ax_l_d * s + 1.0) / 2.0 + 0.0,
+            (-ax_w_d * s + 1.0) / 2.0 + 3.0,
+            (ax_w_d * s + 1.0) / 2.0 + 1.0,
+        ],
+        default=0.0,
+    )
+    v = jnp.select(
+        [bottom, top, right, left, front, back],
+        [
+            (-ax_l_d * s + 1.0) / 2.0 + 0.0,
+            (ax_l_d * s + 1.0) / 2.0 + 2.0,
+            (ax_h_d * s + 1.0) / 2.0 + 1.0,
+            (ax_h_d * s + 1.0) / 2.0 + 1.0,
+            (ax_h_d * s + 1.0) / 2.0 + 1.0,
+            (ax_h_d * s + 1.0) / 2.0 + 1.0,
+        ],
+        default=0.0,
+    )
+    return N, jnp.stack([u / 4.0, v / 3.0], axis=-1)
+
+
+def triangle_attrs(P, local_id, geom):
+    """Constant normal + barycentric uv.
+
+    The reference's Triangle_Collider.get_uv is broken (refs undefined
+    attributes, triangle.py:79-83); we return proper barycentric coordinates
+    (u, v) = weights of p2, p3 instead.
+    """
+    N = _gather(geom.tri_normal, local_id)
+    p1 = _gather(geom.tri_p1, local_id)
+    p2 = _gather(geom.tri_p2, local_id)
+    p3 = _gather(geom.tri_p3, local_id)
+    e1 = p2 - p1
+    e2 = p3 - p1
+    d = P - p1
+    d11 = jnp.sum(e1 * e1, axis=-1)
+    d12 = jnp.sum(e1 * e2, axis=-1)
+    d22 = jnp.sum(e2 * e2, axis=-1)
+    dp1 = jnp.sum(d * e1, axis=-1)
+    dp2 = jnp.sum(d * e2, axis=-1)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    u = (d22 * dp1 - d12 * dp2) / det
+    v = (d11 * dp2 - d12 * dp1) / det
+    return N, jnp.stack([u, v], axis=-1)
+
+
+def hit_attributes(P, obj_id, geom, static):
+    """Geometric normal (N, 3) and uv (N, 2) for each ray's winning object.
+
+    `static` provides the per-type counts (SceneStatic); types not present in
+    the scene cost nothing (Python-level skip at trace time).
+    """
+    S, Pn, B, T = static.n_spheres, static.n_planes, static.n_boxes, static.n_tris
+    normal = jnp.zeros_like(P)
+    uv = jnp.zeros(P.shape[:-1] + (2,), P.dtype)
+
+    off = 0
+    if S:
+        m = (obj_id >= off) & (obj_id < off + S)
+        n_t, uv_t = sphere_attrs(P, jnp.clip(obj_id - off, 0, S - 1), geom)
+        normal = jnp.where(m[..., None], n_t, normal)
+        uv = jnp.where(m[..., None], uv_t, uv)
+        off += S
+    if Pn:
+        m = (obj_id >= off) & (obj_id < off + Pn)
+        n_t, uv_t = plane_attrs(P, jnp.clip(obj_id - off, 0, Pn - 1), geom)
+        normal = jnp.where(m[..., None], n_t, normal)
+        uv = jnp.where(m[..., None], uv_t, uv)
+        off += Pn
+    if B:
+        m = (obj_id >= off) & (obj_id < off + B)
+        n_t, uv_t = box_attrs(P, jnp.clip(obj_id - off, 0, B - 1), geom)
+        normal = jnp.where(m[..., None], n_t, normal)
+        uv = jnp.where(m[..., None], uv_t, uv)
+        off += B
+    if T:
+        m = (obj_id >= off) & (obj_id < off + T)
+        n_t, uv_t = triangle_attrs(P, jnp.clip(obj_id - off, 0, T - 1), geom)
+        normal = jnp.where(m[..., None], n_t, normal)
+        uv = jnp.where(m[..., None], uv_t, uv)
+        off += T
+    return normal, uv

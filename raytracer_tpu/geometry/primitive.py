@@ -1,0 +1,195 @@
+"""Host-side scene-description primitives.
+
+These mirror the reference's user API (sightpy/geometry/*.py) but are pure
+descriptions: no intersection logic lives here.  `Scene.render` lowers the
+primitive list into flat struct-of-arrays tables (core/compile.py) consumed
+by the jit-compiled wavefront integrator.
+
+Rotation uses the same axis-angle Rodrigues matrix as the reference
+(primitive.py:17-44) applied eagerly to the stored host-side parameters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.vec import as_float3, vec3
+
+
+def rotation_matrix(theta_deg, axis):
+    """Axis-angle rotation matrix, matching reference primitive.py:17-42."""
+    u = as_float3(axis, "axis")
+    u = u / np.linalg.norm(u)
+    th = np.deg2rad(theta_deg)
+    c = np.cos(th)
+    s = np.sqrt(1 - c ** 2) * np.sign(th)
+    x, y, z = u
+    return np.array([
+        [c + x * x * (1 - c), x * y * (1 - c) - z * s, x * z * (1 - c) + y * s],
+        [y * x * (1 - c) + z * s, c + y * y * (1 - c), y * z * (1 - c) - x * s],
+        [z * x * (1 - c) - y * s, z * y * (1 - c) + x * s, c + z * z * (1 - c)],
+    ])
+
+
+class Primitive:
+    """Base scene object: geometry description + material + per-object limits.
+
+    Matches the reference Primitive (geometry/primitive.py:6-44): every object
+    carries its own recursion cap `max_ray_depth`, a `shadow` flag (does it
+    occlude shadow rays?) and an `mc` flag (stochastic single-branch
+    refraction instead of deterministic splitting).
+    """
+
+    def __init__(self, center, material, max_ray_depth=5, shadow=True, mc=False):
+        self.center = as_float3(center, "center")
+        self.material = material
+        if material is not None:
+            material.assigned_primitive = self
+        self.max_ray_depth = int(max_ray_depth)
+        self.shadow = bool(shadow)
+        self.mc = bool(mc)
+        # radius of a bounding sphere, used by importance sampling
+        # (reference sphere.py:16, plane.py:32, cuboid.py:15-17)
+        self.bounded_sphere_radius = 0.0
+
+    def rotate(self, θ=None, u=None, theta=None, axis=None):
+        """Rotate the primitive about its center (axis-angle, degrees)."""
+        theta = θ if θ is not None else theta
+        axis = u if u is not None else axis
+        M = rotation_matrix(theta, axis)
+        self._apply_rotation(M)
+        return self
+
+    def _apply_rotation(self, M):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support rotation")
+
+    @property
+    def center_vec3(self):
+        return vec3(*self.center)
+
+
+class Sphere(Primitive):
+    """Reference sphere.py:7-18."""
+
+    def __init__(self, center, material, radius, max_ray_depth=5, shadow=True, mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        self.radius = float(radius)
+        self.bounded_sphere_radius = self.radius
+
+    def _apply_rotation(self, M):
+        pass  # a sphere is rotation-invariant about its own center
+
+
+class Plane(Primitive):
+    """Finite rectangle (reference plane.py:7-35)."""
+
+    def __init__(self, center, material, width, height, u_axis, v_axis,
+                 max_ray_depth=5, shadow=True, uv_shift=(0.0, 0.0), mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        self.width = float(width)
+        self.height = float(height)
+        self.u_axis = as_float3(u_axis, "u_axis")
+        self.v_axis = as_float3(v_axis, "v_axis")
+        self.uv_shift = (float(uv_shift[0]), float(uv_shift[1]))
+        self.bounded_sphere_radius = np.sqrt((width / 2) ** 2 + (height / 2) ** 2)
+
+    @property
+    def normal(self):
+        n = np.cross(self.u_axis, self.v_axis)
+        return n / np.linalg.norm(n)
+
+    def _apply_rotation(self, M):
+        self.u_axis = M @ self.u_axis
+        self.v_axis = M @ self.v_axis
+
+
+class Cuboid(Primitive):
+    """Oriented box (reference cuboid.py:7-32).  Rotatable local basis."""
+
+    def __init__(self, center, material, width, height, length,
+                 max_ray_depth=5, shadow=True, mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        self.width = float(width)
+        self.height = float(height)
+        self.length = float(length)
+        self.bounded_sphere_radius = np.sqrt(
+            (width / 2) ** 2 + (height / 2) ** 2 + (length / 2) ** 2)
+        half = np.array([width / 2, height / 2, length / 2])
+        self.lb = self.center - half
+        self.rt = self.center + half
+        # rows of `basis` are the box axes (world -> local transform)
+        self.basis = np.eye(3)
+
+    def _apply_rotation(self, M):
+        self.basis = self.basis @ M.T     # rotate each axis row: ax' = M @ ax
+        self.lb = self.center + M @ (self.lb - self.center)
+        self.rt = self.center + M @ (self.rt - self.center)
+
+    @property
+    def lb_local(self):
+        return self.basis @ self.lb
+
+    @property
+    def rt_local(self):
+        return self.basis @ self.rt
+
+
+class Triangle(Primitive):
+    """Single triangle (reference triangle.py:8-17)."""
+
+    def __init__(self, center, material, p1, p2, p3, max_ray_depth=5, shadow=True, mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        self.p1 = as_float3(p1, "p1")
+        self.p2 = as_float3(p2, "p2")
+        self.p3 = as_float3(p3, "p3")
+        e = np.stack([self.p1, self.p2, self.p3]) - self.center
+        self.bounded_sphere_radius = float(np.max(np.linalg.norm(e, axis=1)))
+
+    def _apply_rotation(self, M):
+        self.p1 = self.center + M @ (self.p1 - self.center)
+        self.p2 = self.center + M @ (self.p2 - self.center)
+        self.p3 = self.center + M @ (self.p3 - self.center)
+
+
+class TriangleMesh(Primitive):
+    """Triangle soup loaded from a Wavefront .obj (v/f records).
+
+    The reference's TriangleMesh (triangle_mesh.py:12-43) is dead code — it
+    references an undefined module and would raise NameError.  This one works:
+    it parses v/f lines (triangulating polygon faces as fans) and lowers every
+    face into the shared triangle table.
+    """
+
+    def __init__(self, filename, center, material, scale=1.0,
+                 max_ray_depth=5, shadow=True, mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        verts, faces = _parse_obj(filename)
+        self.vertices = self.center + np.asarray(verts, dtype=np.float64) * scale
+        self.faces = np.asarray(faces, dtype=np.int64)
+        d = np.linalg.norm(self.vertices - self.center, axis=1)
+        self.bounded_sphere_radius = float(d.max()) if len(d) else 0.0
+
+    def _apply_rotation(self, M):
+        self.vertices = self.center + (self.vertices - self.center) @ M.T
+
+    @property
+    def triangles(self):
+        """(F, 3, 3) array of triangle vertices."""
+        return self.vertices[self.faces]
+
+
+def _parse_obj(filename):
+    verts, faces = [], []
+    with open(filename) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):   # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return verts, faces

@@ -1,0 +1,134 @@
+"""Material description classes (host side).
+
+These mirror the reference material constructors kwarg-for-kwarg
+(sightpy/materials/*.py) but hold only parameters; the shading math lives in
+materials/shade.py as wavefront kernels, dispatched by material type id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.vec import as_complex3, as_float3
+from ..textures.texture import as_texture
+from ..utils.image_io import load_image
+
+# material type ids used by the compiled dispatch tables
+MAT_NONE = 0
+MAT_EMISSIVE = 1
+MAT_GLOSSY = 2
+MAT_DIFFUSE = 3
+MAT_REFRACTIVE = 4
+MAT_THINFILM = 5
+MAT_ENV = 6          # skybox / panorama environment material
+
+MAT_TYPE_NAMES = {
+    MAT_NONE: "none", MAT_EMISSIVE: "emissive", MAT_GLOSSY: "glossy",
+    MAT_DIFFUSE: "diffuse", MAT_REFRACTIVE: "refractive",
+    MAT_THINFILM: "thinfilm", MAT_ENV: "env",
+}
+
+
+class Material:
+    """Base: optional tangent-space normal map (reference material.py:11-40)."""
+
+    mat_type = MAT_NONE
+
+    def __init__(self, normalmap=None):
+        self.normalmap = None
+        self.normalmap_repeat = 1.0
+        if normalmap is not None:
+            self.set_normalmap(normalmap)
+        self.assigned_primitive = None
+
+    def set_normalmap(self, normalmap, repeat=1.0):
+        if isinstance(normalmap, np.ndarray):
+            self.normalmap = np.asarray(normalmap, dtype=np.float32)
+        else:
+            self.normalmap = load_image(normalmap, subdir_hint="normalmaps")
+        self.normalmap_repeat = float(repeat)
+
+
+class Emissive(Material):
+    """Area-light surface; terminates paths (reference emissive.py:11-23)."""
+
+    mat_type = MAT_EMISSIVE
+
+    def __init__(self, color, **kwargs):
+        super().__init__(**kwargs)
+        self.texture_color = as_texture(color)
+
+
+class Glossy(Material):
+    """Lambert + Schlick-Fresnel/Blinn-Phong + mirror recursion
+    (reference glossy.py:11-110)."""
+
+    mat_type = MAT_GLOSSY
+
+    def __init__(self, diff_color, roughness, spec_coeff, diff_coeff, n, **kwargs):
+        super().__init__(**kwargs)
+        self.diff_texture = as_texture(diff_color)
+        self.roughness = float(roughness)
+        self.spec_coeff = float(spec_coeff)
+        self.diff_coeff = float(diff_coeff)
+        self.n = as_complex3(n, "n")
+
+
+class Diffuse(Material):
+    """Monte-Carlo Lambertian with cosine/light-cap importance mixture
+    (reference diffuse.py:12-124)."""
+
+    mat_type = MAT_DIFFUSE
+
+    def __init__(self, diff_color, diffuse_rays=20, ambient_weight=0.5, **kwargs):
+        super().__init__(**kwargs)
+        self.diff_texture = as_texture(diff_color)
+        # `diffuse_rays` is the reference's per-hit branching factor
+        # (diffuse.py:36-47).  The wavefront integrator traces one diffuse
+        # continuation per path and folds the factor into samples-per-pixel
+        # instead (Scene.render multiplies spp; see core/scene.py), which is
+        # the same estimator with identical total sample counts.
+        self.diffuse_rays = int(diffuse_rays)
+        self.max_diffuse_reflections = 2
+        self.ambient_weight = float(ambient_weight)
+
+
+class Refractive(Material):
+    """Complex-IoR Fresnel dielectric with Beer-Lambert absorption
+    (reference refractive.py:10-123)."""
+
+    mat_type = MAT_REFRACTIVE
+
+    def __init__(self, n, **kwargs):
+        super().__init__(**kwargs)
+        self.n = as_complex3(n, "n")
+
+
+class ThinFilmInterference(Material):
+    """Thin-film coating: reflectance from a (cos-theta, thickness) LUT
+    (reference thin_film_interference.py:11-115).
+
+    The reference reads a precomputed PNG LUT; by default we *compute* the
+    LUT analytically from Airy-summation thin-film optics (utils/thin_film.py)
+    for the given film index, which matches the reference tables without
+    shipping their assets.  A custom LUT array can be passed instead.
+    """
+
+    mat_type = MAT_THINFILM
+
+    def __init__(self, thickness, noise=0.0, film_n=1.4, lut=None,
+                 noise_texture=None, **kwargs):
+        super().__init__(**kwargs)
+        self.thickness = float(thickness)
+        self.noise_factor = float(noise)
+        self.film_n = float(film_n)
+        if lut is not None:
+            self.lut = np.asarray(lut, dtype=np.float32)
+        else:
+            from ..utils.thin_film import thin_film_lut
+            self.lut = thin_film_lut(film_n)
+        if noise_texture is not None:
+            self.noise_texture = np.asarray(noise_texture, dtype=np.float32)
+        else:
+            from ..utils.thin_film import default_noise_texture
+            self.noise_texture = default_noise_texture()

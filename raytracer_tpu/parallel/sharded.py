@@ -1,0 +1,98 @@
+"""Multi-chip rendering: shard_map over a (sample, pixel) device mesh.
+
+The reference's only scale-out axis is a multiprocessing.Pool over
+samples-per-pixel with a parent-side sum (sightpy/scene.py:80-116) — process
+data-parallelism with a pickle broadcast and a Python reduce.  The TPU
+equivalent (SURVEY.md §2.3):
+
+* mesh axis "sample": data parallelism over samples-per-pixel.  Each device
+  traces its own spp slice of the full frame; the per-pixel radiance sum is
+  one `psum` riding the ICI — the all-reduce(+) the Pool's `+=` loop emulated.
+* mesh axis "pixel": spatial parallelism over horizontal film bands.  Each
+  device generates and traces only its band; no communication at all.
+
+Scene tables are tiny (KBs) and replicated; no point-to-point traffic exists
+anywhere in the pipeline (pure map-reduce workload).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.camera import generate_rays
+from ..core.integrator import RenderSettings, trace
+from ..utils.colour import srgb_linear_to_srgb
+
+
+def make_mesh(n_sample_shards=None, n_pixel_shards=1, devices=None):
+    """Build a ("sample", "pixel") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_sample_shards is None:
+        n_sample_shards = n // n_pixel_shards
+    assert n_sample_shards * n_pixel_shards == n, (
+        f"{n_sample_shards}x{n_pixel_shards} mesh != {n} devices")
+    dev_array = np.asarray(devices).reshape(n_sample_shards, n_pixel_shards)
+    return Mesh(dev_array, axis_names=("sample", "pixel"))
+
+
+def build_sharded_render(static, settings: RenderSettings, mesh,
+                         width: int, height: int, spp_per_device: int):
+    """Compile a sharded render step.
+
+    Returns f(key, data, cam) -> (H*W, 3) linear radiance SUM over
+    n_sample_shards * spp_per_device samples (divide by that to average).
+    """
+    n_pixel = mesh.shape["pixel"]
+    assert height % n_pixel == 0, f"height {height} % pixel shards {n_pixel} != 0"
+    rows = height // n_pixel
+
+    def per_device(key, data, cam):
+        s_idx = jax.lax.axis_index("sample")
+        p_idx = jax.lax.axis_index("pixel")
+        k = jax.random.fold_in(jax.random.fold_in(key, s_idx), p_idx)
+        k_ray, k_trace = jax.random.split(k)
+        O, D = generate_rays(k_ray, cam, width, height, spp_per_device,
+                             row0=(p_idx * rows).astype(jnp.float32), rows=rows)
+        n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
+        n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
+        L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings)
+        band = L.reshape(spp_per_device, rows * width, 3).sum(axis=0)
+        # all-reduce over the sample axis: each pixel shard ends up with the
+        # full sample sum for its band (the Pool '+=' loop, as one collective)
+        return jax.lax.psum(band, "sample")
+
+    @jax.jit
+    def run(key, data, cam):
+        return jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P("pixel"),
+        )(key, data, cam)
+
+    return run
+
+
+def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
+    """Render `scene` across all local devices; returns (H, W, 3) sRGB array.
+
+    samples_per_pixel is rounded up to a multiple of the sample-shard count.
+    """
+    from ..core.compile import compile_scene
+
+    mesh = mesh or make_mesh()
+    n_sample = mesh.shape["sample"]
+    spp_per_device = -(-samples_per_pixel // n_sample)
+    W, H = scene.camera.screen_width, scene.camera.screen_height
+    static, data = compile_scene(scene)
+    settings = RenderSettings(max_bounces=min(static.max_object_depth + 2, 12))
+    run = build_sharded_render(static, settings, mesh, W, H, spp_per_device)
+    acc = run(jax.random.PRNGKey(seed), data, scene.camera.params())
+    linear = acc / (n_sample * spp_per_device)
+    img = srgb_linear_to_srgb(linear).reshape(H, W, 3)
+    return np.asarray(jax.device_get(img))

@@ -1,0 +1,43 @@
+"""Texture descriptions (host side).
+
+Reference: sightpy/textures/texture.py:9-39.  `image` loads the file eagerly
+(linearized sRGB) into a numpy array; the compiled scene ships it to device
+memory once, and the shading kernels fetch it with wrap-around
+nearest-neighbour gathers replicating the reference indexing exactly
+(texture.py:32-39, including the negated v axis).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.vec import as_float3, vec3
+from ..utils.image_io import load_image_as_linear_srgb
+
+
+class texture:
+    pass
+
+
+class solid_color(texture):
+    def __init__(self, color):
+        self.color = as_float3(color, "color")
+
+
+class image(texture):
+    def __init__(self, img, repeat=1.0):
+        if isinstance(img, np.ndarray):
+            self.img = np.asarray(img, dtype=np.float32)
+        else:
+            self.img = load_image_as_linear_srgb(img, subdir_hint="textures")
+        self.repeat = float(repeat)
+
+
+def as_texture(value, name="color"):
+    """Accept a vec3/sequence (solid color) or a texture instance."""
+    if isinstance(value, texture):
+        return value
+    return solid_color(as_float3(value, name))
+
+
+__all__ = ["texture", "solid_color", "image", "as_texture", "vec3"]
