@@ -12,7 +12,24 @@ fixed-shape execution, threefry RNG, shard_map multi-chip scaling
 (parallel/).
 """
 
+import os as _os
+
 import numpy as np
+
+# Persistent XLA compilation cache: TPU compiles of the wavefront program take
+# minutes (remote-compile tunnel); caching them across processes makes every
+# re-run after the first instant.  Opt out with RAYTRACER_TPU_NO_CACHE=1.
+if not _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RAYTRACER_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "raytracer_tpu_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
 
 from .animation import create_animation, create_animation_using_opencv
 from .backgrounds.environment import Panorama, SkyBox, procedural_sky

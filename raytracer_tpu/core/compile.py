@@ -40,22 +40,65 @@ F32 = np.float32
 I32 = np.int32
 
 
+# Tables are built as HOST numpy arrays and shipped to the device in ONE
+# packed transfer per dtype (_to_device below): issuing ~45 individual
+# host->device copies costs hundreds of ms each through a remote-attached
+# TPU, turning every render call into seconds of pure transfer latency.
 def _f(x):
-    return jnp.asarray(np.asarray(x, dtype=F32))
+    return np.asarray(x, dtype=F32)
 
 
 def _i(x):
-    return jnp.asarray(np.asarray(x, dtype=I32))
+    return np.asarray(x, dtype=I32)
 
 
 def _stack3(rows):
     if not rows:
-        return jnp.zeros((0, 3), jnp.float32)
+        return np.zeros((0, 3), F32)
     return _f(np.stack(rows))
 
 
 def _arr1(rows):
-    return _f(np.asarray(rows, dtype=F32)) if rows else jnp.zeros((0,), jnp.float32)
+    return _f(np.asarray(rows, dtype=F32)) if rows else np.zeros((0,), F32)
+
+
+def _unpack_specs(specs, **buffers):
+    out = []
+    offsets = {k: 0 for k in buffers}
+    for kind, shape in specs:
+        n = int(np.prod(shape)) if shape else 1
+        buf = buffers[kind]
+        out.append(jax.lax.dynamic_slice(buf, (offsets[kind],), (n,)).reshape(shape))
+        offsets[kind] += n
+    return out
+
+
+_unpack_jit = jax.jit(_unpack_specs, static_argnames=("specs",))
+
+
+def _to_device(data):
+    """Upload a numpy SceneData pytree with one transfer per dtype group."""
+    leaves, treedef = jax.tree_util.tree_flatten(data)
+    kinds = []
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if a.dtype == np.bool_:
+            kinds.append("b")
+        elif np.issubdtype(a.dtype, np.integer):
+            kinds.append("i")
+        else:
+            kinds.append("f")
+    specs = tuple((k, tuple(np.asarray(l).shape)) for k, l in zip(kinds, leaves))
+    buffers = {}
+    for kind, dt in (("f", F32), ("i", I32), ("b", np.bool_)):
+        parts = [np.asarray(l, dtype=dt).ravel()
+                 for k, l in zip(kinds, leaves) if k == kind]
+        buffers[kind] = (np.concatenate(parts) if parts
+                         else np.zeros((1,), dt))
+        if buffers[kind].size == 0:
+            buffers[kind] = np.zeros((1,), dt)
+    dev_leaves = _unpack_jit(specs, **{k: jnp.asarray(v) for k, v in buffers.items()})
+    return jax.tree_util.tree_unflatten(treedef, dev_leaves)
 
 
 @jax.tree_util.register_dataclass
@@ -93,6 +136,13 @@ class ObjectTables:
     max_depth: Any     # (O,) int32
     mc: Any            # (O,) bool
     shadow: Any        # (O,) bool
+    packed: Any        # (O,) int32: type | slot<<3 | min(depth,1023)<<13 | mc<<23 | shadow<<24
+
+
+PACKED_SLOT_SHIFT = 3
+PACKED_DEPTH_SHIFT = 13
+PACKED_MC_SHIFT = 23
+PACKED_SHADOW_SHIFT = 24
 
 
 @jax.tree_util.register_dataclass
@@ -136,6 +186,7 @@ class SceneData:
     ambient_color: Any   # (3,)
     scene_n_re: Any      # (3,)
     scene_n_im: Any      # (3,)
+    pallas_geom: Any = None   # (O, 24) packed per-object geometry params
 
 
 @dataclass(frozen=True)
@@ -165,6 +216,18 @@ class EnvSlot:
 
 
 @dataclass(frozen=True)
+class ObjRecord:
+    """Static structure of one object — drives fully-unrolled dispatch in the
+    Pallas mega-kernel (ops/pallas_trace.py)."""
+    kind: str          # 'sphere' | 'plane' | 'box' | 'tri'
+    mat_type: int
+    mat_slot: int
+    max_depth: int
+    mc: bool
+    shadow: bool
+
+
+@dataclass(frozen=True)
 class SceneStatic:
     n_spheres: int
     n_planes: int
@@ -184,6 +247,11 @@ class SceneStatic:
     normal_maps: Tuple[NormalMapRef, ...]
     has_shadow_objects: bool
     max_object_depth: int
+    needs_uv: bool = True
+    obj_records: Tuple[ObjRecord, ...] = ()
+    # the Pallas mega-kernel handles solid-color scenes with modest object
+    # counts; textured / env / LUT scenes use the jnp wavefront path
+    pallas_ok: bool = False
 
 
 class _Builder:
@@ -320,9 +388,9 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         plane_half_w=_arr1([w for *_, w, _, _ in b.planes]),
         plane_half_h=_arr1([h for *_, h, _ in b.planes]),
         plane_uv_shift=(_f(np.stack([s for *_, s in b.planes]))
-                        if b.planes else jnp.zeros((0, 2), jnp.float32)),
+                        if b.planes else np.zeros((0, 2), F32)),
         box_basis=(_f(np.stack([m for m, *_ in b.boxes]))
-                   if b.boxes else jnp.zeros((0, 3, 3), jnp.float32)),
+                   if b.boxes else np.zeros((0, 3, 3), F32)),
         box_center=_stack3([c for _, c, *_ in b.boxes]),
         box_whl=_stack3([np.asarray(w) for *_, w, _, _ in b.boxes]),
         box_lb_local=_stack3([lb for *_, lb, _ in b.boxes]),
@@ -347,12 +415,21 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
 
     # ---- object tables in global id order --------------------------------
     rows = (b.props["sphere"] + b.props["plane"] + b.props["box"] + b.props["tri"])
+    packed_rows = [
+        (r["mat_type"]
+         | (r["mat_slot"] << PACKED_SLOT_SHIFT)
+         | (min(r["max_depth"], 1023) << PACKED_DEPTH_SHIFT)
+         | (int(r["mc"]) << PACKED_MC_SHIFT)
+         | (int(r["shadow"]) << PACKED_SHADOW_SHIFT))
+        for r in rows
+    ]
     obj = ObjectTables(
-        mat_type=_i([r["mat_type"] for r in rows]) if rows else jnp.zeros((0,), jnp.int32),
-        mat_slot=_i([r["mat_slot"] for r in rows]) if rows else jnp.zeros((0,), jnp.int32),
-        max_depth=_i([r["max_depth"] for r in rows]) if rows else jnp.zeros((0,), jnp.int32),
-        mc=jnp.asarray(np.asarray([r["mc"] for r in rows], dtype=bool)) if rows else jnp.zeros((0,), bool),
-        shadow=jnp.asarray(np.asarray([r["shadow"] for r in rows], dtype=bool)) if rows else jnp.zeros((0,), bool),
+        mat_type=_i([r["mat_type"] for r in rows]) if rows else np.zeros((0,), I32),
+        mat_slot=_i([r["mat_slot"] for r in rows]) if rows else np.zeros((0,), I32),
+        max_depth=_i([min(r["max_depth"], 1023) for r in rows]) if rows else np.zeros((0,), I32),
+        mc=np.asarray([r["mc"] for r in rows], dtype=bool) if rows else np.zeros((0,), bool),
+        shadow=np.asarray([r["shadow"] for r in rows], dtype=bool) if rows else np.zeros((0,), bool),
+        packed=_i(packed_rows) if rows else np.zeros((0,), I32),
     )
 
     # ---- material tables -------------------------------------------------
@@ -403,6 +480,52 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     )
 
     present = tuple(sorted({int(r["mat_type"]) for r in rows}))
+    # uv coordinates are only needed when something samples them; solid-color
+    # scenes (e.g. the Cornell box) skip the whole uv computation per bounce
+    needs_uv = bool(b.diffuse_tex or b.glossy_tex or b.emissive_tex
+                    or b.env_slots or b.thinfilm_lut or nmaps)
+
+    # ---- static per-object records + packed geometry for the Pallas path ---
+    obj_records = []
+    pallas_rows = []
+
+    def _row(vals):
+        r = np.zeros(24, dtype=F32)
+        r[:len(vals)] = vals
+        pallas_rows.append(r)
+
+    for (c, r), props in zip(b.spheres, b.props["sphere"]):
+        obj_records.append(ObjRecord("sphere", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+        _row(list(np.asarray(c)) + [r])
+    for (c, u, v, w2, h2, _s), props in zip(b.planes, b.props["plane"]):
+        nrm = np.cross(u, v)
+        nrm = nrm / np.linalg.norm(nrm)
+        obj_records.append(ObjRecord("plane", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+        _row(list(np.asarray(c)) + list(np.asarray(u)) + list(np.asarray(v))
+             + list(nrm) + [w2, h2])
+    for (basis, c, whl, lbl, rtl), props in zip(b.boxes, b.props["box"]):
+        obj_records.append(ObjRecord("box", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+        _row(list(np.asarray(basis).reshape(-1)) + list(np.asarray(lbl))
+             + list(np.asarray(rtl)) + list(np.asarray(c)) + list(np.asarray(whl)))
+    for (p1, p2, p3), props in zip(b.tris, b.props["tri"]):
+        nrm = np.cross(p2 - p1, p3 - p1)
+        nrm = nrm / np.linalg.norm(nrm)
+        obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+        _row(list(p1) + list(p2) + list(p3) + list(nrm)
+             + list(np.cross(p3 - p1, nrm)) + list(np.cross(p1 - p2, nrm))
+             + list(np.cross(p2 - p3, nrm)))
+    pallas_geom = (_f(np.stack(pallas_rows)) if pallas_rows
+                   else np.zeros((0, 24), F32))
+
+    _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
+    pallas_ok = (not needs_uv and 0 < len(rows) <= 48
+                 and set(present) <= _PALLAS_TYPES
+                 and len(scene.importance_sampled_list) <= 8)
+
     static = SceneStatic(
         n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=len(b.tris),
         n_objects=len(rows),
@@ -418,15 +541,19 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         env_slots=tuple(b.env_slots),
         normal_maps=nmaps,
         has_shadow_objects=any(r["shadow"] for r in rows),
-        max_object_depth=max([r["max_depth"] for r in rows if r["max_depth"] < 10 ** 6] or [5]),
+        max_object_depth=max([r["max_depth"] for r in rows if r["max_depth"] < 999] or [5]),
+        needs_uv=needs_uv,
+        obj_records=tuple(obj_records),
+        pallas_ok=pallas_ok,
     )
 
     data = SceneData(
         geom=geom, obj=obj, mats=mats, lights=lights,
         is_center=is_center, is_radius=is_radius,
-        textures=tuple(jnp.asarray(t) for t in b.textures),
+        textures=tuple(b.textures),
         ambient_color=_f(scene.ambient_color),
         scene_n_re=_f(np.real(scene.n)),
         scene_n_im=_f(np.imag(scene.n)),
+        pallas_geom=pallas_geom,
     )
-    return static, data
+    return static, _to_device(data)

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.attrs import hit_attributes
-from ..geometry.intersect import intersect_all
+from ..geometry.intersect import intersect_all, nearest_hit
+from .compile import (PACKED_DEPTH_SHIFT, PACKED_MC_SHIFT, PACKED_SLOT_SHIFT)
 from ..materials import shade
 from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
                               MAT_REFRACTIVE, MAT_THINFILM)
@@ -51,6 +52,13 @@ class RenderSettings:
     nudge_eps: float = NUDGE_EPS
     # collect per-bounce ray counts for the Mrays/s metric
     collect_stats: bool = False
+    # unroll factor of the lax.scan bounce loop (1 = single compiled body;
+    # higher trades compile time for scheduling freedom)
+    unroll: int = 1
+    # "auto": use the fused Pallas mega-kernel (ops/pallas_trace.py) on TPU
+    # when the scene qualifies (static.pallas_ok); "always" forces it (in
+    # interpreter mode off-TPU, for tests); "never" uses the jnp wavefront
+    use_pallas: str = "auto"
 
 
 @dataclass
@@ -117,21 +125,12 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         # empty scene: every ray misses -> black (reference ray.py:128-131)
         stats = {"rays_traced": jnp.asarray(n, jnp.int32)} if settings.collect_stats else {}
         return f3(0.0), stats
-    L = f3(0.0)
-    beta = f3(1.0)
-    alive = jnp.ones((n,), bool)
-    depth = jnp.zeros((n,), jnp.int32)
-    diffuse_refl = jnp.zeros((n,), jnp.int32)
-    reflections = jnp.zeros((n,), jnp.int32)
-    transmissions = jnp.zeros((n,), jnp.int32)
-    rays_traced = jnp.asarray(0, jnp.int32) if settings.collect_stats else None
 
-    O, D = origin, direction
-    for bounce in range(settings.max_bounces):
-        t_all, o_all = intersect_all(O, D, data.geom)
-        obj = jnp.argmin(t_all, axis=0)                       # (N,)
-        t = jnp.min(t_all, axis=0)
-        orient = jnp.take_along_axis(o_all, obj[None, :], axis=0)[0]
+    def bounce_body(carry, bounce):
+        (L, beta, alive, depth, diffuse_refl,
+         O, D, n_re, n_im, rays_traced) = carry
+
+        t, orient, obj = nearest_hit(O, D, data.geom)
         miss = t >= MISS_THRESHOLD
 
         P = O + D * t[..., None]
@@ -139,10 +138,12 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         N_shad = _apply_normal_maps(N_geo, P, uv, obj, data, static)
         N_shad = N_shad * orient[..., None]
 
-        mat_type = jnp.take(data.obj.mat_type, obj, mode="clip")
-        mat_slot = jnp.take(data.obj.mat_slot, obj, mode="clip")
-        obj_max_depth = jnp.take(data.obj.max_depth, obj, mode="clip")
-        obj_mc = jnp.take(data.obj.mc, obj, mode="clip")
+        # one gather for all per-object attributes (packed int32 word)
+        packed = jnp.take(data.obj.packed, obj, mode="clip")
+        mat_type = packed & 0x7
+        mat_slot = (packed >> PACKED_SLOT_SHIFT) & 0x3FF
+        obj_max_depth = (packed >> PACKED_DEPTH_SHIFT) & 0x3FF
+        obj_mc = ((packed >> PACKED_MC_SHIFT) & 1).astype(bool)
 
         # scale-aware surface nudge: the reference's absolute 1e-6
         # (glossy.py:35) vanishes in float32 at Cornell-box coordinate scales
@@ -197,13 +198,39 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         n_re = jnp.where(a3, new_n_re, n_re)
         n_im = jnp.where(a3, new_n_im, n_im)
         depth = depth + alive.astype(jnp.int32)
-        reflections = reflections + (alive & inc_refl).astype(jnp.int32)
-        transmissions = transmissions + (alive & inc_trans).astype(jnp.int32)
         diffuse_refl = diffuse_refl + (alive & inc_diff).astype(jnp.int32)
+        del inc_refl, inc_trans  # reflection/transmission counts are not
+        # consumed by any termination rule (the reference tracks them on the
+        # Ray record but never reads them, ray.py:31-33) — keeping them in the
+        # scan carry would cost two (N,) HBM round-trips per bounce.
+        carry = (L, beta, alive, depth, diffuse_refl,
+                 O, D, n_re, n_im, rays_traced)
+        return carry, None
 
+    # derive inits from `origin` so they inherit its device-varying axes —
+    # a plain jnp.zeros carry is rejected by shard_map's varying-axis check
+    z3 = origin * 0.0
+    z1 = z3[..., 0]
+    n_re = n_re + z3   # medium IoR usually broadcasts from replicated scene
+    n_im = n_im + z3   # tables; mix in z3 so it is varying like the rays
+    init = (
+        z3,                            # L
+        z3 + 1.0,                      # beta
+        z1 < 1.0,                      # alive (all True)
+        z1.astype(jnp.int32),          # depth
+        z1.astype(jnp.int32),          # diffuse_reflections
+        origin, direction, n_re, n_im,
+        z1.astype(jnp.int32).sum(),    # rays_traced
+    )
+    # lax.scan: the bounce body compiles ONCE (unrolling the loop in Python
+    # multiplies XLA compile time by max_bounces with no measured runtime win)
+    carry, _ = jax.lax.scan(bounce_body, init,
+                            jnp.arange(settings.max_bounces, dtype=jnp.int32),
+                            unroll=settings.unroll)
+    L = carry[0]
     stats = {}
     if settings.collect_stats:
-        stats["rays_traced"] = rays_traced
+        stats["rays_traced"] = carry[-1]
     return L, stats
 
 

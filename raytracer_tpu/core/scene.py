@@ -50,6 +50,34 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp):
     return L, stats
 
 
+@partial(jax.jit, static_argnames=("static", "settings", "width", "height",
+                                   "spp", "interpret"))
+def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
+                         interpret=False):
+    """Chunk via the fused Pallas mega-kernel: camera ray generation and all
+    bounces run inside one TPU kernel (ops/pallas_trace.py)."""
+    from ..ops.pallas_trace import pallas_trace_chunk
+
+    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.fwd, cam.right, cam.up,
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+    L, rays = pallas_trace_chunk(seed, data, cam_vec, static, width, height,
+                                 spp, settings.max_bounces, interpret)
+    L = L.reshape(spp, height * width, 3).sum(axis=0)
+    stats = {"rays_traced": rays} if settings.collect_stats else {}
+    return L, stats
+
+
+def _use_pallas(static, settings):
+    if settings.use_pallas == "never" or not static.pallas_ok:
+        return False, False
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if settings.use_pallas == "always":
+        return True, not on_tpu     # interpret mode off-TPU (tests)
+    return on_tpu, False
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def _distances_chunk(key, data, cam, width, height):
     O, D = generate_rays(key, cam, width, height, 1)
@@ -102,7 +130,8 @@ class Scene:
             max_b = min(static.max_object_depth + 2, 12)
         settings = RenderSettings(max_bounces=max_b,
                                   nudge_eps=self.settings.nudge_eps,
-                                  collect_stats=collect_stats)
+                                  collect_stats=collect_stats,
+                                  use_pallas=self.settings.use_pallas)
         return static, data, settings
 
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
@@ -130,21 +159,29 @@ class Scene:
         base_key = jax.random.PRNGKey(seed)
         acc = jnp.zeros((H * W, 3), jnp.float32)
         start_chunk = 0
-        total_stats = {"rays_traced": 0}
+        # device-side accumulator: a host int() here would force a (slow)
+        # device->host sync every chunk
+        rays_acc = jnp.zeros((), jnp.int32)
 
         if checkpoint_path is not None:
             loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed)
             if loaded is not None:
                 acc, start_chunk = loaded
 
+        pallas_on, pallas_interp = _use_pallas(static, settings)
         if progress_bar:
             print("Rendering...")
         for i in range(start_chunk, n_chunks):
-            L, stats = _render_chunk(jax.random.fold_in(base_key, i), data, cam,
-                                     static, settings, W, H, chunk)
+            if pallas_on:
+                L, stats = _render_chunk_pallas(
+                    jax.random.fold_in(base_key, i), data, cam, static,
+                    settings, W, H, chunk, pallas_interp)
+            else:
+                L, stats = _render_chunk(jax.random.fold_in(base_key, i), data,
+                                         cam, static, settings, W, H, chunk)
             acc = acc + L
             if return_stats:
-                total_stats["rays_traced"] += int(stats["rays_traced"])
+                rays_acc = rays_acc + stats["rays_traced"]
             if progress_bar:
                 acc.block_until_ready()
                 print(f"  chunk {i + 1}/{n_chunks} "
@@ -160,9 +197,10 @@ class Scene:
             print("Render Took", dt)
         pil = array_to_pil(img)
         if return_stats:
-            total_stats.update(
-                wall_s=dt, samples=n_samples, width=W, height=H,
-                mrays_per_s=total_stats["rays_traced"] / dt / 1e6 if dt > 0 else 0.0)
+            rays = int(rays_acc)
+            total_stats = dict(
+                rays_traced=rays, wall_s=dt, samples=n_samples, width=W,
+                height=H, mrays_per_s=rays / dt / 1e6 if dt > 0 else 0.0)
             return pil, total_stats
         return pil
 

@@ -2,11 +2,15 @@
 
 The reference computes these lazily per Hit object (sightpy/ray.py:111-119)
 with per-collider virtual methods.  Here the winning object id (from the
-nearest-hit argmin) selects into per-type formulas; each present type is
+nearest-hit reduce) selects into per-type formulas; each present type is
 evaluated masked over the whole wavefront and combined with `where` —
 fixed shapes, no divergence.
 
-Object-id layout (must match intersect.intersect_all):
+uv computation is gated by SceneStatic.needs_uv: scenes without any texture /
+normal map / LUT sampling (e.g. the Cornell box) skip the transcendental-heavy
+uv math entirely.
+
+Object-id layout (must match intersect.nearest_hit):
   [0, S)            spheres
   [S, S+P)          planes
   [S+P, S+P+B)      boxes
@@ -22,11 +26,13 @@ def _gather(table, idx):
     return jnp.take(table, idx, axis=0, mode="clip")
 
 
-def sphere_attrs(P, local_id, geom):
+def sphere_attrs(P, local_id, geom, need_uv):
     """Normal + spherical uv (reference sphere.py:54-64)."""
     c = _gather(geom.sphere_center, local_id)
     r = _gather(geom.sphere_radius, local_id)
     N = (P - c) / r[..., None]
+    if not need_uv:
+        return N, None
     phi = jnp.arctan2(N[..., 2], N[..., 0])
     theta = jnp.arcsin(jnp.clip(N[..., 1], -1.0, 1.0))
     u = (phi + jnp.pi) / (2.0 * jnp.pi)
@@ -34,9 +40,11 @@ def sphere_attrs(P, local_id, geom):
     return N, jnp.stack([u, v], axis=-1)
 
 
-def plane_attrs(P, local_id, geom):
+def plane_attrs(P, local_id, geom, need_uv):
     """Normal + planar uv with uv_shift (reference plane.py:98-105)."""
     N = _gather(geom.plane_normal, local_id)
+    if not need_uv:
+        return N, None
     c = _gather(geom.plane_center, local_id)
     ua = _gather(geom.plane_u_axis, local_id)
     va = _gather(geom.plane_v_axis, local_id)
@@ -49,7 +57,7 @@ def plane_attrs(P, local_id, geom):
     return N, jnp.stack([u, v], axis=-1)
 
 
-def box_attrs(P, local_id, geom):
+def box_attrs(P, local_id, geom, need_uv):
     """Face normal via max-|axis| + 4x3 cube-cross uv.
 
     Reference cuboid.py:142-187.  Note the reference divides every uv term by
@@ -69,6 +77,8 @@ def box_attrs(P, local_id, geom):
     N_l = jnp.where(Pmax == absP, jnp.sign(P_l), 0.0)
     # local -> world: columns of inverse basis are the axes = basis rows
     N = jnp.einsum("nji,nj->ni", basis, N_l)
+    if not need_uv:
+        return N, None
 
     width = whl[..., 0]
     ax_w_d = P_l[..., 0]   # ax_w . M_C
@@ -110,7 +120,7 @@ def box_attrs(P, local_id, geom):
     return N, jnp.stack([u / 4.0, v / 3.0], axis=-1)
 
 
-def triangle_attrs(P, local_id, geom):
+def triangle_attrs(P, local_id, geom, need_uv):
     """Constant normal + barycentric uv.
 
     The reference's Triangle_Collider.get_uv is broken (refs undefined
@@ -118,6 +128,8 @@ def triangle_attrs(P, local_id, geom):
     (u, v) = weights of p2, p3 instead.
     """
     N = _gather(geom.tri_normal, local_id)
+    if not need_uv:
+        return N, None
     p1 = _gather(geom.tri_p1, local_id)
     p2 = _gather(geom.tri_p2, local_id)
     p3 = _gather(geom.tri_p3, local_id)
@@ -139,35 +151,22 @@ def hit_attributes(P, obj_id, geom, static):
     """Geometric normal (N, 3) and uv (N, 2) for each ray's winning object.
 
     `static` provides the per-type counts (SceneStatic); types not present in
-    the scene cost nothing (Python-level skip at trace time).
+    the scene cost nothing (Python-level skip at trace time).  When
+    static.needs_uv is False the returned uv is all-zeros and costs nothing.
     """
     S, Pn, B, T = static.n_spheres, static.n_planes, static.n_boxes, static.n_tris
+    need_uv = static.needs_uv
     normal = jnp.zeros_like(P)
     uv = jnp.zeros(P.shape[:-1] + (2,), P.dtype)
 
+    blocks = [(S, sphere_attrs), (Pn, plane_attrs), (B, box_attrs), (T, triangle_attrs)]
     off = 0
-    if S:
-        m = (obj_id >= off) & (obj_id < off + S)
-        n_t, uv_t = sphere_attrs(P, jnp.clip(obj_id - off, 0, S - 1), geom)
-        normal = jnp.where(m[..., None], n_t, normal)
-        uv = jnp.where(m[..., None], uv_t, uv)
-        off += S
-    if Pn:
-        m = (obj_id >= off) & (obj_id < off + Pn)
-        n_t, uv_t = plane_attrs(P, jnp.clip(obj_id - off, 0, Pn - 1), geom)
-        normal = jnp.where(m[..., None], n_t, normal)
-        uv = jnp.where(m[..., None], uv_t, uv)
-        off += Pn
-    if B:
-        m = (obj_id >= off) & (obj_id < off + B)
-        n_t, uv_t = box_attrs(P, jnp.clip(obj_id - off, 0, B - 1), geom)
-        normal = jnp.where(m[..., None], n_t, normal)
-        uv = jnp.where(m[..., None], uv_t, uv)
-        off += B
-    if T:
-        m = (obj_id >= off) & (obj_id < off + T)
-        n_t, uv_t = triangle_attrs(P, jnp.clip(obj_id - off, 0, T - 1), geom)
-        normal = jnp.where(m[..., None], n_t, normal)
-        uv = jnp.where(m[..., None], uv_t, uv)
-        off += T
+    for count, fn in blocks:
+        if count:
+            m = (obj_id >= off) & (obj_id < off + count)
+            n_t, uv_t = fn(P, jnp.clip(obj_id - off, 0, count - 1), geom, need_uv)
+            normal = jnp.where(m[..., None], n_t, normal)
+            if need_uv:
+                uv = jnp.where(m[..., None], uv_t, uv)
+            off += count
     return normal, uv

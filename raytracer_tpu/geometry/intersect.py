@@ -106,6 +106,72 @@ def intersect_triangles(O, D, p1, normal, centroid, n31, n12, n23, p2, p3):
     return t, orient
 
 
+def _type_blocks(geom):
+    """Yield (intersect_fn, count) per primitive type, in object-id order."""
+    blocks = []
+    if geom.sphere_center.shape[0]:
+        blocks.append((lambda O, D: intersect_spheres(
+            O, D, geom.sphere_center, geom.sphere_radius),
+            geom.sphere_center.shape[0]))
+    if geom.plane_center.shape[0]:
+        blocks.append((lambda O, D: intersect_planes(
+            O, D, geom.plane_center, geom.plane_normal, geom.plane_u_axis,
+            geom.plane_v_axis, geom.plane_half_w, geom.plane_half_h),
+            geom.plane_center.shape[0]))
+    if geom.box_basis.shape[0]:
+        blocks.append((lambda O, D: intersect_boxes(
+            O, D, geom.box_basis, geom.box_lb_local, geom.box_rt_local),
+            geom.box_basis.shape[0]))
+    if geom.tri_p1.shape[0]:
+        blocks.append((lambda O, D: intersect_triangles(
+            O, D, geom.tri_p1, geom.tri_normal, geom.tri_centroid,
+            geom.tri_n31, geom.tri_n12, geom.tri_n23, geom.tri_p2,
+            geom.tri_p3), geom.tri_p1.shape[0]))
+    return blocks
+
+
+def nearest_hit(O, D, geom):
+    """Fused nearest-hit: (t, orient, obj_id) each (N,).
+
+    Running min across primitive types — never materializes the full
+    (num_objects, N) distance matrix (the naive concatenate+argmin costs two
+    (O, N) round-trips to HBM per bounce).
+    """
+    n = O.shape[0]
+    best_t = jnp.full((n,), FARAWAY, O.dtype)
+    best_o = jnp.ones((n,), O.dtype)
+    best_id = jnp.zeros((n,), jnp.int32)
+    off = 0
+    for fn, count in _type_blocks(geom):
+        t, o = fn(O, D)                           # (M, N)
+        am = jnp.argmin(t, axis=0)                # (N,)
+        tm = jnp.min(t, axis=0)
+        om = jnp.take_along_axis(o, am[None, :], axis=0)[0]
+        better = tm < best_t
+        best_t = jnp.where(better, tm, best_t)
+        best_o = jnp.where(better, om, best_o)
+        best_id = jnp.where(better, am.astype(jnp.int32) + off, best_id)
+        off += count
+    return best_t, best_o, best_id
+
+
+def occluded(O, D, geom, shadow_obj_mask, max_dist):
+    """Any-hit test for shadow rays: True where some shadow-casting object
+    lies closer than max_dist along D (reference glossy.py:53-59).
+
+    shadow_obj_mask: (num_objects,) bool in global object-id order.
+    """
+    n = O.shape[0]
+    hit = jnp.zeros((n,), bool)
+    off = 0
+    for fn, count in _type_blocks(geom):
+        t, _ = fn(O, D)                           # (M, N)
+        mask = shadow_obj_mask[off:off + count]
+        hit = hit | jnp.any((t < max_dist[None, :]) & mask[:, None], axis=0)
+        off += count
+    return hit
+
+
 def intersect_all(O, D, geom):
     """Intersect rays against every object table in `geom`.
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng
-from ..geometry.intersect import intersect_all
+from ..geometry.intersect import occluded
 from ..utils.constants import SKYBOX_DISTANCE, UPWARDS
 
 
@@ -122,10 +122,13 @@ def shade_env(ctx):
     color = jnp.zeros((n, 3), ctx.P.dtype)
     for env in ctx.static.env_slots:
         c = fetch_texture(ctx.data.textures[env.tex], ctx.uv, 1.0)
-        if env.lightmap is not None and ctx.bounce != 0:
+        if env.lightmap is not None:
+            # lightmap applies to secondary rays only (depth != 0) —
+            # reference skybox.py:74-88
             li = _g1(ctx.data.mats.env_light_intensity, ctx.mat_slot)
             lm = fetch_texture(ctx.data.textures[env.lightmap], ctx.uv, 1.0)
-            c = c + li[..., None] * lm
+            c = c + jnp.where((ctx.depth != 0)[..., None],
+                              li[..., None] * lm, 0.0)
         color = jnp.where((ctx.mat_slot == env.slot)[..., None], c, color)
     out.add = color
     return out
@@ -160,9 +163,9 @@ def shade_glossy(ctx):
         NdotL = jnp.maximum(jnp.sum(N * L, axis=-1), 0.0)
         lv = irradiance(NdotL)
         if static.has_shadow_objects:
-            t_sh, _ = intersect_all(nudged, L, data.geom)
-            t_sh = jnp.where(data.obj.shadow[:, None], t_sh, jnp.inf)
-            seelight = (jnp.min(t_sh, axis=0) >= dist_light).astype(N.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dist_light, N.dtype), NdotL.shape)
+            occ = occluded(nudged, L, data.geom, data.obj.shadow, d)
+            seelight = 1.0 - occ.astype(N.dtype)
         else:
             seelight = jnp.ones_like(NdotL)
         term = diff_color * lv * seelight[..., None]

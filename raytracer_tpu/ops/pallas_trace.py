@@ -1,0 +1,712 @@
+"""Fused path-tracing mega-kernel (Pallas TPU).
+
+The jnp wavefront integrator (core/integrator.py) round-trips the full ray
+state through HBM at every kernel boundary — ~100 XLA fusions per bounce.
+This kernel is the TPU-native answer: a tile of rays lives ENTIRELY in
+VMEM/vregs from camera ray generation through every bounce to the final
+radiance write-back.  HBM traffic per ray is one (3,) radiance write, total;
+the scene (geometry, material, light tables) is a few KB resident in VMEM.
+
+Scope (static.pallas_ok, core/compile.py): solid-color materials
+(Diffuse / Glossy / Refractive / Emissive), any mix of spheres / planes /
+boxes / triangles (<= 48 objects), directional + point lights with shadow
+rays, spherical-cap importance sampling.  Scenes with image textures /
+environment maps / thin-film LUTs render through the jnp path (texture
+gathers from HBM are not lane-addressable inside a TPU kernel).
+
+Everything is unrolled over the *static* scene structure: the object list,
+material bindings, light list and bounce count are compile-time constants
+(SceneStatic.obj_records), so per-ray dispatch is pure mask selects on the
+VPU — no gathers at all.
+
+Randomness: the on-core PRNG (pltpu.prng_seed / prng_random_bits), seeded per
+(tile, render-chunk).  Deterministic for a fixed seed; streams differ from the
+jnp threefry path (both are valid samplers of the same estimator).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..materials.base import MAT_DIFFUSE, MAT_EMISSIVE, MAT_GLOSSY, MAT_REFRACTIVE
+from ..utils.constants import (MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM)
+
+FARAWAY = 1.0e30
+TILE_ROWS = 128            # rays per program = TILE_ROWS * 128
+_INV_2_24 = 1.0 / (1 << 24)
+
+
+# ---------------------------------------------------------------------------
+# tile helpers
+# ---------------------------------------------------------------------------
+
+
+class _TileRng:
+    """Counter-based per-ray RNG: murmur3 finalizer over (ray index, draw#, seed).
+
+    Plain integer VPU ops — identical streams on hardware and in the Pallas
+    interpreter (the on-core prng_random_bits primitive is TPU-only), and a
+    unique stream per (ray, draw) with no cross-bounce state to carry.
+    """
+
+    def __init__(self, idx, seed):
+        self.idx = idx.astype(jnp.uint32)
+        self.seed = seed.astype(jnp.uint32)
+        self.counter = 0
+
+    def uniform(self):
+        self.counter += 1
+        x = self.idx * jnp.uint32(0x9E3779B1)
+        x = x ^ (self.seed + jnp.uint32((self.counter * 0x85EBCA6B) & 0xFFFFFFFF))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        # >>8 leaves 24 bits, so the int32 reinterpretation is non-negative
+        # (Mosaic has no uint32->f32 cast)
+        return pltpu.bitcast(x >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+# complex arithmetic on (re, im) tile pairs — Pallas has no complex dtype
+def _cmul(a, b):
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _cdiv(a, b):
+    d = jnp.maximum(b[0] * b[0] + b[1] * b[1], 1e-30)
+    return (a[0] * b[0] + a[1] * b[1]) / d, (a[1] * b[0] - a[0] * b[1]) / d
+
+
+def _csqrt(a):
+    mag = jnp.sqrt(a[0] * a[0] + a[1] * a[1])
+    re = jnp.sqrt(jnp.maximum((mag + a[0]) * 0.5, 0.0))
+    im = jnp.sqrt(jnp.maximum((mag - a[0]) * 0.5, 0.0))
+    return re, jnp.where(a[1] < 0, -im, im)
+
+
+def _cabs2(a):
+    return a[0] * a[0] + a[1] * a[1]
+
+
+def _orthobasis(nx, ny, nz):
+    """(u, v) orthonormal to n — reference random.py:63-66 construction."""
+    big = jnp.abs(nx) > 0.9
+    ax = jnp.where(big, 0.0, 1.0)
+    ay = jnp.where(big, 1.0, 0.0)
+    # v = n x a, normalized
+    vx = ny * 0.0 - nz * ay
+    vy = nz * ax - nx * 0.0
+    vz = nx * ay - ny * ax
+    vx, vy, vz = _normalize3(vx, vy, vz)
+    # u = n x v
+    ux = ny * vz - nz * vy
+    uy = nz * vx - nx * vz
+    uz = nx * vy - ny * vx
+    return (ux, uy, uz), (vx, vy, vz)
+
+
+# ---------------------------------------------------------------------------
+# per-object intersection / normal formulas (scalar params, tile rays)
+# ---------------------------------------------------------------------------
+
+
+def _isect_sphere(g, ox, oy, oz, dx, dy, dz):
+    cx, cy, cz, r = g[0], g[1], g[2], g[3]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    tca = -(dx * ocx + dy * ocy + dz * ocz)
+    px, py, pz = ocx + tca * dx, ocy + tca * dy, ocz + tca * dz
+    d2 = px * px + py * py + pz * pz
+    disc = r * r - d2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    h0, h1 = tca - sq, tca + sq
+    h = jnp.where((h0 > 0) & (h0 < h1), h0, h1)
+    ndd = ((ox + dx * h) - cx) * dx + ((oy + dy * h) - cy) * dy + ((oz + dz * h) - cz) * dz
+    valid = (disc > 0) & (h > 0) & (ndd != 0)
+    t = jnp.where(valid, h, FARAWAY)
+    orient = jnp.where(ndd < 0, 1.0, -1.0)
+    return t, orient
+
+
+def _isect_plane(g, ox, oy, oz, dx, dy, dz):
+    cx, cy, cz = g[0], g[1], g[2]
+    ux, uy, uz = g[3], g[4], g[5]
+    vx, vy, vz = g[6], g[7], g[8]
+    nx, ny, nz = g[9], g[10], g[11]
+    w2, h2 = g[12], g[13]
+    ndd = nx * dx + ny * dy + nz * dz
+    ndd = jnp.where(ndd == 0.0, ndd + 1e-4, ndd)
+    ndco = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
+    tt = ndco / ndd
+    mx, my, mz = ox + dx * tt - cx, oy + dy * tt - cy, oz + dz * tt - cz
+    uu = ux * mx + uy * my + uz * mz
+    vv = vx * mx + vy * my + vz * mz
+    inside = (jnp.abs(uu) <= w2) & (jnp.abs(vv) <= h2) & (ndco * ndd > 0)
+    t = jnp.where(inside, jnp.abs(tt), FARAWAY)
+    orient = jnp.where(ndd < 0, 1.0, -1.0)
+    return t, orient
+
+
+def _isect_box(g, ox, oy, oz, dx, dy, dz):
+    b = g[:9]           # basis rows
+    lbl = g[9:12]
+    rtl = g[12:15]
+    # local-frame origin/direction
+    ol = [b[3 * i] * ox + b[3 * i + 1] * oy + b[3 * i + 2] * oz for i in range(3)]
+    dl = [b[3 * i] * dx + b[3 * i + 1] * dy + b[3 * i + 2] * dz for i in range(3)]
+    tmin = None
+    tmax = None
+    for i in range(3):
+        inv = 1.0 / dl[i]
+        t1 = (lbl[i] - ol[i]) * inv
+        t2 = (rtl[i] - ol[i]) * inv
+        lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+        tmin = lo if tmin is None else jnp.maximum(tmin, lo)
+        tmax = hi if tmax is None else jnp.minimum(tmax, hi)
+    miss = (tmax < 0) | (tmin > tmax)
+    inside = tmin < 0
+    t = jnp.where(miss, FARAWAY, jnp.where(inside, tmax, tmin))
+    orient = jnp.where(inside, -1.0, 1.0)
+    return t, orient
+
+
+def _isect_tri(g, ox, oy, oz, dx, dy, dz):
+    p1 = g[0:3]
+    p2 = g[3:6]
+    p3 = g[6:9]
+    n = g[9:12]
+    n31 = g[12:15]
+    n12 = g[15:18]
+    n23 = g[18:21]
+    cx = (p1[0] + p2[0] + p3[0]) / 3.0
+    cy = (p1[1] + p2[1] + p3[1]) / 3.0
+    cz = (p1[2] + p2[2] + p3[2]) / 3.0
+    ndd = n[0] * dx + n[1] * dy + n[2] * dz
+    ndd = jnp.where(ndd == 0.0, ndd + 1e-4, ndd)
+    ndco = n[0] * (cx - ox) + n[1] * (cy - oy) + n[2] * (cz - oz)
+    tt = ndco / ndd
+    mx, my, mz = ox + dx * tt, oy + dy * tt, oz + dz * tt
+    inside = (
+        (n31[0] * (mx - p1[0]) + n31[1] * (my - p1[1]) + n31[2] * (mz - p1[2]) >= 0)
+        & (n12[0] * (mx - p2[0]) + n12[1] * (my - p2[1]) + n12[2] * (mz - p2[2]) >= 0)
+        & (n23[0] * (mx - p3[0]) + n23[1] * (my - p3[1]) + n23[2] * (mz - p3[2]) >= 0)
+        & (ndco * ndd > 0)
+    )
+    t = jnp.where(inside, jnp.abs(tt), FARAWAY)
+    orient = jnp.where(ndd < 0, 1.0, -1.0)
+    return t, orient
+
+
+_ISECT = {"sphere": _isect_sphere, "plane": _isect_plane,
+          "box": _isect_box, "tri": _isect_tri}
+
+
+def _normal_for(rec, g, px, py, pz):
+    if rec.kind == "sphere":
+        inv_r = 1.0 / g[3]
+        return (px - g[0]) * inv_r, (py - g[1]) * inv_r, (pz - g[2]) * inv_r
+    if rec.kind == "plane":
+        shp = px.shape
+        return (jnp.full(shp, g[9]), jnp.full(shp, g[10]), jnp.full(shp, g[11]))
+    if rec.kind == "tri":
+        shp = px.shape
+        return (jnp.full(shp, g[9]), jnp.full(shp, g[10]), jnp.full(shp, g[11]))
+    # box: max-|axis| face normal in the local frame (reference cuboid.py:142-151)
+    b = g[:9]
+    cx, cy, cz = g[15], g[16], g[17]
+    whl = g[18:21]
+    mx, my, mz = px - cx, py - cy, pz - cz
+    pl_ = [b[3 * i] * mx + b[3 * i + 1] * my + b[3 * i + 2] * mz for i in range(3)]
+    ap = [jnp.abs(pl_[i]) / whl[i] for i in range(3)]
+    pmax = jnp.maximum(jnp.maximum(ap[0], ap[1]), ap[2])
+    nl = [jnp.where(pmax == ap[i], jnp.sign(pl_[i]), 0.0) for i in range(3)]
+    nx = b[0] * nl[0] + b[3] * nl[1] + b[6] * nl[2]
+    ny = b[1] * nl[0] + b[4] * nl[1] + b[7] * nl[2]
+    nz = b[2] * nl[0] + b[5] * nl[1] + b[8] * nl[2]
+    return nx, ny, nz
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(static, width, height, spp, max_bounces, n_pix, lam=WAVELENGTHS_NM):
+    records = static.obj_records
+    # shading groups: objects sharing (material, depth-cap, mc) shade together
+    groups = {}
+    for i, rec in enumerate(records):
+        groups.setdefault((rec.mat_type, rec.mat_slot, rec.max_depth, rec.mc),
+                          []).append(i)
+    shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
+
+    def kernel(seed_ref, cam_ref, geom_ref, dif_ref, glo_ref, refr_ref,
+               emi_ref, light_ref, is_ref, const_ref, L_ref, cnt_ref):
+        pid = pl.program_id(0)
+        shape = (TILE_ROWS, 128)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = (pid * TILE_ROWS + rows) * 128 + lanes
+        rng = _TileRng(idx, seed_ref[0])
+        pix = jnp.remainder(idx, n_pix)
+        py_i = pix // width
+        px_i = pix - py_i * width
+
+        cam = lambda j: cam_ref[0, j]
+        o0x, o0y, o0z = cam(0), cam(1), cam(2)
+        fwx, fwy, fwz = cam(3), cam(4), cam(5)
+        rix, riy, riz = cam(6), cam(7), cam(8)
+        upx, upy, upz = cam(9), cam(10), cam(11)
+        cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
+
+        u1 = rng.uniform()
+        u2 = rng.uniform()
+        u3 = rng.uniform()
+        u4 = rng.uniform()
+        x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
+        y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
+        r_d = jnp.sqrt(u3)
+        phi_d = u4 * (2.0 * math.pi)
+        rx = r_d * jnp.cos(phi_d) * lens_r
+        ry = r_d * jnp.sin(phi_d) * lens_r
+        ox = o0x + rix * rx + upx * ry
+        oy = o0y + riy * rx + upy * ry
+        oz = o0z + riz * rx + upz * ry
+        tx = o0x + upx * (y * focal) + rix * (x * focal) + fwx * focal - ox
+        ty = o0y + upy * (y * focal) + riy * (x * focal) + fwy * focal - oy
+        tz = o0z + upz * (y * focal) + riz * (x * focal) + fwz * focal - oz
+        dx, dy, dz = _normalize3(tx, ty, tz)
+
+        c = lambda j: const_ref[0, j]
+        ambient = (c(0), c(1), c(2))
+        scene_nre = (c(3), c(4), c(5))
+        scene_nim = (c(6), c(7), c(8))
+
+        f0 = jnp.zeros(shape, jnp.float32)
+        Lx, Ly, Lz = f0, f0, f0
+        bx = jnp.ones(shape, jnp.float32)
+        by, bz_ = bx, bx
+        nre = [jnp.full(shape, scene_nre[k]) for k in range(3)]
+        nim = [jnp.full(shape, scene_nim[k]) for k in range(3)]
+        alive = jnp.ones(shape, bool)
+        depth = jnp.zeros(shape, jnp.int32)
+        dcnt = jnp.zeros(shape, jnp.int32)
+        count = jnp.zeros((), jnp.int32)
+
+        grow = [[geom_ref[i, j] for j in range(24)] for i in range(len(records))]
+
+        def nearest(ox, oy, oz, dx, dy, dz):
+            best_t = jnp.full(shape, FARAWAY)
+            best_o = jnp.ones(shape, jnp.float32)
+            best_id = jnp.full(shape, -1, jnp.int32)
+            for i, rec in enumerate(records):
+                t_i, o_i = _ISECT[rec.kind](grow[i], ox, oy, oz, dx, dy, dz)
+                better = t_i < best_t
+                best_t = jnp.where(better, t_i, best_t)
+                best_o = jnp.where(better, o_i, best_o)
+                best_id = jnp.where(better, i, best_id)
+            return best_t, best_o, best_id
+
+        for bounce in range(max_bounces):
+            t, orient, obj = nearest(ox, oy, oz, dx, dy, dz)
+            miss = t >= MISS_THRESHOLD
+            hit = alive & ~miss
+            count = count + jnp.sum(alive.astype(jnp.int32))
+
+            px = ox + dx * t
+            py = oy + dy * t
+            pz = oz + dz * t
+
+            nx = jnp.zeros(shape, jnp.float32)
+            ny = jnp.zeros(shape, jnp.float32)
+            nz = jnp.zeros(shape, jnp.float32)
+            for i, rec in enumerate(records):
+                nxi, nyi, nzi = _normal_for(rec, grow[i], px, py, pz)
+                m = obj == i
+                nx = jnp.where(m, nxi, nx)
+                ny = jnp.where(m, nyi, ny)
+                nz = jnp.where(m, nzi, nz)
+            nx, ny, nz = nx * orient, ny * orient, nz * orient
+
+            eps = 1e-6 * jnp.maximum(
+                1.0, jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz))))
+
+            # accumulators for this bounce's state transition
+            new_alive = jnp.zeros(shape, bool)
+            add = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+            bmul = [jnp.ones(shape, jnp.float32) for _ in range(3)]
+            ndx, ndy, ndz = dx, dy, dz
+            nox, noy, noz = px, py, pz
+            new_nre = list(nre)
+            new_nim = list(nim)
+            inc_d = jnp.zeros(shape, bool)
+
+            # pre-draw the per-bounce random numbers (shared across groups —
+            # each ray belongs to exactly one group)
+            ru = [rng.uniform() for _ in range(6)]
+
+            for (mt, slot, maxd, mc), ids in groups.items():
+                g = obj == ids[0]
+                for i in ids[1:]:
+                    g = g | (obj == i)
+                g = g & hit
+
+                if mt == MAT_EMISSIVE:
+                    col = [emi_ref[slot, k] for k in range(3)]
+                    for k in range(3):
+                        add[k] = jnp.where(g, col[k], add[k])
+                    # terminal: new_alive stays False for g
+
+                elif mt == MAT_DIFFUSE:
+                    col = [dif_ref[slot, k] for k in range(3)]
+                    aw = dif_ref[slot, 3]
+                    nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
+                    ax_u, ax_v = _orthobasis(nx, ny, nz)
+                    # cosine lobe sample
+                    phi = ru[0] * (2.0 * math.pi)
+                    r2 = ru[1]
+                    zc = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+                    xc = jnp.cos(phi) * jnp.sqrt(r2)
+                    yc = jnp.sin(phi) * jnp.sqrt(r2)
+                    cdx = ax_u[0] * xc + ax_v[0] * yc + nx * zc
+                    cdy = ax_u[1] * xc + ax_v[1] * yc + ny * zc
+                    cdz = ax_u[2] * xc + ax_v[2] * yc + nz * zc
+                    K = static.n_is_targets
+                    if K > 0:
+                        # spherical-cap sample toward a uniformly-picked target
+                        pick = jnp.minimum((ru[2] * K).astype(jnp.int32), K - 1)
+                        wxs, cms = [], []
+                        for kk in range(K):
+                            tcx, tcy, tcz, tr = (is_ref[kk, 0], is_ref[kk, 1],
+                                                 is_ref[kk, 2], is_ref[kk, 3])
+                            wx, wy, wz = tcx - nux, tcy - nuy, tcz - nuz
+                            dist = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20))
+                            wx, wy, wz = wx / dist, wy / dist, wz / dist
+                            sin_m = jnp.clip(tr / dist, 0.0, 1.0)
+                            cm = jnp.sqrt(jnp.maximum(1.0 - sin_m * sin_m, 0.0))
+                            wxs.append((wx, wy, wz))
+                            cms.append(cm)
+                        # select the picked cap
+                        swx = wxs[0][0]; swy = wxs[0][1]; swz = wxs[0][2]; scm = cms[0]
+                        for kk in range(1, K):
+                            m = pick == kk
+                            swx = jnp.where(m, wxs[kk][0], swx)
+                            swy = jnp.where(m, wxs[kk][1], swy)
+                            swz = jnp.where(m, wxs[kk][2], swz)
+                            scm = jnp.where(m, cms[kk], scm)
+                        (cu, cv) = _orthobasis(swx, swy, swz)
+                        phi2 = ru[3] * (2.0 * math.pi)
+                        zq = 1.0 + ru[4] * (scm - 1.0)
+                        sq = jnp.sqrt(jnp.maximum(1.0 - zq * zq, 0.0))
+                        qdx = cu[0] * (jnp.cos(phi2) * sq) + cv[0] * (jnp.sin(phi2) * sq) + swx * zq
+                        qdy = cu[1] * (jnp.cos(phi2) * sq) + cv[1] * (jnp.sin(phi2) * sq) + swy * zq
+                        qdz = cu[2] * (jnp.cos(phi2) * sq) + cv[2] * (jnp.sin(phi2) * sq) + swz * zq
+                        use_cos = ru[5] < aw
+                        sdx = jnp.where(use_cos, cdx, qdx)
+                        sdy = jnp.where(use_cos, cdy, qdy)
+                        sdz = jnp.where(use_cos, cdz, qdz)
+                        # mixture pdf at the sampled direction
+                        ndl = jnp.clip(sdx * nx + sdy * ny + sdz * nz, 0.0, 1.0)
+                        pdf_cos = ndl / math.pi
+                        pdf_cap = jnp.zeros(shape, jnp.float32)
+                        for kk in range(K):
+                            cosk = sdx * wxs[kk][0] + sdy * wxs[kk][1] + sdz * wxs[kk][2]
+                            inside = cosk > cms[kk]
+                            pdf_cap = pdf_cap + jnp.where(
+                                inside, 1.0 / ((1.0 - cms[kk]) * 2.0 * math.pi), 0.0)
+                        pdf_cap = pdf_cap / K
+                        pdf = aw * pdf_cos + (1.0 - aw) * pdf_cap
+                    else:
+                        sdx, sdy, sdz = cdx, cdy, cdz
+                        ndl = jnp.clip(sdx * nx + sdy * ny + sdz * nz, 0.0, 1.0)
+                        pdf = ndl / math.pi
+                    w = ndl / jnp.maximum(pdf, 1e-9) / math.pi
+                    cont = (dcnt < 2)
+                    gc = g & cont
+                    for k in range(3):
+                        bmul[k] = jnp.where(gc, col[k] * w, bmul[k])
+                    ndx = jnp.where(gc, sdx, ndx)
+                    ndy = jnp.where(gc, sdy, ndy)
+                    ndz = jnp.where(gc, sdz, ndz)
+                    nox = jnp.where(gc, nux, nox)
+                    noy = jnp.where(gc, nuy, noy)
+                    noz = jnp.where(gc, nuz, noz)
+                    inc_d = inc_d | gc
+                    new_alive = new_alive | gc
+
+                elif mt == MAT_REFRACTIVE:
+                    m_re = [refr_ref[slot, k] for k in range(3)]
+                    m_im = [refr_ref[slot, k + 3] for k in range(3)]
+                    cos_i = -(dx * nx + dy * ny + dz * nz)          # V.N
+                    entering = orient > 0
+                    F = []
+                    n2r_l, n2i_l = [], []
+                    for k in range(3):
+                        n1 = (nre[k], nim[k])
+                        n2r = jnp.where(entering, m_re[k], scene_nre[k])
+                        n2i = jnp.where(entering, m_im[k], scene_nim[k])
+                        n2 = (n2r, n2i)
+                        ratio = _cdiv(n1, n2)
+                        r2 = _cmul(ratio, ratio)
+                        s2 = (1.0 - cos_i * cos_i)
+                        cos_t = _csqrt((1.0 - r2[0] * s2, -r2[1] * s2))
+                        a = (n1[0] * cos_i, n1[1] * cos_i)
+                        bt = _cmul(n2, cos_t)
+                        r_per = _cdiv((a[0] - bt[0], a[1] - bt[1]),
+                                      (a[0] + bt[0], a[1] + bt[1]))
+                        at = _cmul(n1, cos_t)
+                        bb = (n2[0] * cos_i, n2[1] * cos_i)
+                        r_par = _cdiv((bb[0] - at[0], bb[1] - at[1]),
+                                      (at[0] + bb[0], at[1] + bb[1]))
+                        F.append((_cabs2(r_per) + _cabs2(r_par)) * 0.5)
+                        n2r_l.append(n2r)
+                        n2i_l.append(n2i)
+                    T = [1.0 - F[k] for k in range(3)]
+                    ratio_avg = (nre[0] / jnp.maximum(n2r_l[0], 1e-9)
+                                 + nre[1] / jnp.maximum(n2r_l[1], 1e-9)
+                                 + nre[2] / jnp.maximum(n2r_l[2], 1e-9)) / 3.0
+                    sin2t = ratio_avg * ratio_avg * (1.0 - cos_i * cos_i)
+                    non_tir = sin2t <= 1.0
+                    croot = jnp.sqrt(1.0 - jnp.clip(sin2t, 0.0, 1.0))
+                    rfx = dx * ratio_avg + nx * (ratio_avg * cos_i - croot)
+                    rfy = dy * ratio_avg + ny * (ratio_avg * cos_i - croot)
+                    rfz = dz * ratio_avg + nz * (ratio_avg * cos_i - croot)
+                    rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+                    ddn = dx * nx + dy * ny + dz * nz
+                    rlx = dx - nx * (2.0 * ddn)
+                    rly = dy - ny * (2.0 * ddn)
+                    rlz = dz - nz * (2.0 * ddn)
+                    rlx, rly, rlz = _normalize3(rlx, rly, rlz)
+                    T_avg = (T[0] + T[1] + T[2]) / 3.0
+                    p_refr = jnp.where(non_tir, jnp.clip(T_avg, 0.0, 1.0), 0.0)
+                    take_refr = (ru[0] < p_refr) & non_tir
+                    absorb = [jnp.exp(-2.0 * nim[k] * (2.0 * math.pi / lam[k]) * 1e9 * t)
+                              for k in range(3)]
+                    cont = depth < maxd
+                    gc = g & cont
+                    for k in range(3):
+                        w_r = T[k] / jnp.maximum(p_refr, 1e-9)
+                        w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
+                        bmul[k] = jnp.where(gc, absorb[k] * jnp.where(take_refr, w_r, w_l),
+                                            bmul[k])
+                        new_nre[k] = jnp.where(gc & take_refr, n2r_l[k], new_nre[k])
+                        new_nim[k] = jnp.where(gc & take_refr, n2i_l[k], new_nim[k])
+                    ndx = jnp.where(gc, jnp.where(take_refr, rfx, rlx), ndx)
+                    ndy = jnp.where(gc, jnp.where(take_refr, rfy, rly), ndy)
+                    ndz = jnp.where(gc, jnp.where(take_refr, rfz, rlz), ndz)
+                    sgn = jnp.where(take_refr, -1.0, 1.0)
+                    nox = jnp.where(gc, px + nx * eps * sgn, nox)
+                    noy = jnp.where(gc, py + ny * eps * sgn, noy)
+                    noz = jnp.where(gc, pz + nz * eps * sgn, noz)
+                    new_alive = new_alive | gc
+
+                elif mt == MAT_GLOSSY:
+                    col = [glo_ref[slot, k] for k in range(3)]
+                    g_re = [glo_ref[slot, 3 + k] for k in range(3)]
+                    g_im = [glo_ref[slot, 6 + k] for k in range(3)]
+                    rough = glo_ref[slot, 9]
+                    spec_c = glo_ref[slot, 10]
+                    diff_c = glo_ref[slot, 11]
+                    dc = [col[k] * diff_c for k in range(3)]
+                    vx, vy, vz = -dx, -dy, -dz
+                    nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
+                    acc = [ambient[k] * dc[k] for k in range(3)]
+                    n_lights = static.n_dir_lights + static.n_point_lights
+                    for li in range(n_lights):
+                        lx_, ly_, lz_ = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
+                        lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
+                        is_point = li >= static.n_dir_lights
+                        if is_point:
+                            wx, wy, wz = lx_ - px, ly_ - py, lz_ - pz
+                            dist = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20))
+                            lxn, lyn, lzn = wx / dist, wy / dist, wz / dist
+                        else:
+                            lxn = jnp.full(shape, lx_)
+                            lyn = jnp.full(shape, ly_)
+                            lzn = jnp.full(shape, lz_)
+                            dist = jnp.full(shape, SKYBOX_DISTANCE)
+                        ndl = jnp.maximum(nx * lxn + ny * lyn + nz * lzn, 0.0)
+                        if is_point:
+                            lv = [lr * ndl / (dist * dist) * 100.0,
+                                  lg * ndl / (dist * dist) * 100.0,
+                                  lb * ndl / (dist * dist) * 100.0]
+                        else:
+                            lv = [lr * ndl, lg * ndl, lb * ndl]
+                        # shadow: any shadow-flagged object closer than the light
+                        occ = jnp.zeros(shape, bool)
+                        for si in shadow_ids:
+                            t_s, _ = _ISECT[records[si].kind](
+                                grow[si], nux, nuy, nuz, lxn, lyn, lzn)
+                            occ = occ | (t_s < dist)
+                        see = 1.0 - occ.astype(jnp.float32)
+                        for k in range(3):
+                            acc[k] = acc[k] + dc[k] * lv[k] * see
+                        # Blinn-Phong specular (skipped entirely when the
+                        # material's roughness is 0, reference glossy.py:62)
+                        hx, hy, hz = _normalize3(lxn + vx, lyn + vy, lzn + vz)
+                        F0s = []
+                        for k in range(3):
+                            num = _cabs2((nre[k] - g_re[k], nim[k] - g_im[k]))
+                            den = jnp.maximum(_cabs2((nre[k] + g_re[k], nim[k] + g_im[k])), 1e-20)
+                            F0s.append(num / den)
+                        cos_vh = jnp.clip(vx * hx + vy * hy + vz * hz, 0.0, 1.0)
+                        p5 = (1.0 - cos_vh) ** 5
+                        a_ph = 2.0 / jnp.maximum(rough, 1e-6) ** 2 - 2.0
+                        dph = jnp.clip(nx * hx + ny * hy + nz * hz, 0.0, 1.0) ** a_ph \
+                            * (a_ph + 2.0) / (2.0 * math.pi)
+                        denom = 4.0 * jnp.clip((nx * vx + ny * vy + nz * vz) * ndl, 0.001, 1.0)
+                        sw = jnp.where(rough != 0.0, dph / denom * see * spec_c, 0.0)
+                        for k in range(3):
+                            Fk = F0s[k] + (1.0 - F0s[k]) * p5
+                            acc[k] = acc[k] + Fk * sw * lv[k]
+                    for k in range(3):
+                        add[k] = jnp.where(g, acc[k], add[k])
+                    # mirror continuation vs the scene medium (glossy.py:87-104)
+                    cos_vn = jnp.clip(vx * nx + vy * ny + vz * nz, 0.0, 1.0)
+                    p5r = (1.0 - cos_vn) ** 5
+                    ddn = dx * nx + dy * ny + dz * nz
+                    rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
+                                                dy - ny * 2.0 * ddn,
+                                                dz - nz * 2.0 * ddn)
+                    cont = depth < maxd
+                    gc = g & cont
+                    for k in range(3):
+                        num = _cabs2((scene_nre[k] - g_re[k], scene_nim[k] - g_im[k]))
+                        den = jnp.maximum(
+                            _cabs2((scene_nre[k] + g_re[k], scene_nim[k] + g_im[k])), 1e-20)
+                        F0 = num / den
+                        bmul[k] = jnp.where(gc, F0 + (1.0 - F0) * p5r, bmul[k])
+                    ndx = jnp.where(gc, rlx, ndx)
+                    ndy = jnp.where(gc, rly, ndy)
+                    ndz = jnp.where(gc, rlz, ndz)
+                    nox = jnp.where(gc, nux, nox)
+                    noy = jnp.where(gc, nuy, noy)
+                    noz = jnp.where(gc, nuz, noz)
+                    new_alive = new_alive | gc
+
+            # radiance + state update
+            Lx = Lx + jnp.where(hit, bx * add[0], 0.0)
+            Ly = Ly + jnp.where(hit, by * add[1], 0.0)
+            Lz = Lz + jnp.where(hit, bz_ * add[2], 0.0)
+            bx = jnp.where(new_alive, bx * bmul[0], bx)
+            by = jnp.where(new_alive, by * bmul[1], by)
+            bz_ = jnp.where(new_alive, bz_ * bmul[2], bz_)
+            ox = jnp.where(new_alive, nox, ox)
+            oy = jnp.where(new_alive, noy, oy)
+            oz = jnp.where(new_alive, noz, oz)
+            dx = jnp.where(new_alive, ndx, dx)
+            dy = jnp.where(new_alive, ndy, dy)
+            dz = jnp.where(new_alive, ndz, dz)
+            for k in range(3):
+                nre[k] = jnp.where(new_alive, new_nre[k], nre[k])
+                nim[k] = jnp.where(new_alive, new_nim[k], nim[k])
+            depth = depth + new_alive.astype(jnp.int32)
+            dcnt = dcnt + (new_alive & inc_d).astype(jnp.int32)
+            alive = new_alive
+
+        L_ref[0, :, :] = Lx
+        L_ref[1, :, :] = Ly
+        L_ref[2, :, :] = Lz
+        cnt_ref[...] = jnp.full((1, 8, 128), count, jnp.int32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side glue
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(a, min_rows=1):
+    if a.shape[0] == 0:
+        return jnp.zeros((min_rows,) + a.shape[1:], a.dtype)
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("static", "width", "height",
+                                             "spp", "max_bounces", "interpret"))
+def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
+                       max_bounces, interpret=False):
+    """Trace one spp-chunk with the mega-kernel.
+
+    seed: int32 scalar array; cam_vec: (16,) f32.
+    Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
+    """
+    n_pix = width * height
+    n = spp * n_pix
+    R = -(-n // 128)
+    G = -(-R // TILE_ROWS)
+
+    mats = data.mats
+    dif = jnp.concatenate([_pad_rows(mats.diffuse_color),
+                           _pad_rows(mats.diffuse_ambient_weight[:, None])], axis=1)
+    glo = jnp.concatenate([
+        _pad_rows(mats.glossy_color), _pad_rows(mats.glossy_n_re),
+        _pad_rows(mats.glossy_n_im), _pad_rows(mats.glossy_roughness[:, None]),
+        _pad_rows(mats.glossy_spec[:, None]), _pad_rows(mats.glossy_diff[:, None])],
+        axis=1)
+    refr = jnp.concatenate([_pad_rows(mats.refr_n_re),
+                            _pad_rows(mats.refr_n_im)], axis=1)
+    emi = _pad_rows(mats.emissive_color)
+    lights = jnp.concatenate([
+        jnp.concatenate([_pad_rows(data.lights.dir_l, 0),
+                         _pad_rows(data.lights.dir_color, 0)], axis=1),
+        jnp.concatenate([_pad_rows(data.lights.point_pos, 0),
+                         _pad_rows(data.lights.point_color, 0)], axis=1),
+    ], axis=0) if (data.lights.dir_l.shape[0] + data.lights.point_pos.shape[0]) \
+        else jnp.zeros((1, 6), jnp.float32)
+    is_tab = (jnp.concatenate([data.is_center, data.is_radius[:, None]], axis=1)
+              if data.is_center.shape[0] else jnp.zeros((1, 4), jnp.float32))
+    consts = jnp.concatenate([data.ambient_color, data.scene_n_re,
+                              data.scene_n_im,
+                              jnp.zeros(7, jnp.float32)])[None, :]
+
+    kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix)
+    rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed (1,)
+            rep(1, 16),                                      # cam
+            rep(*data.pallas_geom.shape),                    # geom
+            rep(*dif.shape), rep(*glo.shape), rep(*refr.shape), rep(*emi.shape),
+            rep(*lights.shape), rep(*is_tab.shape), rep(1, 16),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            # per-program ray counter, replicated across one (8, 128) tile
+            # (SMEM scalar outputs don't lower on hardware)
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, G * TILE_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        # TPU-semantics interpreter (supports prng_seed etc.) runs the CPU
+        # test suite; plain interpret=True lacks the TPU primitives
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )
+    L, cnt = call(seed.reshape(1), cam_vec[None, :], data.pallas_geom, dif,
+                  glo, refr, emi, lights, is_tab, consts)
+    L = L.reshape(3, G * TILE_ROWS * 128)[:, :n].T
+    return L, cnt[:, 0, 0].sum()
