@@ -164,7 +164,8 @@ class TriangleMesh(Primitive):
     def __init__(self, filename, center, material, scale=1.0,
                  max_ray_depth=5, shadow=True, mc=False):
         super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
-        verts, faces = _parse_obj(filename)
+        from ..native import parse_obj  # C++ fast path, Python fallback
+        verts, faces = parse_obj(filename)
         self.vertices = self.center + np.asarray(verts, dtype=np.float64) * scale
         self.faces = np.asarray(faces, dtype=np.int64)
         d = np.linalg.norm(self.vertices - self.center, axis=1)
@@ -189,7 +190,9 @@ def _parse_obj(filename):
             if parts[0] == "v":
                 verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
             elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                raw = [int(p.split("/")[0]) for p in parts[1:]]
+                # negative OBJ indices are relative to the current vertex count
+                idx = [r - 1 if r > 0 else len(verts) + r for r in raw]
                 for k in range(1, len(idx) - 1):   # fan-triangulate
                     faces.append([idx[0], idx[k], idx[k + 1]])
     return verts, faces

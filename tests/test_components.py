@@ -1,0 +1,153 @@
+"""Coverage for the remaining reference components: animation, normal maps,
+panorama/skybox, blur preprocessing, thin-film e2e, TriangleMesh."""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu import (Diffuse, Emissive, Glossy, Plane, Scene, Sphere,
+                           ThinFilmInterference, TriangleMesh, create_animation,
+                           rgb, vec3)
+from raytracer_tpu.backgrounds.environment import procedural_sky
+
+
+def tiny_scene():
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8)
+    sc.add(Sphere(material=Emissive(color=rgb(0.9, 0.3, 0.1)),
+                  center=vec3(0, 0, -1), radius=0.8))
+    return sc
+
+
+def test_create_animation(tmp_path):
+    sc = tiny_scene()
+    moved = []
+
+    def update(scene, t):
+        moved.append(t)
+        scene.camera.look_from = np.array([0.0, 0.0, 2.0 + t])
+
+    create_animation(sc, samples_per_pixel=1, fps=2, start_time=0.0,
+                     final_time=1.0, update_scene=update, name="anim",
+                     frames_dir=str(tmp_path))
+    frames = sorted(tmp_path.glob("anim_*.png"))
+    assert len(frames) == 2
+    assert len(moved) == 2
+
+
+def test_normal_map_changes_shading():
+    def render(with_map):
+        sc = Scene(ambient_color=rgb(0, 0, 0))
+        sc.add_Camera(look_from=vec3(0, 2, 2), look_at=vec3(0, 0, 0),
+                      screen_width=8, screen_height=8, field_of_view=30)
+        sc.add_DirectionalLight(Ldir=vec3(0.3, 1, 0.2), color=rgb(1, 1, 1))
+        mat = Glossy(diff_color=rgb(0.5, 0.5, 0.5), roughness=0.0,
+                     spec_coeff=0.0, diff_coeff=1.0, n=vec3(1.0, 1.0, 1.0))
+        if with_map:
+            # strong tangent-space perturbation: x-tilted normals
+            nm = np.zeros((8, 8, 3), np.float32)
+            nm[..., 0] = 0.9   # decoded: (0.8, -1, 0.6)-ish, non-vertical
+            nm[..., 1] = 0.0
+            nm[..., 2] = 0.8
+            mat.set_normalmap(nm, repeat=1.0)
+        sc.add(Plane(material=mat, center=vec3(0, 0, 0), width=10.0, height=10.0,
+                     u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1), max_ray_depth=1))
+        return np.asarray(sc.render(samples_per_pixel=2, seed=0), np.float32)
+
+    flat = render(False)
+    bumped = render(True)
+    assert not np.allclose(flat, bumped)
+
+
+def test_normal_map_on_sphere_rejected():
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, -1),
+                  screen_width=4, screen_height=4)
+    mat = Diffuse(diff_color=rgb(0.5, 0.5, 0.5))
+    mat.set_normalmap(np.zeros((4, 4, 3), np.float32))
+    sc.add(Sphere(material=mat, center=vec3(0, 0, -1), radius=0.5))
+    with pytest.raises(ValueError, match="normal maps"):
+        sc.render(samples_per_pixel=1)
+
+
+def test_skybox_and_panorama_backgrounds():
+    sky = procedural_sky(128, 96)
+    for spherical in (False, True):
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 0, 0), look_at=vec3(0, 0.2, -1),
+                      screen_width=8, screen_height=8)
+        sc.add_Background(sky, spherical=spherical)
+        img = np.asarray(sc.render(samples_per_pixel=2), np.float32) / 255.0
+        assert img.mean() > 0.05, f"spherical={spherical} rendered black"
+
+
+def test_skybox_lightmap_ibl():
+    # light_intensity adds the lightmap only for secondary rays: a diffuse
+    # floor under the sky gets brighter when light_intensity rises
+    def render(li):
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 1, 3), look_at=vec3(0, 0, 0),
+                      screen_width=8, screen_height=8, field_of_view=30)
+        sc.add(Plane(material=Diffuse(diff_color=rgb(0.7, 0.7, 0.7)),
+                     center=vec3(0, 0, 0), width=50.0, height=50.0,
+                     u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
+        sc.add_Background(procedural_sky(64, 48), light_intensity=li)
+        return np.asarray(sc.render(samples_per_pixel=16, seed=1), np.float32).mean()
+
+    assert render(4.0) > render(0.0) + 1.0
+
+
+def test_blur_skybox_array():
+    from raytracer_tpu.backgrounds.blur import blur_skybox_array
+
+    img = procedural_sky(64, 48)
+    out = blur_skybox_array(img, 3.0)
+    assert out.shape == img.shape
+    assert out.dtype == np.float32
+    # linearized output: darker than the sRGB input on average
+    assert out.mean() < img.mean()
+
+
+def test_thin_film_e2e():
+    sc = Scene(ambient_color=rgb(0.01, 0.01, 0.01))
+    sc.add_Camera(look_from=vec3(0, 0, 4), look_at=vec3(0, 0, 0),
+                  screen_width=8, screen_height=8, field_of_view=40)
+    sc.add(Sphere(material=ThinFilmInterference(thickness=330, noise=0.0),
+                  center=vec3(0, 0, 0), radius=1.5, shadow=False, max_ray_depth=4))
+    sc.add(Sphere(material=Emissive(color=rgb(0.7, 0.7, 0.7)),
+                  center=vec3(0, 0, 0), radius=30.0, shadow=False))
+    img = np.asarray(sc.render(samples_per_pixel=32, seed=0), np.float32) / 255.0
+    # the bubble transmits most light: center pixels close to background,
+    # but thin-film reflection tints them away from exact grey
+    assert img.mean() > 0.3
+    center = img[3:5, 3:5].reshape(-1, 3).mean(0)
+    assert center.max() > 0.2
+
+
+def test_triangle_mesh_obj(tmp_path):
+    # two triangles forming a quad facing +z
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\nf 1 2 3\nf 1 3 4\n")
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),
+                  screen_width=8, screen_height=8, field_of_view=45)
+    mesh = TriangleMesh(str(obj), center=vec3(0, 0, 0),
+                        material=Emissive(color=rgb(0.2, 0.9, 0.4)))
+    sc.add(mesh)
+    assert mesh.faces.shape == (2, 3)
+    img = np.asarray(sc.render(samples_per_pixel=2), np.float32) / 255.0
+    # center shows the quad
+    assert img[3:5, 3:5, 1].mean() > 0.5
+    # corners miss
+    assert img[0, 0].max() == 0.0
+
+
+def test_triangle_mesh_rotation(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 1 0 0\nv 0 1 0\nv 0 0 1\nf 1 2 3\n")
+    mesh = TriangleMesh(str(obj), center=vec3(0, 0, 0),
+                        material=Emissive(color=rgb(1, 1, 1)))
+    v0 = mesh.vertices.copy()
+    mesh.rotate(θ=360, u=vec3(0, 1, 0))
+    assert np.allclose(mesh.vertices, v0, atol=1e-6)
