@@ -126,6 +126,14 @@ class GeometryTables:
     tri_n31: Any
     tri_n12: Any
     tri_n23: Any
+    # BVH over the triangle tables (empty when n_tris < BVH_THRESHOLD);
+    # triangle tables are permuted into leaf order at compile time
+    bvh_lo: Any = None
+    bvh_hi: Any = None
+    bvh_left: Any = None
+    bvh_right: Any = None
+    bvh_first: Any = None
+    bvh_count: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -248,6 +256,7 @@ class SceneStatic:
     has_shadow_objects: bool
     max_object_depth: int
     needs_uv: bool = True
+    use_tri_bvh: bool = False
     obj_records: Tuple[ObjRecord, ...] = ()
     # the Pallas mega-kernel handles solid-color scenes with modest object
     # counts; textured / env / LUT scenes use the jnp wavefront path
@@ -370,10 +379,25 @@ class _Builder:
                 self.env_slots[i] = dataclasses.replace(e, kind=kind)
 
 
+# triangle count at which the scene compiler builds a BVH (reference has
+# none at all; its mesh header begs for one, triangle_mesh.py:7-9)
+BVH_THRESHOLD = 32
+
+
 def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     b = _Builder()
     for prim in scene.scene_primitives:
         b.add_primitive(prim)
+
+    # ---- triangle BVH (built natively; tables permuted to leaf order) -----
+    tri_bvh = None
+    if len(b.tris) >= BVH_THRESHOLD:
+        from ..native import build_bvh
+        tv = np.stack([np.stack(t) for t in b.tris]).astype(F32)
+        tri_bvh = build_bvh(tv)
+        perm = tri_bvh["order"]
+        b.tris = [b.tris[i] for i in perm]
+        b.props["tri"] = [b.props["tri"][i] for i in perm]
 
     # ---- geometry tables -------------------------------------------------
     geom = GeometryTables(
@@ -411,6 +435,12 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_n23=_stack3([
             np.cross(p2 - p3, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
             for p1, p2, p3 in b.tris]),
+        bvh_lo=(tri_bvh["bbox_lo"] if tri_bvh else np.zeros((0, 3), F32)),
+        bvh_hi=(tri_bvh["bbox_hi"] if tri_bvh else np.zeros((0, 3), F32)),
+        bvh_left=(tri_bvh["left"] if tri_bvh else np.zeros((0,), I32)),
+        bvh_right=(tri_bvh["right"] if tri_bvh else np.zeros((0,), I32)),
+        bvh_first=(tri_bvh["first"] if tri_bvh else np.zeros((0,), I32)),
+        bvh_count=(tri_bvh["count"] if tri_bvh else np.zeros((0,), I32)),
     )
 
     # ---- object tables in global id order --------------------------------
@@ -524,7 +554,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
     pallas_ok = (not needs_uv and 0 < len(rows) <= 48
                  and set(present) <= _PALLAS_TYPES
-                 and len(scene.importance_sampled_list) <= 8)
+                 and len(scene.importance_sampled_list) <= 8
+                 and tri_bvh is None)
 
     static = SceneStatic(
         n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=len(b.tris),
@@ -545,6 +576,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         needs_uv=needs_uv,
         obj_records=tuple(obj_records),
         pallas_ok=pallas_ok,
+        use_tri_bvh=tri_bvh is not None,
     )
 
     data = SceneData(

@@ -46,6 +46,12 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp):
     n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
     L, stats = trace(k_trace, O, D, n_re, n_im, data, static, settings)
+    # scrub rare non-finite samples (grazing-angle degeneracies in f32) so a
+    # one-in-10^7 ray cannot blacken a pixel; surfaced via stats
+    finite = jnp.isfinite(L)
+    if settings.collect_stats:
+        stats["nonfinite_samples"] = jnp.sum(~finite) // 3
+    L = jnp.where(finite, L, 0.0)
     L = L.reshape(spp, height * width, 3).sum(axis=0)
     return L, stats
 
@@ -64,8 +70,12 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
     L, rays = pallas_trace_chunk(seed, data, cam_vec, static, width, height,
                                  spp, settings.max_bounces, interpret)
+    finite = jnp.isfinite(L)
+    stats = {}
+    if settings.collect_stats:
+        stats = {"rays_traced": rays, "nonfinite_samples": jnp.sum(~finite) // 3}
+    L = jnp.where(finite, L, 0.0)
     L = L.reshape(spp, height * width, 3).sum(axis=0)
-    stats = {"rays_traced": rays} if settings.collect_stats else {}
     return L, stats
 
 

@@ -106,7 +106,7 @@ def intersect_triangles(O, D, p1, normal, centroid, n31, n12, n23, p2, p3):
     return t, orient
 
 
-def _type_blocks(geom):
+def _type_blocks(geom, skip_tris=False):
     """Yield (intersect_fn, count) per primitive type, in object-id order."""
     blocks = []
     if geom.sphere_center.shape[0]:
@@ -122,7 +122,7 @@ def _type_blocks(geom):
         blocks.append((lambda O, D: intersect_boxes(
             O, D, geom.box_basis, geom.box_lb_local, geom.box_rt_local),
             geom.box_basis.shape[0]))
-    if geom.tri_p1.shape[0]:
+    if geom.tri_p1.shape[0] and not skip_tris:
         blocks.append((lambda O, D: intersect_triangles(
             O, D, geom.tri_p1, geom.tri_normal, geom.tri_centroid,
             geom.tri_n31, geom.tri_n12, geom.tri_n23, geom.tri_p2,
@@ -130,19 +130,20 @@ def _type_blocks(geom):
     return blocks
 
 
-def nearest_hit(O, D, geom):
+def nearest_hit(O, D, geom, use_tri_bvh=False):
     """Fused nearest-hit: (t, orient, obj_id) each (N,).
 
     Running min across primitive types — never materializes the full
     (num_objects, N) distance matrix (the naive concatenate+argmin costs two
-    (O, N) round-trips to HBM per bounce).
+    (O, N) round-trips to HBM per bounce).  Large triangle sets traverse the
+    compile-time BVH instead of the flat table (geometry/bvh.py).
     """
     n = O.shape[0]
     best_t = jnp.full((n,), FARAWAY, O.dtype)
     best_o = jnp.ones((n,), O.dtype)
     best_id = jnp.zeros((n,), jnp.int32)
     off = 0
-    for fn, count in _type_blocks(geom):
+    for fn, count in _type_blocks(geom, skip_tris=use_tri_bvh):
         t, o = fn(O, D)                           # (M, N)
         am = jnp.argmin(t, axis=0)                # (N,)
         tm = jnp.min(t, axis=0)
@@ -152,10 +153,17 @@ def nearest_hit(O, D, geom):
         best_o = jnp.where(better, om, best_o)
         best_id = jnp.where(better, am.astype(jnp.int32) + off, best_id)
         off += count
+    if use_tri_bvh and geom.tri_p1.shape[0]:
+        from .bvh import bvh_traverse
+        t, o, tid = bvh_traverse(O, D, geom)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_o = jnp.where(better, o, best_o)
+        best_id = jnp.where(better, tid + off, best_id)
     return best_t, best_o, best_id
 
 
-def occluded(O, D, geom, shadow_obj_mask, max_dist):
+def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
     """Any-hit test for shadow rays: True where some shadow-casting object
     lies closer than max_dist along D (reference glossy.py:53-59).
 
@@ -164,11 +172,15 @@ def occluded(O, D, geom, shadow_obj_mask, max_dist):
     n = O.shape[0]
     hit = jnp.zeros((n,), bool)
     off = 0
-    for fn, count in _type_blocks(geom):
+    for fn, count in _type_blocks(geom, skip_tris=use_tri_bvh):
         t, _ = fn(O, D)                           # (M, N)
         mask = shadow_obj_mask[off:off + count]
         hit = hit | jnp.any((t < max_dist[None, :]) & mask[:, None], axis=0)
         off += count
+    if use_tri_bvh and geom.tri_p1.shape[0]:
+        from .bvh import bvh_traverse
+        t, _, _ = bvh_traverse(O, D, geom, tri_mask=shadow_obj_mask[off:])
+        hit = hit | (t < max_dist)
     return hit
 
 
