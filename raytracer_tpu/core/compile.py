@@ -258,6 +258,7 @@ class SceneStatic:
     needs_uv: bool = True
     use_tri_bvh: bool = False
     obj_records: Tuple[ObjRecord, ...] = ()
+    pallas_tex_ok: bool = False
     # the Pallas mega-kernel handles solid-color scenes with modest object
     # counts; textured / env / LUT scenes use the jnp wavefront path
     pallas_ok: bool = False
@@ -534,7 +535,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         obj_records.append(ObjRecord("plane", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
         _row(list(np.asarray(c)) + list(np.asarray(u)) + list(np.asarray(v))
-             + list(nrm) + [w2, h2])
+             + list(nrm) + [w2, h2, _s[0], _s[1]])
     for (basis, c, whl, lbl, rtl), props in zip(b.boxes, b.props["box"]):
         obj_records.append(ObjRecord("box", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
@@ -552,10 +553,16 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                    else np.zeros((0, 24), F32))
 
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
-    pallas_ok = (not needs_uv and 0 < len(rows) <= 48
-                 and set(present) <= _PALLAS_TYPES
-                 and len(scene.importance_sampled_list) <= 8
-                 and tri_bvh is None)
+    _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}
+    _common_ok = (0 < len(rows) <= 48
+                  and len(scene.importance_sampled_list) <= 8
+                  and tri_bvh is None)
+    pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)
+    # path-recording variant: image textures / env maps / thin-film LUTs are
+    # applied in a jnp pass over the recorded path vertices; normal maps
+    # perturb sampling directions and cannot be deferred
+    pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
+                     and set(present) <= _PALLAS_TEX_TYPES)
 
     static = SceneStatic(
         n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=len(b.tris),
@@ -576,6 +583,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         needs_uv=needs_uv,
         obj_records=tuple(obj_records),
         pallas_ok=pallas_ok,
+        pallas_tex_ok=pallas_tex_ok,
         use_tri_bvh=tri_bvh is not None,
     )
 

@@ -79,13 +79,41 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
     return L, stats
 
 
+@partial(jax.jit, static_argnames=("static", "settings", "width", "height",
+                                   "spp", "interpret"))
+def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
+                         interpret=False):
+    """Chunk via the path-recording kernel + texture replay
+    (ops/pallas_record.py) — textured scenes."""
+    from ..ops.pallas_record import pallas_record_chunk
+
+    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.fwd, cam.right, cam.up,
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+    L, rays = pallas_record_chunk(seed, data, cam_vec, static, width, height,
+                                  spp, settings.max_bounces, interpret)
+    finite = jnp.isfinite(L)
+    stats = {}
+    if settings.collect_stats:
+        stats = {"rays_traced": rays, "nonfinite_samples": jnp.sum(~finite) // 3}
+    L = jnp.where(finite, L, 0.0)
+    L = L.reshape(spp, height * width, 3).sum(axis=0)
+    return L, stats
+
+
 def _use_pallas(static, settings):
-    if settings.use_pallas == "never" or not static.pallas_ok:
-        return False, False
+    """Returns (mode, interpret): mode in {None, 'solid', 'record'}."""
+    if settings.use_pallas == "never":
+        return None, False
+    mode = ("solid" if static.pallas_ok
+            else "record" if static.pallas_tex_ok else None)
+    if mode is None:
+        return None, False
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if settings.use_pallas == "always":
-        return True, not on_tpu     # interpret mode off-TPU (tests)
-    return on_tpu, False
+        return mode, not on_tpu     # interpret mode off-TPU (tests)
+    return (mode if on_tpu else None), False
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -178,17 +206,22 @@ class Scene:
             if loaded is not None:
                 acc, start_chunk = loaded
 
-        pallas_on, pallas_interp = _use_pallas(static, settings)
+        pallas_mode, pallas_interp = _use_pallas(static, settings)
         if progress_bar:
             print("Rendering...")
         for i in range(start_chunk, n_chunks):
-            if pallas_on:
-                L, stats = _render_chunk_pallas(
-                    jax.random.fold_in(base_key, i), data, cam, static,
-                    settings, W, H, chunk, pallas_interp)
+            k_i = jax.random.fold_in(base_key, i)
+            if pallas_mode == "solid":
+                L, stats = _render_chunk_pallas(k_i, data, cam, static,
+                                                settings, W, H, chunk,
+                                                pallas_interp)
+            elif pallas_mode == "record":
+                L, stats = _render_chunk_record(k_i, data, cam, static,
+                                                settings, W, H, chunk,
+                                                pallas_interp)
             else:
-                L, stats = _render_chunk(jax.random.fold_in(base_key, i), data,
-                                         cam, static, settings, W, H, chunk)
+                L, stats = _render_chunk(k_i, data, cam, static, settings,
+                                         W, H, chunk)
             acc = acc + L
             if return_stats:
                 rays_acc = rays_acc + stats["rays_traced"]

@@ -1,0 +1,675 @@
+"""Path-recording Pallas kernel for textured scenes + jnp shading replay.
+
+The solid-color mega-kernel (ops/pallas_trace.py) cannot fetch image
+textures: per-lane gathers from HBM are not addressable inside a TPU kernel.
+But in this renderer, *sampling directions and path geometry never depend on
+texture values* — textures only scale radiance multiplicatively.  So textured
+scenes split into:
+
+1. **record** (Pallas): trace every path exactly as the mega-kernel does
+   (camera rays, nearest hit, BRDF sampling, Fresnel, branch selection), but
+   instead of accumulating radiance, write one compact record per
+   (ray, bounce): shading-group id + uv + cos_theta + a shading decomposition
+     add  = add_base + add_texcoef * tex
+     beta *= beta_base * f(tex)
+   where `tex` is the deferred texture/LUT value for that group.
+2. **replay** (jnp/XLA): gather the textures at the recorded uvs (wrap-around
+   fetch, env cubemap, thin-film LUT), then integrate
+     L = sum_k beta_k * add_k,  beta_{k+1} = beta_k * m_k
+   with one cheap (N, 3) pass per bounce.
+
+Thin-film branch selection needs its LUT value *during* traversal; the
+recorder instead picks reflect/transmit with a fair coin and defers the F/T
+weight (unbiased, slightly higher variance; flagged in the group word).
+
+Record layout per bounce: int32 word `gid | (branch_flag << 16)` and 12
+floats `[u, v, cos_i, add_base(3), add_texcoef(3), beta_base(3)]`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
+                              MAT_REFRACTIVE, MAT_THINFILM)
+from ..utils.constants import MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM
+from .pallas_trace import (FARAWAY, TILE_ROWS, _ISECT, _TileRng, _cabs2,
+                           _cdiv, _cmul, _csqrt, _normal_for, _normalize3,
+                           _orthobasis, _pad_rows)
+
+
+def _shading_groups(static):
+    """Static enumeration of shading groups; gid 0 is reserved for 'miss'."""
+    groups = {}
+    order = []
+    for i, rec in enumerate(static.obj_records):
+        key = (rec.mat_type, rec.mat_slot, rec.max_depth, rec.mc)
+        if key not in groups:
+            groups[key] = {"gid": len(order) + 1, "ids": []}
+            order.append(key)
+        groups[key]["ids"].append(i)
+    return groups, order
+
+
+def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
+    """Texture uv per object kind (reference formulas; see geometry/attrs.py).
+
+    nx_r/ny_r/nz_r: RAW geometric normal (pre-orientation flip).
+    """
+    if rec.kind == "sphere":
+        # spherical uv from the unit normal (sphere.py:58-64)
+        phi = jnp.arctan2(nz_r, nx_r)
+        th = jnp.arcsin(jnp.clip(ny_r, -1.0, 1.0))
+        return ((phi + math.pi) / (2.0 * math.pi),
+                (th + math.pi / 2.0) / math.pi)
+    if rec.kind == "plane":
+        cx, cy, cz = g[0], g[1], g[2]
+        mx, my, mz = px - cx, py - cy, pz - cz
+        uu = (g[3] * mx + g[4] * my + g[5] * mz) / g[12]
+        vv = (g[6] * mx + g[7] * my + g[8] * mz) / g[13]
+        return (uu + 1.0) / 2.0 + g[14], (vv + 1.0) / 2.0 + g[15]
+    if rec.kind == "box":
+        b = g[:9]
+        cx, cy, cz = g[15], g[16], g[17]
+        whl = g[18:21]
+        mx, my, mz = px - cx, py - cy, pz - cz
+        pl_ = [b[3 * i] * mx + b[3 * i + 1] * my + b[3 * i + 2] * mz
+               for i in range(3)]
+        ap = [jnp.abs(pl_[i]) / whl[i] for i in range(3)]
+        pmax = jnp.maximum(jnp.maximum(ap[0], ap[1]), ap[2])
+        nl = [jnp.where(pmax == ap[i], jnp.sign(pl_[i]), 0.0) for i in range(3)]
+        s = 2.0 * 0.985 / whl[0]
+        bottom, top = nl[1] == -1.0, nl[1] == 1.0
+        right, left = nl[0] == 1.0, nl[0] == -1.0
+        front = nl[2] == 1.0
+        # cube-cross layout (cuboid.py:153-187), then /4, /3
+        u = jnp.where(right, (pl_[2] * s + 1.0) / 2.0 + 2.0,
+            jnp.where(left, (-pl_[2] * s + 1.0) / 2.0 + 0.0,
+            jnp.where(front, (-pl_[0] * s + 1.0) / 2.0 + 3.0,
+                      (pl_[0] * s + 1.0) / 2.0 + 1.0)))
+        v = jnp.where(bottom, (-pl_[2] * s + 1.0) / 2.0 + 0.0,
+            jnp.where(top, (pl_[2] * s + 1.0) / 2.0 + 2.0,
+                      (pl_[1] * s + 1.0) / 2.0 + 1.0))
+        return u / 4.0, v / 3.0
+    # triangle: barycentric (the reference's get_uv is broken; attrs.py note)
+    p1 = g[0:3]
+    p2 = g[3:6]
+    p3 = g[6:9]
+    e1 = [p2[i] - p1[i] for i in range(3)]
+    e2 = [p3[i] - p1[i] for i in range(3)]
+    dx_, dy_, dz_ = px - p1[0], py - p1[1], pz - p1[2]
+    d11 = e1[0] * e1[0] + e1[1] * e1[1] + e1[2] * e1[2]
+    d12 = e1[0] * e2[0] + e1[1] * e2[1] + e1[2] * e2[2]
+    d22 = e2[0] * e2[0] + e2[1] * e2[1] + e2[2] * e2[2]
+    dp1 = dx_ * e1[0] + dy_ * e1[1] + dz_ * e1[2]
+    dp2 = dx_ * e2[0] + dy_ * e2[1] + dz_ * e2[2]
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    return (d22 * dp1 - d12 * dp2) / det, (d11 * dp2 - d12 * dp1) / det
+
+
+def _make_record_kernel(static, width, height, max_bounces, n_pix,
+                        lam=WAVELENGTHS_NM):
+    records = static.obj_records
+    groups, order = _shading_groups(static)
+    shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
+    image_slots = {(MAT_DIFFUSE, r.slot) for r in static.diffuse_tex}
+    image_slots |= {(MAT_GLOSSY, r.slot) for r in static.glossy_tex}
+    image_slots |= {(MAT_EMISSIVE, r.slot) for r in static.emissive_tex}
+
+    def kernel(seed_ref, cam_ref, geom_ref, dif_ref, glo_ref, refr_ref,
+               emi_ref, light_ref, is_ref, const_ref, rec_g_ref, rec_f_ref,
+               cnt_ref):
+        pid = pl.program_id(0)
+        shape = (TILE_ROWS, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = (pid * TILE_ROWS + rows) * 128 + lanes
+        rng = _TileRng(idx, seed_ref[0])
+        pix = jnp.remainder(idx, n_pix)
+        py_i = pix // width
+        px_i = pix - py_i * width
+
+        cam = lambda j: cam_ref[0, j]
+        o0x, o0y, o0z = cam(0), cam(1), cam(2)
+        fwx, fwy, fwz = cam(3), cam(4), cam(5)
+        rix, riy, riz = cam(6), cam(7), cam(8)
+        upx, upy, upz = cam(9), cam(10), cam(11)
+        cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
+
+        u1, u2, u3, u4 = (rng.uniform() for _ in range(4))
+        x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
+        y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
+        r_d = jnp.sqrt(u3)
+        phi_d = u4 * (2.0 * math.pi)
+        rx = r_d * jnp.cos(phi_d) * lens_r
+        ry = r_d * jnp.sin(phi_d) * lens_r
+        ox = o0x + rix * rx + upx * ry
+        oy = o0y + riy * rx + upy * ry
+        oz = o0z + riz * rx + upz * ry
+        dx, dy, dz = _normalize3(
+            o0x + upx * (y * focal) + rix * (x * focal) + fwx * focal - ox,
+            o0y + upy * (y * focal) + riy * (x * focal) + fwy * focal - oy,
+            o0z + upz * (y * focal) + riz * (x * focal) + fwz * focal - oz)
+
+        c = lambda j: const_ref[0, j]
+        ambient = (c(0), c(1), c(2))
+        scene_nre = (c(3), c(4), c(5))
+        scene_nim = (c(6), c(7), c(8))
+
+        nre = [jnp.full(shape, scene_nre[k]) for k in range(3)]
+        nim = [jnp.full(shape, scene_nim[k]) for k in range(3)]
+        alive = jnp.ones(shape, bool)
+        depth = jnp.zeros(shape, jnp.int32)
+        dcnt = jnp.zeros(shape, jnp.int32)
+        count = jnp.zeros((), jnp.int32)
+
+        grow = [[geom_ref[i, j] for j in range(24)] for i in range(len(records))]
+
+        def nearest(ox, oy, oz, dx, dy, dz):
+            best_t = jnp.full(shape, FARAWAY)
+            best_o = jnp.ones(shape, jnp.float32)
+            best_id = jnp.full(shape, -1, jnp.int32)
+            for i, rec in enumerate(records):
+                t_i, o_i = _ISECT[rec.kind](grow[i], ox, oy, oz, dx, dy, dz)
+                better = t_i < best_t
+                best_t = jnp.where(better, t_i, best_t)
+                best_o = jnp.where(better, o_i, best_o)
+                best_id = jnp.where(better, i, best_id)
+            return best_t, best_o, best_id
+
+        zf = jnp.zeros(shape, jnp.float32)
+        for bounce in range(max_bounces):
+            t, orient, obj = nearest(ox, oy, oz, dx, dy, dz)
+            miss = t >= MISS_THRESHOLD
+            hit = alive & ~miss
+            count = count + jnp.sum(alive.astype(jnp.int32))
+
+            px = ox + dx * t
+            py = oy + dy * t
+            pz = oz + dz * t
+
+            nx = zf
+            ny = zf
+            nz = zf
+            uu = zf
+            vv = zf
+            for i, rec in enumerate(records):
+                nxi, nyi, nzi = _normal_for(rec, grow[i], px, py, pz)
+                m = obj == i
+                nx = jnp.where(m, nxi, nx)
+                ny = jnp.where(m, nyi, ny)
+                nz = jnp.where(m, nzi, nz)
+                key = (rec.mat_type, rec.mat_slot, rec.max_depth, rec.mc)
+                gi = groups[key]
+                needs_uv = (rec.mat_type == MAT_ENV
+                            or rec.mat_type == MAT_THINFILM
+                            or (rec.mat_type, rec.mat_slot) in image_slots)
+                if needs_uv:
+                    ui, vi = _uv_for(rec, grow[i], px, py, pz, nxi, nyi, nzi)
+                    uu = jnp.where(m, ui, uu)
+                    vv = jnp.where(m, vi, vv)
+            nx, ny, nz = nx * orient, ny * orient, nz * orient
+
+            eps = 1e-6 * jnp.maximum(
+                1.0, jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz))))
+
+            gid_out = jnp.zeros(shape, jnp.int32)
+            cos_out = zf
+            addb = [zf, zf, zf]
+            addt = [zf, zf, zf]
+            betab = [zf, zf, zf]
+            new_alive = jnp.zeros(shape, bool)
+            ndx, ndy, ndz = dx, dy, dz
+            nox, noy, noz = px, py, pz
+            new_nre = list(nre)
+            new_nim = list(nim)
+            inc_d = jnp.zeros(shape, bool)
+            ru = [rng.uniform() for _ in range(6)]
+
+            for key in order:
+                mt, slot, maxd, mc = key
+                gi = groups[key]
+                g = obj == gi["ids"][0]
+                for i in gi["ids"][1:]:
+                    g = g | (obj == i)
+                g = g & hit
+                gid = gi["gid"]
+
+                if mt == MAT_EMISSIVE:
+                    col = [emi_ref[slot, k] for k in range(3)]
+                    has_img = (mt, slot) in image_slots
+                    for k in range(3):
+                        if has_img:
+                            addt[k] = jnp.where(g, 1.0, addt[k])
+                        else:
+                            addb[k] = jnp.where(g, col[k], addb[k])
+                    gid_out = jnp.where(g, gid, gid_out)
+
+                elif mt == MAT_ENV:
+                    for k in range(3):
+                        addt[k] = jnp.where(g, 1.0, addt[k])
+                    gid_out = jnp.where(g, gid, gid_out)
+
+                elif mt == MAT_DIFFUSE:
+                    col = [dif_ref[slot, k] for k in range(3)]
+                    aw = dif_ref[slot, 3]
+                    has_img = (mt, slot) in image_slots
+                    nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
+                    ax_u, ax_v = _orthobasis(nx, ny, nz)
+                    phi = ru[0] * (2.0 * math.pi)
+                    r2 = ru[1]
+                    zc = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+                    xc = jnp.cos(phi) * jnp.sqrt(r2)
+                    yc = jnp.sin(phi) * jnp.sqrt(r2)
+                    cdx = ax_u[0] * xc + ax_v[0] * yc + nx * zc
+                    cdy = ax_u[1] * xc + ax_v[1] * yc + ny * zc
+                    cdz = ax_u[2] * xc + ax_v[2] * yc + nz * zc
+                    K = static.n_is_targets
+                    if K > 0:
+                        pick = jnp.minimum((ru[2] * K).astype(jnp.int32), K - 1)
+                        wxs, cms = [], []
+                        for kk in range(K):
+                            tcx, tcy, tcz, tr = (is_ref[kk, 0], is_ref[kk, 1],
+                                                 is_ref[kk, 2], is_ref[kk, 3])
+                            wx, wy, wz = tcx - nux, tcy - nuy, tcz - nuz
+                            dist = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20))
+                            wx, wy, wz = wx / dist, wy / dist, wz / dist
+                            sin_m = jnp.clip(tr / dist, 0.0, 1.0)
+                            cms.append(jnp.sqrt(jnp.maximum(1.0 - sin_m * sin_m, 0.0)))
+                            wxs.append((wx, wy, wz))
+                        swx, swy, swz, scm = wxs[0][0], wxs[0][1], wxs[0][2], cms[0]
+                        for kk in range(1, K):
+                            m = pick == kk
+                            swx = jnp.where(m, wxs[kk][0], swx)
+                            swy = jnp.where(m, wxs[kk][1], swy)
+                            swz = jnp.where(m, wxs[kk][2], swz)
+                            scm = jnp.where(m, cms[kk], scm)
+                        cu, cv = _orthobasis(swx, swy, swz)
+                        phi2 = ru[3] * (2.0 * math.pi)
+                        zq = 1.0 + ru[4] * (scm - 1.0)
+                        sq = jnp.sqrt(jnp.maximum(1.0 - zq * zq, 0.0))
+                        qdx = cu[0] * (jnp.cos(phi2) * sq) + cv[0] * (jnp.sin(phi2) * sq) + swx * zq
+                        qdy = cu[1] * (jnp.cos(phi2) * sq) + cv[1] * (jnp.sin(phi2) * sq) + swy * zq
+                        qdz = cu[2] * (jnp.cos(phi2) * sq) + cv[2] * (jnp.sin(phi2) * sq) + swz * zq
+                        use_cos = ru[5] < aw
+                        sdx = jnp.where(use_cos, cdx, qdx)
+                        sdy = jnp.where(use_cos, cdy, qdy)
+                        sdz = jnp.where(use_cos, cdz, qdz)
+                        ndl = jnp.clip(sdx * nx + sdy * ny + sdz * nz, 0.0, 1.0)
+                        pdf_cap = zf
+                        for kk in range(K):
+                            cosk = sdx * wxs[kk][0] + sdy * wxs[kk][1] + sdz * wxs[kk][2]
+                            pdf_cap = pdf_cap + jnp.where(
+                                cosk > cms[kk], 1.0 / ((1.0 - cms[kk]) * 2.0 * math.pi), 0.0)
+                        pdf = aw * (ndl / math.pi) + (1.0 - aw) * pdf_cap / K
+                    else:
+                        sdx, sdy, sdz = cdx, cdy, cdz
+                        ndl = jnp.clip(sdx * nx + sdy * ny + sdz * nz, 0.0, 1.0)
+                        pdf = ndl / math.pi
+                    w = ndl / jnp.maximum(pdf, 1e-9) / math.pi
+                    cont = dcnt < 2
+                    gc = g & cont
+                    for k in range(3):
+                        betab[k] = jnp.where(gc, w if has_img else col[k] * w, betab[k])
+                    gid_out = jnp.where(g, gid, gid_out)
+                    ndx = jnp.where(gc, sdx, ndx)
+                    ndy = jnp.where(gc, sdy, ndy)
+                    ndz = jnp.where(gc, sdz, ndz)
+                    nox = jnp.where(gc, nux, nox)
+                    noy = jnp.where(gc, nuy, noy)
+                    noz = jnp.where(gc, nuz, noz)
+                    inc_d = inc_d | gc
+                    new_alive = new_alive | gc
+
+                elif mt == MAT_REFRACTIVE:
+                    m_re = [refr_ref[slot, k] for k in range(3)]
+                    m_im = [refr_ref[slot, k + 3] for k in range(3)]
+                    cos_i = -(dx * nx + dy * ny + dz * nz)
+                    entering = orient > 0
+                    F = []
+                    n2r_l, n2i_l = [], []
+                    for k in range(3):
+                        n1 = (nre[k], nim[k])
+                        n2r = jnp.where(entering, m_re[k], scene_nre[k])
+                        n2i = jnp.where(entering, m_im[k], scene_nim[k])
+                        n2 = (n2r, n2i)
+                        ratio = _cdiv(n1, n2)
+                        r2c = _cmul(ratio, ratio)
+                        s2 = 1.0 - cos_i * cos_i
+                        cos_t = _csqrt((1.0 - r2c[0] * s2, -r2c[1] * s2))
+                        a = (n1[0] * cos_i, n1[1] * cos_i)
+                        bt = _cmul(n2, cos_t)
+                        r_per = _cdiv((a[0] - bt[0], a[1] - bt[1]),
+                                      (a[0] + bt[0], a[1] + bt[1]))
+                        at = _cmul(n1, cos_t)
+                        bb = (n2[0] * cos_i, n2[1] * cos_i)
+                        r_par = _cdiv((bb[0] - at[0], bb[1] - at[1]),
+                                      (at[0] + bb[0], at[1] + bb[1]))
+                        F.append((_cabs2(r_per) + _cabs2(r_par)) * 0.5)
+                        n2r_l.append(n2r)
+                        n2i_l.append(n2i)
+                    T = [1.0 - F[k] for k in range(3)]
+                    ratio_avg = (nre[0] / jnp.maximum(n2r_l[0], 1e-9)
+                                 + nre[1] / jnp.maximum(n2r_l[1], 1e-9)
+                                 + nre[2] / jnp.maximum(n2r_l[2], 1e-9)) / 3.0
+                    sin2t = ratio_avg * ratio_avg * (1.0 - cos_i * cos_i)
+                    non_tir = sin2t <= 1.0
+                    croot = jnp.sqrt(1.0 - jnp.clip(sin2t, 0.0, 1.0))
+                    rfx, rfy, rfz = _normalize3(
+                        dx * ratio_avg + nx * (ratio_avg * cos_i - croot),
+                        dy * ratio_avg + ny * (ratio_avg * cos_i - croot),
+                        dz * ratio_avg + nz * (ratio_avg * cos_i - croot))
+                    ddn = dx * nx + dy * ny + dz * nz
+                    rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
+                                                dy - ny * 2.0 * ddn,
+                                                dz - nz * 2.0 * ddn)
+                    T_avg = (T[0] + T[1] + T[2]) / 3.0
+                    p_refr = jnp.where(non_tir, jnp.clip(T_avg, 0.0, 1.0), 0.0)
+                    take_refr = (ru[0] < p_refr) & non_tir
+                    absorb = [jnp.exp(-2.0 * nim[k] * (2.0 * math.pi / lam[k]) * 1e9 * t)
+                              for k in range(3)]
+                    cont = depth < maxd
+                    gc = g & cont
+                    for k in range(3):
+                        w_r = T[k] / jnp.maximum(p_refr, 1e-9)
+                        w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
+                        betab[k] = jnp.where(
+                            gc, absorb[k] * jnp.where(take_refr, w_r, w_l), betab[k])
+                        new_nre[k] = jnp.where(gc & take_refr, n2r_l[k], new_nre[k])
+                        new_nim[k] = jnp.where(gc & take_refr, n2i_l[k], new_nim[k])
+                    gid_out = jnp.where(g, gid, gid_out)
+                    ndx = jnp.where(gc, jnp.where(take_refr, rfx, rlx), ndx)
+                    ndy = jnp.where(gc, jnp.where(take_refr, rfy, rly), ndy)
+                    ndz = jnp.where(gc, jnp.where(take_refr, rfz, rlz), ndz)
+                    sgn = jnp.where(take_refr, -1.0, 1.0)
+                    nox = jnp.where(gc, px + nx * eps * sgn, nox)
+                    noy = jnp.where(gc, py + ny * eps * sgn, noy)
+                    noz = jnp.where(gc, pz + nz * eps * sgn, noz)
+                    new_alive = new_alive | gc
+
+                elif mt == MAT_THINFILM:
+                    # coin-flip branch; F/T weight deferred to the LUT replay
+                    cos_i = jnp.clip(-(dx * nx + dy * ny + dz * nz), 0.0, 1.0)
+                    cont = depth < maxd
+                    gc = g & cont
+                    take_refl = ru[0] < 0.5
+                    ddn = dx * nx + dy * ny + dz * nz
+                    rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
+                                                dy - ny * 2.0 * ddn,
+                                                dz - nz * 2.0 * ddn)
+                    for k in range(3):
+                        # add = ambient * F (reflect side of the reference sum)
+                        addt[k] = jnp.where(gc, ambient[k], addt[k])
+                        betab[k] = jnp.where(gc, 2.0, betab[k])
+                    cos_out = jnp.where(g, cos_i, cos_out)
+                    gid_out = jnp.where(
+                        g, gid | jnp.where(take_refl, 1 << 16, 0), gid_out)
+                    ndx = jnp.where(gc & take_refl, rlx, ndx)
+                    ndy = jnp.where(gc & take_refl, rly, ndy)
+                    ndz = jnp.where(gc & take_refl, rlz, ndz)
+                    sgn = jnp.where(take_refl, 1.0, -1.0)
+                    nox = jnp.where(gc, px + nx * eps * sgn, nox)
+                    noy = jnp.where(gc, py + ny * eps * sgn, noy)
+                    noz = jnp.where(gc, pz + nz * eps * sgn, noz)
+                    new_alive = new_alive | gc
+
+                elif mt == MAT_GLOSSY:
+                    col = [glo_ref[slot, k] for k in range(3)]
+                    g_re = [glo_ref[slot, 3 + k] for k in range(3)]
+                    g_im = [glo_ref[slot, 6 + k] for k in range(3)]
+                    rough = glo_ref[slot, 9]
+                    spec_c = glo_ref[slot, 10]
+                    diff_c = glo_ref[slot, 11]
+                    has_img = (mt, slot) in image_slots
+                    vx, vy, vz = -dx, -dy, -dz
+                    nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
+                    lam_acc = [ambient[k] * diff_c for k in range(3)]  # x tex
+                    spec_acc = [zf, zf, zf]
+                    n_lights = static.n_dir_lights + static.n_point_lights
+                    for li in range(n_lights):
+                        lx_, ly_, lz_ = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
+                        lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
+                        is_point = li >= static.n_dir_lights
+                        if is_point:
+                            wx, wy, wz = lx_ - px, ly_ - py, lz_ - pz
+                            dist = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20))
+                            lxn, lyn, lzn = wx / dist, wy / dist, wz / dist
+                        else:
+                            lxn = jnp.full(shape, lx_)
+                            lyn = jnp.full(shape, ly_)
+                            lzn = jnp.full(shape, lz_)
+                            dist = jnp.full(shape, SKYBOX_DISTANCE)
+                        ndl = jnp.maximum(nx * lxn + ny * lyn + nz * lzn, 0.0)
+                        if is_point:
+                            lv = [lr * ndl / (dist * dist) * 100.0,
+                                  lg * ndl / (dist * dist) * 100.0,
+                                  lb * ndl / (dist * dist) * 100.0]
+                        else:
+                            lv = [lr * ndl, lg * ndl, lb * ndl]
+                        occ = jnp.zeros(shape, bool)
+                        for si in shadow_ids:
+                            t_s, _ = _ISECT[records[si].kind](
+                                grow[si], nux, nuy, nuz, lxn, lyn, lzn)
+                            occ = occ | (t_s < dist)
+                        see = 1.0 - occ.astype(jnp.float32)
+                        for k in range(3):
+                            lam_acc[k] = lam_acc[k] + diff_c * lv[k] * see
+                        hx, hy, hz = _normalize3(lxn + vx, lyn + vy, lzn + vz)
+                        cos_vh = jnp.clip(vx * hx + vy * hy + vz * hz, 0.0, 1.0)
+                        p5 = (1.0 - cos_vh) ** 5
+                        a_ph = 2.0 / jnp.maximum(rough, 1e-6) ** 2 - 2.0
+                        dph = jnp.clip(nx * hx + ny * hy + nz * hz, 0.0, 1.0) ** a_ph \
+                            * (a_ph + 2.0) / (2.0 * math.pi)
+                        denom = 4.0 * jnp.clip((nx * vx + ny * vy + nz * vz) * ndl,
+                                               0.001, 1.0)
+                        sw = jnp.where(rough != 0.0, dph / denom * see * spec_c, 0.0)
+                        for k in range(3):
+                            F0 = _cabs2((nre[k] - g_re[k], nim[k] - g_im[k])) / jnp.maximum(
+                                _cabs2((nre[k] + g_re[k], nim[k] + g_im[k])), 1e-20)
+                            spec_acc[k] = spec_acc[k] + (F0 + (1.0 - F0) * p5) * sw * lv[k]
+                    for k in range(3):
+                        if has_img:
+                            addt[k] = jnp.where(g, lam_acc[k], addt[k])
+                            addb[k] = jnp.where(g, spec_acc[k], addb[k])
+                        else:
+                            addb[k] = jnp.where(
+                                g, col[k] * lam_acc[k] + spec_acc[k], addb[k])
+                    gid_out = jnp.where(g, gid, gid_out)
+                    cos_vn = jnp.clip(vx * nx + vy * ny + vz * nz, 0.0, 1.0)
+                    p5r = (1.0 - cos_vn) ** 5
+                    ddn = dx * nx + dy * ny + dz * nz
+                    rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
+                                                dy - ny * 2.0 * ddn,
+                                                dz - nz * 2.0 * ddn)
+                    cont = depth < maxd
+                    gc = g & cont
+                    for k in range(3):
+                        F0 = _cabs2((scene_nre[k] - g_re[k], scene_nim[k] - g_im[k])) / jnp.maximum(
+                            _cabs2((scene_nre[k] + g_re[k], scene_nim[k] + g_im[k])), 1e-20)
+                        betab[k] = jnp.where(gc, F0 + (1.0 - F0) * p5r, betab[k])
+                    ndx = jnp.where(gc, rlx, ndx)
+                    ndy = jnp.where(gc, rly, ndy)
+                    ndz = jnp.where(gc, rlz, ndz)
+                    nox = jnp.where(gc, nux, nox)
+                    noy = jnp.where(gc, nuy, noy)
+                    noz = jnp.where(gc, nuz, noz)
+                    new_alive = new_alive | gc
+
+            # write this bounce's record
+            rec_g_ref[bounce, :, :] = gid_out
+            rec_f_ref[bounce, 0, :, :] = uu
+            rec_f_ref[bounce, 1, :, :] = vv
+            rec_f_ref[bounce, 2, :, :] = cos_out
+            for k in range(3):
+                rec_f_ref[bounce, 3 + k, :, :] = addb[k]
+                rec_f_ref[bounce, 6 + k, :, :] = addt[k]
+                rec_f_ref[bounce, 9 + k, :, :] = betab[k]
+
+            ox = jnp.where(new_alive, nox, ox)
+            oy = jnp.where(new_alive, noy, oy)
+            oz = jnp.where(new_alive, noz, oz)
+            dx = jnp.where(new_alive, ndx, dx)
+            dy = jnp.where(new_alive, ndy, dy)
+            dz = jnp.where(new_alive, ndz, dz)
+            for k in range(3):
+                nre[k] = jnp.where(new_alive, new_nre[k], nre[k])
+                nim[k] = jnp.where(new_alive, new_nim[k], nim[k])
+            depth = depth + new_alive.astype(jnp.int32)
+            dcnt = dcnt + (new_alive & inc_d).astype(jnp.int32)
+            alive = new_alive
+
+        cnt_ref[...] = jnp.full((1, 8, 128), count, jnp.int32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# replay: apply textures/LUTs to the recorded path vertices (jnp)
+# ---------------------------------------------------------------------------
+
+
+def _replay(rec_g, rec_f, data, static, max_bounces, n):
+    """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3)."""
+    from ..materials.shade import fetch_texture
+
+    groups, order = _shading_groups(static)
+    dif_tex = {r.slot: r for r in static.diffuse_tex}
+    glo_tex = {r.slot: r for r in static.glossy_tex}
+    emi_tex = {r.slot: r for r in static.emissive_tex}
+    env_by_slot = {e.slot: e for e in static.env_slots}
+    tf_lut = {r.slot: r for r in static.thinfilm_lut}
+    tf_noise = {r.slot: r for r in static.thinfilm_noise}
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    for k in range(max_bounces):
+        word = rec_g[k]
+        gid = word & 0xFFFF
+        flag = (word >> 16) & 1
+        uv = jnp.stack([rec_f[k, 0], rec_f[k, 1]], axis=-1)
+        cos_i = rec_f[k, 2]
+        add_b = rec_f[k, 3:6].T
+        add_t = rec_f[k, 6:9].T
+        beta_b = rec_f[k, 9:12].T
+
+        tex = jnp.ones((n, 3), jnp.float32)
+        beta_tex = jnp.ones((n, 3), jnp.float32)
+        for key in order:
+            mt, slot, _maxd, _mc = key
+            gmask = (gid == groups[key]["gid"])
+            m3 = gmask[:, None]
+            if mt == MAT_ENV:
+                env = env_by_slot[slot]
+                e = fetch_texture(data.textures[env.tex], uv, 1.0)
+                if env.lightmap is not None and k > 0:
+                    li = data.mats.env_light_intensity[slot]
+                    e = e + li * fetch_texture(data.textures[env.lightmap], uv, 1.0)
+                tex = jnp.where(m3, e, tex)
+            elif mt == MAT_THINFILM:
+                thickness = data.mats.tf_thickness[slot]
+                nf = data.mats.tf_noise[slot]
+                noise = fetch_texture(data.textures[tf_noise[slot].tex], uv, 0.5)[..., 0]
+                th = thickness + nf * (noise - 0.5)
+                lut = data.textures[tf_lut[slot].tex]
+                Hh, Ww = lut.shape[0], lut.shape[1]
+                row = jnp.clip((cos_i * Hh).astype(jnp.int32), 0, Hh - 1)
+                colx = jnp.clip(th.astype(jnp.int32), 0, Ww - 1)
+                F = jnp.take(lut.reshape(-1, 3), row * Ww + colx, axis=0)
+                tex = jnp.where(m3, F, tex)            # add = ambient * F
+                branch = jnp.where(flag[:, None] == 1, F, 1.0 - F)
+                beta_tex = jnp.where(m3, branch, beta_tex)
+            elif mt == MAT_DIFFUSE and slot in dif_tex:
+                r = dif_tex[slot]
+                c = fetch_texture(data.textures[r.tex], uv, r.repeat)
+                beta_tex = jnp.where(m3, c, beta_tex)
+            elif mt == MAT_GLOSSY and slot in glo_tex:
+                r = glo_tex[slot]
+                c = fetch_texture(data.textures[r.tex], uv, r.repeat)
+                tex = jnp.where(m3, c, tex)
+            elif mt == MAT_EMISSIVE and slot in emi_tex:
+                r = emi_tex[slot]
+                c = fetch_texture(data.textures[r.tex], uv, r.repeat)
+                tex = jnp.where(m3, c, tex)
+
+        hit = (gid > 0)[:, None]
+        L = L + jnp.where(hit, beta * (add_b + add_t * tex), 0.0)
+        beta = jnp.where(hit, beta * beta_b * beta_tex, beta)
+    return L
+
+
+@functools.partial(jax.jit, static_argnames=("static", "width", "height",
+                                             "spp", "max_bounces", "interpret"))
+def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
+                        max_bounces, interpret=False):
+    """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
+
+    Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
+    """
+    n_pix = width * height
+    n = spp * n_pix
+    R = -(-n // 128)
+    G = -(-R // TILE_ROWS)
+
+    mats = data.mats
+    dif = jnp.concatenate([_pad_rows(mats.diffuse_color),
+                           _pad_rows(mats.diffuse_ambient_weight[:, None])], axis=1)
+    glo = jnp.concatenate([
+        _pad_rows(mats.glossy_color), _pad_rows(mats.glossy_n_re),
+        _pad_rows(mats.glossy_n_im), _pad_rows(mats.glossy_roughness[:, None]),
+        _pad_rows(mats.glossy_spec[:, None]), _pad_rows(mats.glossy_diff[:, None])],
+        axis=1)
+    refr = jnp.concatenate([_pad_rows(mats.refr_n_re),
+                            _pad_rows(mats.refr_n_im)], axis=1)
+    emi = _pad_rows(mats.emissive_color)
+    nl = data.lights.dir_l.shape[0] + data.lights.point_pos.shape[0]
+    lights = (jnp.concatenate([
+        jnp.concatenate([data.lights.dir_l, data.lights.dir_color], axis=1),
+        jnp.concatenate([data.lights.point_pos, data.lights.point_color], axis=1),
+    ], axis=0) if nl else jnp.zeros((1, 6), jnp.float32))
+    is_tab = (jnp.concatenate([data.is_center, data.is_radius[:, None]], axis=1)
+              if data.is_center.shape[0] else jnp.zeros((1, 4), jnp.float32))
+    consts = jnp.concatenate([data.ambient_color, data.scene_n_re,
+                              data.scene_n_im,
+                              jnp.zeros(7, jnp.float32)])[None, :]
+
+    kernel = _make_record_kernel(static, width, height, max_bounces, n_pix)
+    rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            rep(1, 16),
+            rep(*data.pallas_geom.shape),
+            rep(*dif.shape), rep(*glo.shape), rep(*refr.shape), rep(*emi.shape),
+            rep(*lights.shape), rep(*is_tab.shape), rep(1, 16),
+        ],
+        out_specs=[
+            pl.BlockSpec((max_bounces, TILE_ROWS, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_bounces, 12, TILE_ROWS, 128),
+                         lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((max_bounces, G * TILE_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((max_bounces, 12, G * TILE_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )
+    rec_g, rec_f, cnt = call(seed.reshape(1), cam_vec[None, :],
+                             data.pallas_geom, dif, glo, refr, emi, lights,
+                             is_tab, consts)
+    rec_g = rec_g.reshape(max_bounces, G * TILE_ROWS * 128)[:, :n]
+    rec_f = rec_f.reshape(max_bounces, 12, G * TILE_ROWS * 128)[:, :, :n]
+    L = _replay(rec_g, rec_f, data, static, max_bounces, n)
+    return L, cnt[:, 0, 0].sum()

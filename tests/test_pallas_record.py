@@ -1,0 +1,64 @@
+"""Path-recording Pallas kernel + texture replay vs jnp wavefront (CPU interpreter)."""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu import (Glossy, Plane, RenderSettings, Scene, Sphere,
+                           ThinFilmInterference, image, rgb, vec3)
+from raytracer_tpu.backgrounds.environment import procedural_sky
+from raytracer_tpu.core.compile import compile_scene
+from raytracer_tpu.textures.procedural import checkerboard
+
+
+def both(sc, spp, seed=0):
+    a = np.asarray(sc.render(samples_per_pixel=spp, seed=seed), np.float32) / 255.0
+    sc.settings = RenderSettings(use_pallas="always")
+    b = np.asarray(sc.render(samples_per_pixel=spp, seed=seed), np.float32) / 255.0
+    sc.settings = RenderSettings()
+    return a, b
+
+
+def textured_scene():
+    sc = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    sc.add_Camera(look_from=vec3(0, 0.25, 1), look_at=vec3(0, 0.25, -3),
+                  screen_width=20, screen_height=16)
+    sc.add_DirectionalLight(Ldir=vec3(0.52, 0.45, -0.5), color=rgb(0.15, 0.15, 0.15))
+    gold = Glossy(diff_color=rgb(1.0, 0.572, 0.184),
+                  n=vec3(0.15 + 3.58j, 0.4 + 2.37j, 1.54 + 1.91j),
+                  roughness=0.0, spec_coeff=0.2, diff_coeff=0.8)
+    sc.add(Sphere(material=gold, center=vec3(-0.5, 0.1, -3.0), radius=0.6,
+                  max_ray_depth=3))
+    floor = Glossy(diff_color=image(checkerboard(64), repeat=40.0),
+                   n=vec3(1.2 + 0.3j, 1.2 + 0.3j, 1.1 + 0.3j),
+                   roughness=0.2, spec_coeff=0.3, diff_coeff=0.9)
+    sc.add(Plane(material=floor, center=vec3(0, -0.5, -3.0), width=120.0,
+                 height=120.0, u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1),
+                 max_ray_depth=3))
+    sc.add_Background(procedural_sky(128, 96))
+    return sc
+
+
+def test_routes_to_record_path():
+    static, _ = compile_scene(textured_scene())
+    assert not static.pallas_ok
+    assert static.pallas_tex_ok
+
+
+def test_textured_statistical_match():
+    a, b = both(textured_scene(), 16)
+    assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
+                       atol=0.02)
+    assert np.abs(a - b).mean() < 0.03
+
+
+def test_thinfilm_ibl_statistical_match():
+    sc = Scene(ambient_color=rgb(0.01, 0.01, 0.01))
+    sc.add_Camera(screen_height=16, screen_width=20,
+                  look_from=vec3(-4, 0, 0), look_at=vec3(0, 0.05, 0))
+    sc.add(Sphere(material=ThinFilmInterference(thickness=330, noise=60.0),
+                  center=vec3(1.0, 0.0, 1.5), radius=1.7, shadow=False,
+                  max_ray_depth=5))
+    sc.add_Background(procedural_sky(128, 96), light_intensity=3.0, blur=4.0)
+    a, b = both(sc, 32)
+    assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
+                       atol=0.03)
