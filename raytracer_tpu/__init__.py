@@ -35,8 +35,12 @@ from .animation import create_animation, create_animation_using_opencv
 from .backgrounds.environment import Panorama, SkyBox, procedural_sky
 from .core.camera import Camera
 from .core.integrator import RenderSettings
+from .core.ray import Ray, get_raycolor
 from .core.scene import Scene
 from .core.vec import rgb, vec3
+from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
+                           random_in_unit_disk, random_in_unit_sphere,
+                           spherical_caps_pdf)
 from .geometry.primitive import (Cuboid, Plane, Primitive, Sphere, Triangle,
                                  TriangleMesh)
 from .lights import DirectionalLight, PointLight
@@ -49,7 +53,9 @@ from .utils.image_io import add_asset_root, load_image, load_image_as_linear_srg
 __version__ = "0.1.0"
 
 __all__ = [
-    "Scene", "Camera", "vec3", "rgb", "np",
+    "Scene", "Camera", "vec3", "rgb", "np", "Ray", "get_raycolor",
+    "PDF", "hemisphere_pdf", "cosine_pdf", "spherical_caps_pdf", "mixed_pdf",
+    "random_in_unit_disk", "random_in_unit_sphere",
     "Sphere", "Plane", "Cuboid", "Triangle", "TriangleMesh", "Primitive",
     "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
     "Material", "texture", "image", "solid_color",

@@ -1,0 +1,97 @@
+"""Public Ray record + functional integrator entry point.
+
+API-parity layer for the reference's `Ray` / `get_raycolor`
+(sightpy/ray.py:7-148): users who drove the reference integrator directly
+with custom ray bundles can do the same here.  A Ray is a pytree of (N, 3)
+arrays; `get_raycolor(ray, scene)` compiles the scene and traces the bundle
+through the wavefront integrator, returning linear radiance per ray.
+
+The per-bundle counters (depth / reflections / transmissions /
+diffuse_reflections) exist for API compatibility; the wavefront integrator
+tracks depth and diffuse counts per ray internally, starting from the values
+given here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Ray:
+    origin: Any                     # (N, 3)
+    dir: Any                        # (N, 3)
+    n: Any = None                   # (N, 3) complex medium IoR (or None = scene)
+    depth: int = field(default=0, metadata=dict(static=True))
+    reflections: int = field(default=0, metadata=dict(static=True))
+    transmissions: int = field(default=0, metadata=dict(static=True))
+    diffuse_reflections: int = field(default=0, metadata=dict(static=True))
+
+    @staticmethod
+    def where(cond, x, y):
+        c = cond[..., None]
+        n = jnp.where(c, x.n, y.n) if (x.n is not None and y.n is not None) else x.n
+        return Ray(jnp.where(c, x.origin, y.origin),
+                   jnp.where(c, x.dir, y.dir), n,
+                   max(x.depth, y.depth),
+                   max(x.reflections, y.reflections),
+                   max(x.transmissions, y.transmissions),
+                   max(x.diffuse_reflections, y.diffuse_reflections))
+
+    @staticmethod
+    def concatenate(rays):
+        n = (jnp.concatenate([r.n for r in rays])
+             if all(r.n is not None for r in rays) else None)
+        return Ray(jnp.concatenate([r.origin for r in rays]),
+                   jnp.concatenate([r.dir for r in rays]), n,
+                   rays[0].depth,
+                   max(r.reflections for r in rays),
+                   max(r.transmissions for r in rays),
+                   max(r.diffuse_reflections for r in rays))
+
+    def __len__(self):
+        return self.origin.shape[0]
+
+
+def get_raycolor(ray: Ray, scene, seed=0, max_bounces=None):
+    """Trace a ray bundle through `scene`; returns (N, 3) linear radiance.
+
+    Functional analogue of the reference integrator entry point
+    (sightpy/ray.py:122-148).
+    """
+    from .compile import compile_scene
+    from .integrator import RenderSettings, trace
+
+    static, data = compile_scene(scene)
+    if max_bounces is None:
+        max_bounces = min(static.max_object_depth + 2, 12)
+    settings = RenderSettings(max_bounces=max_bounces)
+
+    O = jnp.asarray(ray.origin, jnp.float32)
+    D = jnp.asarray(ray.dir, jnp.float32)
+    if ray.n is not None:
+        n_arr = np.asarray(ray.n)
+        n_re = jnp.broadcast_to(jnp.asarray(np.real(n_arr), jnp.float32), O.shape)
+        n_im = jnp.broadcast_to(jnp.asarray(np.imag(n_arr), jnp.float32), O.shape)
+    else:
+        n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
+        n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
+    L, _ = trace(jax.random.PRNGKey(seed), O, D, n_re, n_im, data, static,
+                 settings)
+    return L
+
+
+def get_distances(ray: Ray, scene):
+    """Depth AOV for a ray bundle (reference ray.py:151-163)."""
+    from .compile import compile_scene
+    from .integrator import trace_distances
+
+    _, data = compile_scene(scene)
+    return trace_distances(jnp.asarray(ray.origin, jnp.float32),
+                           jnp.asarray(ray.dir, jnp.float32), data)

@@ -164,6 +164,76 @@ class vec3:
                     np.clip(self.y, lo, hi),
                     np.clip(self.z, lo, hi))
 
+    # -- component shuffles / bundle ops (reference vector3.py parity) ------
+    def yzx(self):
+        return vec3(self.y, self.z, self.x)
+
+    def xyz(self):
+        return vec3(self.x, self.y, self.z)
+
+    def zxy(self):
+        return vec3(self.z, self.x, self.y)
+
+    def change_basis(self, new_basis):
+        return vec3(self.dot(new_basis[0]), self.dot(new_basis[1]),
+                    self.dot(new_basis[2]))
+
+    def __getitem__(self, ind):
+        return vec3(np.asarray(self.x)[ind], np.asarray(self.y)[ind],
+                    np.asarray(self.z)[ind])
+
+    def __len__(self):
+        s = self.shape()
+        return s[0] if isinstance(s, tuple) else s
+
+    def shape(self):
+        if isinstance(self.x, numbers.Number):
+            return 1
+        return np.asarray(self.x).shape
+
+    def broadcast_to(self, shape):
+        return vec3(np.broadcast_to(self.x, shape),
+                    np.broadcast_to(self.y, shape),
+                    np.broadcast_to(self.z, shape))
+
+    def extract(self, cond):
+        def ex(c):
+            return c if isinstance(c, numbers.Number) else np.extract(cond, c)
+        return vec3(ex(self.x), ex(self.y), ex(self.z))
+
+    def place(self, cond):
+        r = vec3(np.zeros(np.shape(cond)), np.zeros(np.shape(cond)),
+                 np.zeros(np.shape(cond)))
+        np.place(r.x, cond, self.x)
+        np.place(r.y, cond, self.y)
+        np.place(r.z, cond, self.z)
+        return r
+
+    def repeat(self, n):
+        return vec3(np.repeat(self.x, n), np.repeat(self.y, n),
+                    np.repeat(self.z, n))
+
+    def reshape(self, *newshape):
+        return vec3(np.reshape(self.x, newshape),
+                    np.reshape(self.y, newshape),
+                    np.reshape(self.z, newshape))
+
+    def mean(self, axis):
+        return vec3(np.mean(self.x, axis=axis), np.mean(self.y, axis=axis),
+                    np.mean(self.z, axis=axis))
+
+    @staticmethod
+    def concatenate(vecs):
+        return vec3(np.concatenate([v.x for v in vecs]),
+                    np.concatenate([v.y for v in vecs]),
+                    np.concatenate([v.z for v in vecs]))
+
+    @staticmethod
+    def select(mask_list, out_list):
+        return vec3(np.select(mask_list, [o.x for o in out_list]),
+                    np.select(mask_list, [o.y for o in out_list]),
+                    np.select(mask_list, [o.z for o in out_list]))
+
 
 # The reference exposes colors through the same type (vector3.py:233-234).
 rgb = vec3
