@@ -57,6 +57,23 @@ def _shading_groups(static):
     return groups, order
 
 
+def _atan2(y, x):
+    """Polynomial atan2 (~1e-5 rad) — Mosaic has no atan2/asin lowering."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    a = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    s = a * a
+    r = a * (0.9998660 + s * (-0.3302995 + s * (0.1801410
+             + s * (-0.0851330 + s * 0.0208351))))
+    r = jnp.where(ay > ax, (math.pi / 2) - r, r)
+    r = jnp.where(x < 0, math.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _asin(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
+
+
 def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
     """Texture uv per object kind (reference formulas; see geometry/attrs.py).
 
@@ -64,8 +81,8 @@ def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
     """
     if rec.kind == "sphere":
         # spherical uv from the unit normal (sphere.py:58-64)
-        phi = jnp.arctan2(nz_r, nx_r)
-        th = jnp.arcsin(jnp.clip(ny_r, -1.0, 1.0))
+        phi = _atan2(nz_r, nx_r)
+        th = _asin(ny_r)
         return ((phi + math.pi) / (2.0 * math.pi),
                 (th + math.pi / 2.0) / math.pi)
     if rec.kind == "plane":

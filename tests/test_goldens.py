@@ -1,0 +1,95 @@
+"""Golden-image regression tests.
+
+The reference's de-facto acceptance suite is its example images (SURVEY.md
+§4).  Here tiny deterministic CPU renders (threefry seeds, jnp path) are
+compared against goldens committed in tests/goldens/.  Regenerate with
+`python tests/test_goldens.py regen` after an *intentional* change in
+rendering semantics.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from raytracer_tpu import (Cuboid, Diffuse, Emissive, Glossy, Plane,
+                           Refractive, Scene, Sphere, image, rgb, vec3)
+from raytracer_tpu.backgrounds.environment import procedural_sky
+from raytracer_tpu.textures.procedural import checkerboard
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+
+
+def scene_cornell_mini():
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from example_cornellbox import build_cornell
+
+    return build_cornell(16, 16), 16
+
+
+def scene_glass():
+    sc = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    sc.add_Camera(look_from=vec3(0, 0.25, 1), look_at=vec3(0, 0, -1.5),
+                  screen_width=20, screen_height=16)
+    sc.add_DirectionalLight(Ldir=vec3(0.5, 0.45, -0.5), color=rgb(0.15, 0.15, 0.15))
+    sc.add(Sphere(material=Refractive(n=vec3(1.5 + 4e-8j, 1.5, 1.5 + 4e-8j)),
+                  center=vec3(0, 0, -1.5), radius=0.5, shadow=False, max_ray_depth=3))
+    sc.add(Plane(material=Glossy(diff_color=image(checkerboard(64), repeat=40.0),
+                                 n=vec3(1.2 + 0.3j, 1.2 + 0.3j, 1.1 + 0.3j),
+                                 roughness=0.2, spec_coeff=0.3, diff_coeff=0.9),
+                 center=vec3(0, -0.5, -3.0), width=120.0, height=120.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1), max_ray_depth=3))
+    sc.add_Background(procedural_sky(128, 96))
+    return sc, 8
+
+
+def scene_box():
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0.5, 0.5, 2), look_at=vec3(0, 0, 0),
+                  screen_width=16, screen_height=16, field_of_view=45)
+    cb = Cuboid(material=Diffuse(diff_color=rgb(0.7, 0.4, 0.2)),
+                center=vec3(0, 0, 0), width=1, height=1, length=1)
+    cb.rotate(θ=25, u=vec3(0, 1, 0))
+    sc.add(cb)
+    sc.add(Sphere(material=Emissive(color=rgb(1.2, 1.2, 1.2)),
+                  center=vec3(0, 0, 0), radius=20.0, shadow=False))
+    return sc, 16
+
+
+SCENES = {"cornell_mini": scene_cornell_mini, "glass": scene_glass,
+          "box": scene_box}
+
+
+def _render(name):
+    sc, spp = SCENES[name]()
+    return np.asarray(sc.render(samples_per_pixel=spp, seed=42),
+                      np.float32) / 255.0
+
+
+def _check(name):
+    golden = np.load(GOLDEN_DIR / f"{name}.npy")
+    got = _render(name)
+    assert got.shape == golden.shape
+    # deterministic seeds; tolerance covers FP reassociation across
+    # XLA versions, not sampling noise
+    assert np.abs(got - golden).max() < 0.03, (
+        f"{name}: max diff {np.abs(got - golden).max()}")
+
+
+def test_golden_cornell_mini():
+    _check("cornell_mini")
+
+
+def test_golden_glass():
+    _check("glass")
+
+
+def test_golden_box():
+    _check("box")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "regen":
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    for name in SCENES:
+        np.save(GOLDEN_DIR / f"{name}.npy", _render(name))
+        print("regenerated", name)
