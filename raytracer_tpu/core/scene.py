@@ -173,7 +173,8 @@ class Scene:
         return static, data, settings
 
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
-               seed=0, return_stats=False, checkpoint_path=None):
+               seed=0, return_stats=False, checkpoint_path=None,
+               profile_dir=None):
         """Render and return a PIL image (reference scene.py:71-140).
 
         batch_size: samples per traced chunk (defaults to an HBM-bounded
@@ -181,7 +182,17 @@ class Scene:
         the extra samples are folded into the average (never fewer than
         requested — unlike the reference, whose partial-batch accumulation is
         broken, scene.py:103-116).
+
+        profile_dir: capture a jax.profiler device trace of the render into
+        this directory (view with TensorBoard / xprof).  The reference's only
+        instrumentation is a wall-clock print (SURVEY.md §5).
         """
+        if profile_dir is not None:
+            from jax import profiler as _profiler
+
+            with _profiler.trace(str(profile_dir)):
+                return self.render(samples_per_pixel, progress_bar, batch_size,
+                                   seed, return_stats, checkpoint_path)
         if self.camera is None:
             raise RuntimeError("call add_Camera() first")
         if samples_per_pixel < 1:

@@ -180,6 +180,11 @@ class TriangleMesh(Primitive):
         return self.vertices[self.faces]
 
 
+# The reference ships `Surface`, an unused near-duplicate of Primitive
+# (sightpy/geometry/surface.py:6-42); provided as an alias for API parity.
+Surface = Primitive
+
+
 def _parse_obj(filename):
     verts, faces = [], []
     with open(filename) as f:
