@@ -552,7 +552,13 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix,
 
 
 def _replay(rec_g, rec_f, data, static, max_bounces, n):
-    """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3)."""
+    """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3).
+
+    Vectorized over ALL bounces at once: one wrap-around gather per texture
+    for the full (B*N) uv set (instead of B small gathers), then the radiance
+    recursion collapses to an exclusive cumulative product over the short
+    bounce axis.
+    """
     from ..materials.shade import fetch_texture
 
     groups, order = _shading_groups(static)
@@ -563,61 +569,66 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     tf_lut = {r.slot: r for r in static.thinfilm_lut}
     tf_noise = {r.slot: r for r in static.thinfilm_noise}
 
-    L = jnp.zeros((n, 3), jnp.float32)
-    beta = jnp.ones((n, 3), jnp.float32)
-    for k in range(max_bounces):
-        word = rec_g[k]
-        gid = word & 0xFFFF
-        flag = (word >> 16) & 1
-        uv = jnp.stack([rec_f[k, 0], rec_f[k, 1]], axis=-1)
-        cos_i = rec_f[k, 2]
-        add_b = rec_f[k, 3:6].T
-        add_t = rec_f[k, 6:9].T
-        beta_b = rec_f[k, 9:12].T
+    B = max_bounces
+    word = rec_g.reshape(B * n)
+    gid = word & 0xFFFF
+    flag = (word >> 16) & 1
+    f = rec_f.transpose(1, 0, 2).reshape(12, B * n)     # (12, B*N)
+    uv = jnp.stack([f[0], f[1]], axis=-1)
+    cos_i = f[2]
+    add_b = f[3:6].T                                     # (B*N, 3)
+    add_t = f[6:9].T
+    beta_b = f[9:12].T
+    # env lightmaps apply to secondary rays only: bounce index per element
+    bounce_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
 
-        tex = jnp.ones((n, 3), jnp.float32)
-        beta_tex = jnp.ones((n, 3), jnp.float32)
-        for key in order:
-            mt, slot, _maxd, _mc = key
-            gmask = (gid == groups[key]["gid"])
-            m3 = gmask[:, None]
-            if mt == MAT_ENV:
-                env = env_by_slot[slot]
-                e = fetch_texture(data.textures[env.tex], uv, 1.0)
-                if env.lightmap is not None and k > 0:
-                    li = data.mats.env_light_intensity[slot]
-                    e = e + li * fetch_texture(data.textures[env.lightmap], uv, 1.0)
-                tex = jnp.where(m3, e, tex)
-            elif mt == MAT_THINFILM:
-                thickness = data.mats.tf_thickness[slot]
-                nf = data.mats.tf_noise[slot]
-                noise = fetch_texture(data.textures[tf_noise[slot].tex], uv, 0.5)[..., 0]
-                th = thickness + nf * (noise - 0.5)
-                lut = data.textures[tf_lut[slot].tex]
-                Hh, Ww = lut.shape[0], lut.shape[1]
-                row = jnp.clip((cos_i * Hh).astype(jnp.int32), 0, Hh - 1)
-                colx = jnp.clip(th.astype(jnp.int32), 0, Ww - 1)
-                F = jnp.take(lut.reshape(-1, 3), row * Ww + colx, axis=0)
-                tex = jnp.where(m3, F, tex)            # add = ambient * F
-                branch = jnp.where(flag[:, None] == 1, F, 1.0 - F)
-                beta_tex = jnp.where(m3, branch, beta_tex)
-            elif mt == MAT_DIFFUSE and slot in dif_tex:
-                r = dif_tex[slot]
-                c = fetch_texture(data.textures[r.tex], uv, r.repeat)
-                beta_tex = jnp.where(m3, c, beta_tex)
-            elif mt == MAT_GLOSSY and slot in glo_tex:
-                r = glo_tex[slot]
-                c = fetch_texture(data.textures[r.tex], uv, r.repeat)
-                tex = jnp.where(m3, c, tex)
-            elif mt == MAT_EMISSIVE and slot in emi_tex:
-                r = emi_tex[slot]
-                c = fetch_texture(data.textures[r.tex], uv, r.repeat)
-                tex = jnp.where(m3, c, tex)
+    tex = jnp.ones((B * n, 3), jnp.float32)
+    beta_tex = jnp.ones((B * n, 3), jnp.float32)
+    for key in order:
+        mt, slot, _maxd, _mc = key
+        m3 = (gid == groups[key]["gid"])[:, None]
+        if mt == MAT_ENV:
+            env = env_by_slot[slot]
+            e = fetch_texture(data.textures[env.tex], uv, 1.0)
+            if env.lightmap is not None:
+                li = data.mats.env_light_intensity[slot]
+                lm = fetch_texture(data.textures[env.lightmap], uv, 1.0)
+                e = e + jnp.where((bounce_ix > 0)[:, None], li * lm, 0.0)
+            tex = jnp.where(m3, e, tex)
+        elif mt == MAT_THINFILM:
+            thickness = data.mats.tf_thickness[slot]
+            nf = data.mats.tf_noise[slot]
+            noise = fetch_texture(data.textures[tf_noise[slot].tex], uv, 0.5)[..., 0]
+            th = thickness + nf * (noise - 0.5)
+            lut = data.textures[tf_lut[slot].tex]
+            Hh, Ww = lut.shape[0], lut.shape[1]
+            row = jnp.clip((cos_i * Hh).astype(jnp.int32), 0, Hh - 1)
+            colx = jnp.clip(th.astype(jnp.int32), 0, Ww - 1)
+            F = jnp.take(lut.reshape(-1, 3), row * Ww + colx, axis=0)
+            tex = jnp.where(m3, F, tex)                  # add = ambient * F
+            branch = jnp.where(flag[:, None] == 1, F, 1.0 - F)
+            beta_tex = jnp.where(m3, branch, beta_tex)
+        elif mt == MAT_DIFFUSE and slot in dif_tex:
+            r = dif_tex[slot]
+            beta_tex = jnp.where(
+                m3, fetch_texture(data.textures[r.tex], uv, r.repeat), beta_tex)
+        elif mt == MAT_GLOSSY and slot in glo_tex:
+            r = glo_tex[slot]
+            tex = jnp.where(
+                m3, fetch_texture(data.textures[r.tex], uv, r.repeat), tex)
+        elif mt == MAT_EMISSIVE and slot in emi_tex:
+            r = emi_tex[slot]
+            tex = jnp.where(
+                m3, fetch_texture(data.textures[r.tex], uv, r.repeat), tex)
 
-        hit = (gid > 0)[:, None]
-        L = L + jnp.where(hit, beta * (add_b + add_t * tex), 0.0)
-        beta = jnp.where(hit, beta * beta_b * beta_tex, beta)
-    return L
+    hit = (gid > 0)[:, None]
+    m_add = jnp.where(hit, add_b + add_t * tex, 0.0).reshape(B, n, 3)
+    m_beta = jnp.where(hit, beta_b * beta_tex, 1.0).reshape(B, n, 3)
+    # beta entering bounce k = prod of m_beta over bounces < k
+    beta = jnp.concatenate(
+        [jnp.ones((1, n, 3), jnp.float32),
+         jnp.cumprod(m_beta[:-1], axis=0)], axis=0)
+    return jnp.sum(beta * m_add, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
