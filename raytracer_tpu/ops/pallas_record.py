@@ -559,8 +559,6 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     recursion collapses to an exclusive cumulative product over the short
     bounce axis.
     """
-    from ..materials.shade import fetch_texture
-
     groups, order = _shading_groups(static)
     dif_tex = {r.slot: r for r in static.diffuse_tex}
     glo_tex = {r.slot: r for r in static.glossy_tex}
@@ -570,65 +568,92 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     tf_noise = {r.slot: r for r in static.thinfilm_noise}
 
     B = max_bounces
-    word = rec_g.reshape(B * n)
+    M = B * n
+    word = rec_g.reshape(M)
     gid = word & 0xFFFF
     flag = (word >> 16) & 1
-    f = rec_f.transpose(1, 0, 2).reshape(12, B * n)     # (12, B*N)
-    uv = jnp.stack([f[0], f[1]], axis=-1)
-    cos_i = f[2]
-    add_b = f[3:6].T                                     # (B*N, 3)
-    add_t = f[6:9].T
-    beta_b = f[9:12].T
+
+    def plane(j):                                        # (M,) from (B, 12, N)
+        return rec_f[:, j, :].reshape(M)
+
+    u_, v_, cos_i = plane(0), plane(1), plane(2)
+    add_b = [plane(3 + k) for k in range(3)]
+    add_t = [plane(6 + k) for k in range(3)]
+    beta_b = [plane(9 + k) for k in range(3)]
     # env lightmaps apply to secondary rays only: bounce index per element
     bounce_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
 
-    tex = jnp.ones((B * n, 3), jnp.float32)
-    beta_tex = jnp.ones((B * n, 3), jnp.float32)
+    def fetch_planes(tex_arr, repeat):
+        """Wrap-around fetch returning 3 channel planes (M,) each.
+
+        A single (M, 3) gather output gets lane-padded 3 -> 128 on TPU (a 42x
+        HBM blowup that OOMs at 7 bounces); per-channel gathers stay linear.
+        """
+        Hh, Ww = tex_arr.shape[0], tex_arr.shape[1]
+        iu = jnp.mod((u_ * (Ww * repeat)).astype(jnp.int32), Ww)
+        iv = jnp.mod((v_ * (Hh * repeat)).astype(jnp.int32), Hh)
+        idx = jnp.mod(-iv, Hh) * Ww + iu
+        flat = tex_arr.reshape(-1, 3)
+        return [jnp.take(flat[:, c], idx) for c in range(3)]
+
+    def lut_planes(lut, row, colx):
+        Hh, Ww = lut.shape[0], lut.shape[1]
+        idx = jnp.clip(row, 0, Hh - 1) * Ww + jnp.clip(colx, 0, Ww - 1)
+        flat = lut.reshape(-1, 3)
+        return [jnp.take(flat[:, c], idx) for c in range(3)]
+
+    ones = jnp.ones((M,), jnp.float32)
+    tex = [ones, ones, ones]
+    beta_tex = [ones, ones, ones]
     for key in order:
         mt, slot, _maxd, _mc = key
-        m3 = (gid == groups[key]["gid"])[:, None]
+        m = gid == groups[key]["gid"]
         if mt == MAT_ENV:
             env = env_by_slot[slot]
-            e = fetch_texture(data.textures[env.tex], uv, 1.0)
+            e = fetch_planes(data.textures[env.tex], 1.0)
             if env.lightmap is not None:
                 li = data.mats.env_light_intensity[slot]
-                lm = fetch_texture(data.textures[env.lightmap], uv, 1.0)
-                e = e + jnp.where((bounce_ix > 0)[:, None], li * lm, 0.0)
-            tex = jnp.where(m3, e, tex)
+                lm = fetch_planes(data.textures[env.lightmap], 1.0)
+                sec = bounce_ix > 0
+                e = [e[c] + jnp.where(sec, li * lm[c], 0.0) for c in range(3)]
+            tex = [jnp.where(m, e[c], tex[c]) for c in range(3)]
         elif mt == MAT_THINFILM:
             thickness = data.mats.tf_thickness[slot]
             nf = data.mats.tf_noise[slot]
-            noise = fetch_texture(data.textures[tf_noise[slot].tex], uv, 0.5)[..., 0]
+            noise = fetch_planes(data.textures[tf_noise[slot].tex], 0.5)[0]
             th = thickness + nf * (noise - 0.5)
             lut = data.textures[tf_lut[slot].tex]
-            Hh, Ww = lut.shape[0], lut.shape[1]
-            row = jnp.clip((cos_i * Hh).astype(jnp.int32), 0, Hh - 1)
-            colx = jnp.clip(th.astype(jnp.int32), 0, Ww - 1)
-            F = jnp.take(lut.reshape(-1, 3), row * Ww + colx, axis=0)
-            tex = jnp.where(m3, F, tex)                  # add = ambient * F
-            branch = jnp.where(flag[:, None] == 1, F, 1.0 - F)
-            beta_tex = jnp.where(m3, branch, beta_tex)
+            Hh = lut.shape[0]
+            F = lut_planes(lut, (cos_i * Hh).astype(jnp.int32),
+                           th.astype(jnp.int32))
+            refl = flag == 1
+            for c in range(3):
+                tex[c] = jnp.where(m, F[c], tex[c])      # add = ambient * F
+                beta_tex[c] = jnp.where(
+                    m, jnp.where(refl, F[c], 1.0 - F[c]), beta_tex[c])
         elif mt == MAT_DIFFUSE and slot in dif_tex:
             r = dif_tex[slot]
-            beta_tex = jnp.where(
-                m3, fetch_texture(data.textures[r.tex], uv, r.repeat), beta_tex)
+            c3 = fetch_planes(data.textures[r.tex], r.repeat)
+            beta_tex = [jnp.where(m, c3[c], beta_tex[c]) for c in range(3)]
         elif mt == MAT_GLOSSY and slot in glo_tex:
             r = glo_tex[slot]
-            tex = jnp.where(
-                m3, fetch_texture(data.textures[r.tex], uv, r.repeat), tex)
+            c3 = fetch_planes(data.textures[r.tex], r.repeat)
+            tex = [jnp.where(m, c3[c], tex[c]) for c in range(3)]
         elif mt == MAT_EMISSIVE and slot in emi_tex:
             r = emi_tex[slot]
-            tex = jnp.where(
-                m3, fetch_texture(data.textures[r.tex], uv, r.repeat), tex)
+            c3 = fetch_planes(data.textures[r.tex], r.repeat)
+            tex = [jnp.where(m, c3[c], tex[c]) for c in range(3)]
 
-    hit = (gid > 0)[:, None]
-    m_add = jnp.where(hit, add_b + add_t * tex, 0.0).reshape(B, n, 3)
-    m_beta = jnp.where(hit, beta_b * beta_tex, 1.0).reshape(B, n, 3)
-    # beta entering bounce k = prod of m_beta over bounces < k
-    beta = jnp.concatenate(
-        [jnp.ones((1, n, 3), jnp.float32),
-         jnp.cumprod(m_beta[:-1], axis=0)], axis=0)
-    return jnp.sum(beta * m_add, axis=0)
+    hit = gid > 0
+    out = []
+    for c in range(3):
+        m_add = jnp.where(hit, add_b[c] + add_t[c] * tex[c], 0.0).reshape(B, n)
+        m_beta = jnp.where(hit, beta_b[c] * beta_tex[c], 1.0).reshape(B, n)
+        beta = jnp.concatenate(
+            [jnp.ones((1, n), jnp.float32), jnp.cumprod(m_beta[:-1], axis=0)],
+            axis=0)
+        out.append(jnp.sum(beta * m_add, axis=0))
+    return jnp.stack(out, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
