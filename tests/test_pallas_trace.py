@@ -106,3 +106,18 @@ def test_textured_scene_skips_pallas():
     # and the textured render still works through the jnp path
     img = np.asarray(sc.render(samples_per_pixel=4))
     assert img.max() > 0
+
+
+def test_checkpoint_resume_pallas(tmp_path):
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8)
+    sc.add(Sphere(material=Emissive(color=rgb(0.4, 0.6, 0.8)),
+                  center=vec3(0, 0, -3), radius=1.5))
+    sc.settings = RenderSettings(use_pallas="always")
+    ck = str(tmp_path / "ck.npz")
+    a = np.asarray(sc.render(samples_per_pixel=4, batch_size=2, seed=5,
+                             checkpoint_path=ck))
+    b = np.asarray(sc.render(samples_per_pixel=4, batch_size=2, seed=5,
+                             checkpoint_path=ck))
+    assert np.array_equal(a, b)

@@ -57,3 +57,22 @@ def test_pixel_bands_cover_frame():
     ya, xa = np.where(a.sum(-1) > 0.1)
     yb, xb = np.where(b.sum(-1) > 0.1)
     assert abs(ya.mean() - yb.mean()) < 1.5 and abs(xa.mean() - xb.mean()) < 1.5
+
+
+def test_sharded_textured_scene():
+    from raytracer_tpu import Diffuse, image
+    from raytracer_tpu.textures.procedural import checkerboard
+
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=16, screen_height=16)
+    sc.add(Plane(material=Diffuse(diff_color=image(checkerboard(32))),
+                 center=vec3(0, 0, -2), width=100.0, height=100.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 1, 0)))
+    sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                  center=vec3(0, 0, 0), radius=30.0, shadow=False))
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    img = render_sharded(sc, samples_per_pixel=8, mesh=mesh)
+    ref = np.asarray(sc.render(samples_per_pixel=8), dtype=np.float32) / 255.0
+    # different RNG streams across shards: statistical agreement
+    assert np.allclose(img.mean(), ref.mean(), atol=0.05)
