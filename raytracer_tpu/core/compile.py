@@ -76,11 +76,39 @@ def _unpack_specs(specs, **buffers):
 _unpack_jit = jax.jit(_unpack_specs, static_argnames=("specs",))
 
 
+# Device cache for texture arrays, keyed by host-array identity: textures are
+# the big leaves (an env cubemap is ~150 MB as f32) and scenes reuse the same
+# host arrays across render calls — upload each distinct texture once per
+# process.  Holding the host array pins its id() against reuse.
+_TEX_DEVICE_CACHE = {}
+
+
+def _texture_to_device(arr):
+    """Normalize + upload a texture, cached by the ORIGINAL host array's
+    identity (the array stored on the material object, stable across
+    compile_scene calls — derived views would get a fresh id each time)."""
+    key = id(arr)
+    hit = _TEX_DEVICE_CACHE.get(key)
+    if hit is None:
+        a = np.asarray(arr, dtype=F32)
+        if a.ndim == 2:
+            a = a[..., None].repeat(3, axis=-1)
+        hit = (arr, jnp.asarray(np.ascontiguousarray(a[..., :3])))
+        _TEX_DEVICE_CACHE[key] = hit
+    return hit[1]
+
+
 def _to_device(data):
-    """Upload a numpy SceneData pytree with one transfer per dtype group."""
+    """Upload a numpy SceneData pytree with one transfer per dtype group.
+
+    Leaves that are already device arrays (cached textures) pass through.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(data)
     kinds = []
     for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            kinds.append("dev")
+            continue
         a = np.asarray(leaf)
         if a.dtype == np.bool_:
             kinds.append("b")
@@ -88,7 +116,8 @@ def _to_device(data):
             kinds.append("i")
         else:
             kinds.append("f")
-    specs = tuple((k, tuple(np.asarray(l).shape)) for k, l in zip(kinds, leaves))
+    specs = tuple((k, (None if k == "dev" else tuple(np.asarray(l).shape)))
+                  for k, l in zip(kinds, leaves))
     buffers = {}
     for kind, dt in (("f", F32), ("i", I32), ("b", np.bool_)):
         parts = [np.asarray(l, dtype=dt).ravel()
@@ -97,7 +126,13 @@ def _to_device(data):
                          else np.zeros((1,), dt))
         if buffers[kind].size == 0:
             buffers[kind] = np.zeros((1,), dt)
-    dev_leaves = _unpack_jit(specs, **{k: jnp.asarray(v) for k, v in buffers.items()})
+    packed_specs = tuple(s for s in specs if s[0] != "dev")
+    dev_packed = _unpack_jit(packed_specs,
+                             **{k: jnp.asarray(v) for k, v in buffers.items()})
+    dev_leaves = []
+    it = iter(dev_packed)
+    for kind, leaf in zip(kinds, leaves):
+        dev_leaves.append(leaf if kind == "dev" else next(it))
     return jax.tree_util.tree_unflatten(treedef, dev_leaves)
 
 
@@ -287,13 +322,12 @@ class _Builder:
 
     # -- textures ----------------------------------------------------------
     def add_texture(self, arr):
+        # store the ORIGINAL array; normalization + device upload happen in
+        # _texture_to_device so its per-array cache stays hot across compiles
         key = id(arr)
         if key not in self._tex_ids:
             self._tex_ids[key] = len(self.textures)
-            a = np.asarray(arr, dtype=F32)
-            if a.ndim == 2:
-                a = a[..., None].repeat(3, axis=-1)
-            self.textures.append(a[..., :3])
+            self.textures.append(arr)
         return self._tex_ids[key]
 
     # -- materials ---------------------------------------------------------
@@ -590,7 +624,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     data = SceneData(
         geom=geom, obj=obj, mats=mats, lights=lights,
         is_center=is_center, is_radius=is_radius,
-        textures=tuple(b.textures),
+        textures=tuple(_texture_to_device(t) for t in b.textures),
         ambient_color=_f(scene.ambient_color),
         scene_n_re=_f(np.real(scene.n)),
         scene_n_im=_f(np.imag(scene.n)),
