@@ -52,16 +52,34 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
     assert height % n_pixel == 0, f"height {height} % pixel shards {n_pixel} != 0"
     rows = height // n_pixel
 
+    # On TPU, pure sample-sharding routes each device's slice through the
+    # fused Pallas mega-kernel; pixel-sharded or non-qualifying scenes (and
+    # the CPU dry run) use the jnp wavefront.
+    use_pallas = (static.pallas_ok and n_pixel == 1
+                  and jax.default_backend() in ("tpu", "axon"))
+
     def per_device(key, data, cam):
         s_idx = jax.lax.axis_index("sample")
         p_idx = jax.lax.axis_index("pixel")
         k = jax.random.fold_in(jax.random.fold_in(key, s_idx), p_idx)
-        k_ray, k_trace = jax.random.split(k)
-        O, D = generate_rays(k_ray, cam, width, height, spp_per_device,
-                             row0=(p_idx * rows).astype(jnp.float32), rows=rows)
-        n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
-        n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
-        L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings)
+        if use_pallas:
+            from ..ops.pallas_trace import pallas_trace_chunk
+
+            seed = jax.random.randint(k, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+            cam_vec = jnp.concatenate([
+                cam.origin, cam.fwd, cam.right, cam.up,
+                jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+            L, _ = pallas_trace_chunk(seed, data, cam_vec, static, width,
+                                      height, spp_per_device,
+                                      settings.max_bounces, False)
+        else:
+            k_ray, k_trace = jax.random.split(k)
+            O, D = generate_rays(k_ray, cam, width, height, spp_per_device,
+                                 row0=(p_idx * rows).astype(jnp.float32),
+                                 rows=rows)
+            n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
+            n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
+            L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings)
         band = L.reshape(spp_per_device, rows * width, 3).sum(axis=0)
         # all-reduce over the sample axis: each pixel shard ends up with the
         # full sample sum for its band (the Pool '+=' loop, as one collective)
@@ -69,10 +87,12 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
 
     @jax.jit
     def run(key, data, cam):
+        # check_vma off: pallas_call outputs carry no varying-axis metadata
         return jax.shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P()),
             out_specs=P("pixel"),
+            check_vma=False,
         )(key, data, cam)
 
     return run
