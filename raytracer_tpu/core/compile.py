@@ -414,9 +414,16 @@ class _Builder:
                 self.env_slots[i] = dataclasses.replace(e, kind=kind)
 
 
-# triangle count at which the scene compiler builds a BVH (reference has
-# none at all; its mesh header begs for one, triangle_mesh.py:7-9)
-BVH_THRESHOLD = 32
+# Triangle count at which the scene compiler builds a BVH (the reference has
+# none at all; its mesh header begs for one, triangle_mesh.py:7-9).
+# Measured on TPU v5e: the data-parallel flat intersection sweep beats the
+# divergent per-ray stack traversal by >10x at 5k triangles (the while-loop
+# serializes all rays to the worst traversal depth and scatters stack
+# entries), so the traversal only engages for very large meshes where the
+# O(rays x tris) sweep's arithmetic finally dominates.  The native SAH
+# builder runs regardless of this threshold and is the substrate for an
+# in-kernel traversal later.
+BVH_THRESHOLD = 200_000
 
 
 def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
@@ -458,17 +465,17 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_p2=_stack3([p2 for _, p2, _ in b.tris]),
         tri_p3=_stack3([p3 for _, _, p3 in b.tris]),
         tri_normal=_stack3([
-            (lambda n: n / np.linalg.norm(n))(np.cross(p2 - p1, p3 - p1))
+            (lambda n: n / max(np.linalg.norm(n), 1e-20))(np.cross(p2 - p1, p3 - p1))
             for p1, p2, p3 in b.tris]),
         tri_centroid=_stack3([(p1 + p2 + p3) / 3.0 for p1, p2, p3 in b.tris]),
         tri_n31=_stack3([
-            np.cross(p3 - p1, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
+            np.cross(p3 - p1, np.cross(p2 - p1, p3 - p1) / max(np.linalg.norm(np.cross(p2 - p1, p3 - p1)), 1e-20))
             for p1, p2, p3 in b.tris]),
         tri_n12=_stack3([
-            np.cross(p1 - p2, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
+            np.cross(p1 - p2, np.cross(p2 - p1, p3 - p1) / max(np.linalg.norm(np.cross(p2 - p1, p3 - p1)), 1e-20))
             for p1, p2, p3 in b.tris]),
         tri_n23=_stack3([
-            np.cross(p2 - p3, np.cross(p2 - p1, p3 - p1) / np.linalg.norm(np.cross(p2 - p1, p3 - p1)))
+            np.cross(p2 - p3, np.cross(p2 - p1, p3 - p1) / max(np.linalg.norm(np.cross(p2 - p1, p3 - p1)), 1e-20))
             for p1, p2, p3 in b.tris]),
         bvh_lo=(tri_bvh["bbox_lo"] if tri_bvh else np.zeros((0, 3), F32)),
         bvh_hi=(tri_bvh["bbox_hi"] if tri_bvh else np.zeros((0, 3), F32)),
@@ -577,7 +584,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
              + list(np.asarray(rtl)) + list(np.asarray(c)) + list(np.asarray(whl)))
     for (p1, p2, p3), props in zip(b.tris, b.props["tri"]):
         nrm = np.cross(p2 - p1, p3 - p1)
-        nrm = nrm / np.linalg.norm(nrm)
+        nrm = nrm / max(np.linalg.norm(nrm), 1e-20)
         obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
         _row(list(p1) + list(p2) + list(p3) + list(nrm)

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from raytracer_tpu import Emissive, Scene, TriangleMesh, rgb, vec3
-from raytracer_tpu.core.compile import BVH_THRESHOLD, compile_scene
+from raytracer_tpu.core.compile import compile_scene
 from raytracer_tpu.geometry.bvh import bvh_traverse
 from raytracer_tpu.geometry.intersect import intersect_triangles
 from raytracer_tpu.utils.constants import MISS_THRESHOLD
@@ -32,7 +32,9 @@ def make_sphere_obj(tmp_path, n_seg=12):
     return str(p)
 
 
-def test_bvh_matches_flat(tmp_path):
+def test_bvh_matches_flat(tmp_path, monkeypatch):
+    import raytracer_tpu.core.compile as C
+    monkeypatch.setattr(C, "BVH_THRESHOLD", 32)
     obj = make_sphere_obj(tmp_path)
     sc = Scene()
     sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),
@@ -41,7 +43,6 @@ def test_bvh_matches_flat(tmp_path):
                         material=Emissive(color=rgb(1, 1, 1)))
     sc.add(mesh)
     static, data = compile_scene(sc)
-    assert static.n_tris >= BVH_THRESHOLD
     assert static.use_tri_bvh
 
     rng = np.random.default_rng(0)
@@ -63,7 +64,9 @@ def test_bvh_matches_flat(tmp_path):
     assert np.allclose(t_ref[hit_ref], t_bvh[hit_bvh], rtol=1e-4, atol=1e-4)
 
 
-def test_mesh_render_with_bvh(tmp_path):
+def test_mesh_render_with_bvh(tmp_path, monkeypatch):
+    import raytracer_tpu.core.compile as C
+    monkeypatch.setattr(C, "BVH_THRESHOLD", 32)
     obj = make_sphere_obj(tmp_path)
     sc = Scene()
     sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),
