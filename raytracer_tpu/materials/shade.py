@@ -95,6 +95,22 @@ def _cmag2(re, im):
     return re * re + im * im
 
 
+def _c_mul(a, b):
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _c_div(a, b):
+    d = jnp.maximum(b[0] * b[0] + b[1] * b[1], 1e-30)
+    return (a[0] * b[0] + a[1] * b[1]) / d, (a[1] * b[0] - a[0] * b[1]) / d
+
+
+def _c_sqrt(a):
+    mag = jnp.sqrt(a[0] * a[0] + a[1] * a[1])
+    re = jnp.sqrt(jnp.maximum((mag + a[0]) * 0.5, 0.0))
+    im = jnp.sqrt(jnp.maximum((mag - a[0]) * 0.5, 0.0))
+    return re, jnp.where(a[1] < 0, -im, im)
+
+
 # ---------------------------------------------------------------------------
 # emissive
 # ---------------------------------------------------------------------------
@@ -282,20 +298,29 @@ def shade_refractive(ctx):
     V = -ctx.D
     out = _zeros_out(ctx)
 
-    n1 = jax.lax.complex(ctx.n_re, ctx.n_im)
     m_re = _g1(mats.refr_n_re, ctx.mat_slot)
     m_im = _g1(mats.refr_n_im, ctx.mat_slot)
     entering = (ctx.orient == UPWARDS)[..., None]
     n2_re = jnp.where(entering, m_re, data.scene_n_re[None, :])
     n2_im = jnp.where(entering, m_im, data.scene_n_im[None, :])
-    n2 = jax.lax.complex(n2_re, n2_im)
 
+    # explicit (re, im) pair arithmetic — XLA's TPU complex64 lowering emits
+    # non-finite values for a ~35 ppm tail of grazing rays; the pair form
+    # (shared with the Pallas kernel) is clean over hundreds of M rays
     cos_i = jnp.sum(V * N, axis=-1)[..., None]          # (N, 1)
-    ratio = n1 / n2
-    cos_t = jnp.sqrt(1.0 - ratio * ratio * (1.0 - cos_i * cos_i))
-    r_per = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)
-    r_par = -(n1 * cos_t - n2 * cos_i) / (n1 * cos_t + n2 * cos_i)
-    F = (jnp.abs(r_per) ** 2 + jnp.abs(r_par) ** 2) / 2.0   # (N, 3) real
+    n1 = (ctx.n_re, ctx.n_im)
+    n2 = (n2_re, n2_im)
+    ratio = _c_div(n1, n2)
+    r2 = _c_mul(ratio, ratio)
+    s2 = 1.0 - cos_i * cos_i
+    cos_t = _c_sqrt((1.0 - r2[0] * s2, -r2[1] * s2))
+    a = (n1[0] * cos_i, n1[1] * cos_i)
+    bt = _c_mul(n2, cos_t)
+    r_per = _c_div((a[0] - bt[0], a[1] - bt[1]), (a[0] + bt[0], a[1] + bt[1]))
+    at = _c_mul(n1, cos_t)
+    bb = (n2[0] * cos_i, n2[1] * cos_i)
+    r_par = _c_div((bb[0] - at[0], bb[1] - at[1]), (at[0] + bb[0], at[1] + bb[1]))
+    F = (_cmag2(*r_per) + _cmag2(*r_par)) / 2.0             # (N, 3) real
     T = 1.0 - F
 
     # refraction direction from channel-averaged real ratio (refractive.py:76-82)
