@@ -649,10 +649,14 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     for c in range(3):
         m_add = jnp.where(hit, add_b[c] + add_t[c] * tex[c], 0.0).reshape(B, n)
         m_beta = jnp.where(hit, beta_b[c] * beta_tex[c], 1.0).reshape(B, n)
-        beta = jnp.concatenate(
-            [jnp.ones((1, n), jnp.float32), jnp.cumprod(m_beta[:-1], axis=0)],
-            axis=0)
-        out.append(jnp.sum(beta * m_add, axis=0))
+        # explicit short product chain — jnp.cumprod lowers to a reduce_window
+        # that performs poorly in this layout on TPU
+        Lc = m_add[0]
+        beta = m_beta[0]
+        for k in range(1, B):
+            Lc = Lc + beta * m_add[k]
+            beta = beta * m_beta[k]
+        out.append(Lc)
     return jnp.stack(out, axis=-1)
 
 
