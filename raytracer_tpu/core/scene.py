@@ -163,9 +163,20 @@ class Scene:
         static, data = compile_scene(self)
         max_b = self.settings.max_bounces
         if max_b == RenderSettings.max_bounces:
-            # derive from scene structure: deepest per-object cap + the two
-            # extra diffuse bounces the reference always allows (diffuse.py:22)
-            max_b = min(static.max_object_depth + 2, 12)
+            # Exact bounce budget from scene structure.  Only glossy /
+            # refractive / thin-film honour the per-object depth cap
+            # (reference glossy.py:87, refractive.py:38, thin_film:39);
+            # diffuse ignores it and terminates after 2 diffuse bounces
+            # (diffuse.py:22), emissive/env are terminal.  The deepest
+            # shadeable hit is therefore cap + (2 diffuse bounces if Diffuse
+            # exists), and shading it needs one more loop iteration.
+            from ..materials.base import (MAT_DIFFUSE, MAT_GLOSSY,
+                                          MAT_REFRACTIVE, MAT_THINFILM)
+
+            capped = [r.max_depth for r in static.obj_records
+                      if r.mat_type in (MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)]
+            extra = 3 if MAT_DIFFUSE in static.mat_types_present else 1
+            max_b = min(max(capped or [0]) + extra, 12)
         settings = RenderSettings(max_bounces=max_b,
                                   nudge_eps=self.settings.nudge_eps,
                                   collect_stats=collect_stats,
