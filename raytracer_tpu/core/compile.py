@@ -291,12 +291,45 @@ class SceneStatic:
     has_shadow_objects: bool
     max_object_depth: int
     needs_uv: bool = True
-    use_tri_bvh: bool = False
+    # 0 = flat triangle sweep; > 0 = traverse the BVH with this per-ray stack
+    # size (measured tree depth + 2, so DFS can never overflow the stack)
+    use_tri_bvh: int = 0
     obj_records: Tuple[ObjRecord, ...] = ()
     pallas_tex_ok: bool = False
     # the Pallas mega-kernel handles solid-color scenes with modest object
     # counts; textured / env / LUT scenes use the jnp wavefront path
     pallas_ok: bool = False
+
+
+def _bvh_depth(left, right, count):
+    """Depth of a flat-array BVH (iterative DFS, host-side)."""
+    depth = 0
+    stack = [(0, 1)]
+    while stack:
+        node, d = stack.pop()
+        depth = max(depth, d)
+        if count[node] == 0:
+            stack.append((int(left[node]), d + 1))
+            stack.append((int(right[node]), d + 1))
+    return depth
+
+
+def derive_max_bounces(static: "SceneStatic", cap: int = 12) -> int:
+    """Exact bounce budget from scene structure — the ONE shared derivation
+    used by Scene.render, parallel.render_sharded and ray.get_raycolor (so the
+    same scene traces the same path lengths from every entry point).
+
+    Only glossy / refractive / thin-film honour the per-object depth cap
+    (reference glossy.py:87, refractive.py:38, thin_film_interference.py:39);
+    diffuse ignores it and terminates after 2 diffuse bounces (diffuse.py:22),
+    emissive/env are terminal.  The deepest shadeable hit is therefore
+    cap + (2 diffuse bounces if Diffuse exists), and shading it needs one
+    more loop iteration.
+    """
+    capped = [r.max_depth for r in static.obj_records
+              if r.mat_type in (MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)]
+    extra = 3 if MAT_DIFFUSE in static.mat_types_present else 1
+    return min(max(capped or [0]) + extra, cap)
 
 
 class _Builder:
@@ -433,6 +466,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
 
     # ---- triangle BVH (built natively; tables permuted to leaf order) -----
     tri_bvh = None
+    tri_bvh_stack = 0
     if len(b.tris) >= BVH_THRESHOLD:
         from ..native import build_bvh
         tv = np.stack([np.stack(t) for t in b.tris]).astype(F32)
@@ -440,6 +474,10 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         perm = tri_bvh["order"]
         b.tris = [b.tris[i] for i in perm]
         b.props["tri"] = [b.props["tri"][i] for i in perm]
+        # size the traversal stack from the real tree depth (+2 margin) so
+        # unbalanced SAH trees can never silently drop subtrees
+        tri_bvh_stack = _bvh_depth(tri_bvh["left"], tri_bvh["right"],
+                                   tri_bvh["count"]) + 2
 
     # ---- geometry tables -------------------------------------------------
     geom = GeometryTables(
@@ -625,7 +663,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         obj_records=tuple(obj_records),
         pallas_ok=pallas_ok,
         pallas_tex_ok=pallas_tex_ok,
-        use_tri_bvh=tri_bvh is not None,
+        use_tri_bvh=tri_bvh_stack,
     )
 
     data = SceneData(

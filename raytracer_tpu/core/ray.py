@@ -65,12 +65,13 @@ def get_raycolor(ray: Ray, scene, seed=0, max_bounces=None):
     Functional analogue of the reference integrator entry point
     (sightpy/ray.py:122-148).
     """
-    from .compile import compile_scene
+    from .compile import compile_scene, derive_max_bounces
     from .integrator import RenderSettings, trace
 
     static, data = compile_scene(scene)
     if max_bounces is None:
-        max_bounces = min(static.max_object_depth + 2, 12)
+        # shared derivation — same path lengths as Scene.render
+        max_bounces = derive_max_bounces(static)
     settings = RenderSettings(max_bounces=max_bounces)
 
     O = jnp.asarray(ray.origin, jnp.float32)

@@ -31,7 +31,7 @@ from ..backgrounds.environment import Panorama, SkyBox
 from ..utils.colour import srgb_linear_to_srgb
 from ..utils.image_io import array_to_pil
 from .camera import Camera, generate_rays
-from .compile import compile_scene
+from .compile import compile_scene, derive_max_bounces
 from .integrator import RenderSettings, trace, trace_distances
 from .vec import as_complex3, as_float3
 
@@ -159,24 +159,31 @@ class Scene:
             cls(img, light_intensity=light_intensity, blur=blur))
 
     # -- rendering ---------------------------------------------------------
+    def _diffuse_fan(self):
+        """Max `diffuse_rays` over the scene's Diffuse materials (1 if none).
+
+        The reference traces `diffuse_rays` first-bounce continuations per
+        diffuse hit and averages (diffuse.py:34-83).  The wavefront integrator
+        carries ONE continuation per path, so render() folds the fan into the
+        effective samples-per-pixel instead: spp * fan full paths are traced
+        and averaged — the same total sample count and an unbiased estimator
+        of the same integral (slightly lower variance, since the camera/
+        specular prefix is re-sampled too).  Kept out of the jit static key:
+        changing diffuse_rays never recompiles.
+        """
+        from ..materials.base import MAT_DIFFUSE
+
+        fans = [p.material.diffuse_rays for p in self.scene_primitives
+                if getattr(p, "material", None) is not None
+                and p.material.mat_type == MAT_DIFFUSE]
+        return max(fans or [1])
+
     def _settings_for_render(self, collect_stats):
         static, data = compile_scene(self)
         max_b = self.settings.max_bounces
         if max_b == RenderSettings.max_bounces:
-            # Exact bounce budget from scene structure.  Only glossy /
-            # refractive / thin-film honour the per-object depth cap
-            # (reference glossy.py:87, refractive.py:38, thin_film:39);
-            # diffuse ignores it and terminates after 2 diffuse bounces
-            # (diffuse.py:22), emissive/env are terminal.  The deepest
-            # shadeable hit is therefore cap + (2 diffuse bounces if Diffuse
-            # exists), and shading it needs one more loop iteration.
-            from ..materials.base import (MAT_DIFFUSE, MAT_GLOSSY,
-                                          MAT_REFRACTIVE, MAT_THINFILM)
-
-            capped = [r.max_depth for r in static.obj_records
-                      if r.mat_type in (MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)]
-            extra = 3 if MAT_DIFFUSE in static.mat_types_present else 1
-            max_b = min(max(capped or [0]) + extra, 12)
+            # shared derivation (also used by render_sharded / get_raycolor)
+            max_b = derive_max_bounces(static)
         settings = RenderSettings(max_bounces=max_b,
                                   nudge_eps=self.settings.nudge_eps,
                                   collect_stats=collect_stats,
@@ -185,14 +192,18 @@ class Scene:
 
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
                seed=0, return_stats=False, checkpoint_path=None,
-               profile_dir=None):
+               checkpoint_every=4, profile_dir=None):
         """Render and return a PIL image (reference scene.py:71-140).
 
-        batch_size: samples per traced chunk (defaults to an HBM-bounded
-        choice).  If spp does not divide evenly, full chunks are traced and
-        the extra samples are folded into the average (never fewer than
-        requested — unlike the reference, whose partial-batch accumulation is
-        broken, scene.py:103-116).
+        samples_per_pixel follows reference semantics: camera samples, each
+        of which fans into the scene's `diffuse_rays` paths when a Diffuse
+        material exists (see _diffuse_fan) — spp * fan paths are traced.
+
+        batch_size: effective samples per traced chunk (defaults to an
+        HBM-bounded choice).  If the total does not divide evenly, full
+        chunks are traced and the extra samples are folded into the average
+        (never fewer than requested — unlike the reference, whose
+        partial-batch accumulation is broken, scene.py:103-116).
 
         profile_dir: capture a jax.profiler device trace of the render into
         this directory (view with TensorBoard / xprof).  The reference's only
@@ -203,7 +214,8 @@ class Scene:
 
             with _profiler.trace(str(profile_dir)):
                 return self.render(samples_per_pixel, progress_bar, batch_size,
-                                   seed, return_stats, checkpoint_path)
+                                   seed, return_stats, checkpoint_path,
+                                   checkpoint_every)
         if self.camera is None:
             raise RuntimeError("call add_Camera() first")
         if samples_per_pixel < 1:
@@ -213,8 +225,12 @@ class Scene:
         static, data, settings = self._settings_for_render(return_stats)
         cam = self.camera.params()
 
-        chunk = batch_size or max(1, min(samples_per_pixel, MAX_RAYS_PER_CHUNK // (W * H)))
-        n_chunks = -(-samples_per_pixel // chunk)
+        # reference estimator parity: each camera sample fans into
+        # `diffuse_rays` paths at the first diffuse hit (diffuse.py:34-83);
+        # here the fan multiplies the number of full paths traced instead
+        eff_spp = samples_per_pixel * self._diffuse_fan()
+        chunk = batch_size or max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
+        n_chunks = -(-eff_spp // chunk)
 
         base_key = jax.random.PRNGKey(seed)
         acc = jnp.zeros((H * W, 3), jnp.float32)
@@ -252,7 +268,9 @@ class Scene:
                 print(f"  chunk {i + 1}/{n_chunks} "
                       f"({(i + 1) * chunk} samples) {time.time() - t0:.2f}s",
                       flush=True)
-            if checkpoint_path is not None:
+            if checkpoint_path is not None and (
+                    (i + 1) % checkpoint_every == 0 or i + 1 == n_chunks):
+                # each save is a device->host sync; amortize over N chunks
                 _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed)
 
         n_samples = n_chunks * chunk
@@ -288,13 +306,22 @@ class Scene:
         return array_to_pil(img)
 
 
+def _ckpt_path(path):
+    # np.savez appends '.npz' to bare names; normalize so save and load
+    # agree (a bare-name checkpoint used to silently never resume)
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
+
+
 def _save_checkpoint(path, acc, chunks_done, chunk, seed):
-    np.savez(path, acc=np.asarray(acc), chunks_done=chunks_done,
-             chunk=chunk, seed=seed)
+    with open(_ckpt_path(path), "wb") as f:
+        np.savez(f, acc=np.asarray(acc), chunks_done=chunks_done,
+                 chunk=chunk, seed=seed)
 
 
 def _load_checkpoint(path, n_pix, chunk, seed):
     import os
+    path = _ckpt_path(path)
     if not os.path.exists(path):
         return None
     z = np.load(path)

@@ -56,17 +56,23 @@ def _tri_hit(geom, tri_id, ox, oy, oz, D):
     return t, orient
 
 
-def bvh_traverse(O, D, geom, tri_mask=None):
+def bvh_traverse(O, D, geom, tri_mask=None, stack_depth=STACK_DEPTH):
     """Nearest triangle hit via the BVH.
 
     Returns (t (N,), orient (N,), local_tri_id (N,)).  `tri_mask` (T,) bool
     optionally restricts which triangles can occlude (shadow rays).
+
+    stack_depth must be >= tree depth + 1 (DFS pushes both children per pop,
+    so occupancy is bounded by the deepest path + 1); compile_scene sizes it
+    from the measured tree depth so unbalanced SAH trees can never silently
+    overflow and drop subtrees.
     """
     n = O.shape[0]
+    STACK = int(stack_depth)
     inv_d = 1.0 / D                          # inf on zero components is fine
     ox, oy, oz = O[..., 0], O[..., 1], O[..., 2]
 
-    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+    stack = jnp.zeros((n, STACK), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)            # root pre-pushed at slot 0
     best_t = jnp.full((n,), FARAWAY, O.dtype)
     best_o = jnp.ones((n,), O.dtype)
@@ -113,11 +119,11 @@ def bvh_traverse(O, D, geom, tri_mask=None):
         push = hit_box & ~is_leaf
         left = _gather(geom.bvh_left, node)
         right = _gather(geom.bvh_right, node)
-        s0 = jnp.clip(sp, 0, STACK_DEPTH - 1)
-        s1 = jnp.clip(sp + 1, 0, STACK_DEPTH - 1)
+        s0 = jnp.clip(sp, 0, STACK - 1)
+        s1 = jnp.clip(sp + 1, 0, STACK - 1)
         stack = stack.at[rows, s0].set(jnp.where(push, right, stack[rows, s0]))
         stack = stack.at[rows, s1].set(jnp.where(push, left, stack[rows, s1]))
-        sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+        sp = jnp.where(push, jnp.minimum(sp + 2, STACK), sp)
         return stack, sp, best_t, best_o, best_id
 
     _, _, best_t, best_o, best_id = jax.lax.while_loop(

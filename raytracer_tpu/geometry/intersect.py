@@ -154,8 +154,10 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
         best_id = jnp.where(better, am.astype(jnp.int32) + off, best_id)
         off += count
     if use_tri_bvh and geom.tri_p1.shape[0]:
-        from .bvh import bvh_traverse
-        t, o, tid = bvh_traverse(O, D, geom)
+        from .bvh import STACK_DEPTH, bvh_traverse
+        # use_tri_bvh > 1 carries the compile-time stack size (tree depth + 2)
+        sd = int(use_tri_bvh) if int(use_tri_bvh) > 1 else STACK_DEPTH
+        t, o, tid = bvh_traverse(O, D, geom, stack_depth=sd)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
         best_o = jnp.where(better, o, best_o)
@@ -178,8 +180,10 @@ def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
         hit = hit | jnp.any((t < max_dist[None, :]) & mask[:, None], axis=0)
         off += count
     if use_tri_bvh and geom.tri_p1.shape[0]:
-        from .bvh import bvh_traverse
-        t, _, _ = bvh_traverse(O, D, geom, tri_mask=shadow_obj_mask[off:])
+        from .bvh import STACK_DEPTH, bvh_traverse
+        sd = int(use_tri_bvh) if int(use_tri_bvh) > 1 else STACK_DEPTH
+        t, _, _ = bvh_traverse(O, D, geom, tri_mask=shadow_obj_mask[off:],
+                               stack_depth=sd)
         hit = hit | (t < max_dist)
     return hit
 

@@ -83,11 +83,12 @@ class Diffuse(Material):
     def __init__(self, diff_color, diffuse_rays=20, ambient_weight=0.5, **kwargs):
         super().__init__(**kwargs)
         self.diff_texture = as_texture(diff_color)
-        # `diffuse_rays` is the reference's per-hit branching factor
-        # (diffuse.py:36-47).  The wavefront integrator traces one diffuse
-        # continuation per path and folds the factor into samples-per-pixel
-        # instead (Scene.render multiplies spp; see core/scene.py), which is
-        # the same estimator with identical total sample counts.
+        # `diffuse_rays` is the reference's first-bounce branching factor
+        # (diffuse.py:34-83).  The wavefront integrator traces one diffuse
+        # continuation per path; Scene.render multiplies the effective
+        # samples-per-pixel by the scene's max diffuse_rays instead
+        # (Scene._diffuse_fan, core/scene.py) — identical total sample
+        # counts, unbiased for the same integral.
         self.diffuse_rays = int(diffuse_rays)
         self.max_diffuse_reflections = 2
         self.ambient_weight = float(ambient_weight)

@@ -103,14 +103,19 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
 
     samples_per_pixel is rounded up to a multiple of the sample-shard count.
     """
-    from ..core.compile import compile_scene
+    from ..core.compile import compile_scene, derive_max_bounces
 
     mesh = mesh or make_mesh()
     n_sample = mesh.shape["sample"]
-    spp_per_device = -(-samples_per_pixel // n_sample)
+    # same estimator as Scene.render: fold the reference's first-bounce
+    # diffuse fan (diffuse.py:34-83) into the effective sample count
+    eff_spp = samples_per_pixel * scene._diffuse_fan()
+    spp_per_device = -(-eff_spp // n_sample)
     W, H = scene.camera.screen_width, scene.camera.screen_height
     static, data = compile_scene(scene)
-    settings = RenderSettings(max_bounces=min(static.max_object_depth + 2, 12))
+    # shared bounce-budget derivation — sharded and single-chip renders of
+    # the same scene must trace identical path lengths
+    settings = RenderSettings(max_bounces=derive_max_bounces(static))
     run = build_sharded_render(static, settings, mesh, W, H, spp_per_device)
     acc = run(jax.random.PRNGKey(seed), data, scene.camera.params())
     linear = acc / (n_sample * spp_per_device)

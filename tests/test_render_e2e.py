@@ -146,3 +146,67 @@ def test_get_distances_aov():
     # center pixel: distance 4 -> 0.4 of max_r_distance 10; corners miss -> 1.0
     assert abs(img[4, 4, 0] - 0.4) < 0.05
     assert img[0, 0, 0] > 0.95
+
+
+def test_checkpoint_bare_name_resume(tmp_path):
+    # np.savez appends .npz; resume must work for a suffix-less path too
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8)
+    sc.add(Sphere(material=Emissive(color=rgb(0.4, 0.6, 0.8)),
+                  center=vec3(0, 0, -3), radius=1.5))
+    ck = str(tmp_path / "bare_ckpt")     # no .npz suffix
+    a = np.asarray(sc.render(samples_per_pixel=4, batch_size=2, seed=5,
+                             checkpoint_path=ck, checkpoint_every=1))
+    import os
+    assert os.path.exists(ck + ".npz")
+    from raytracer_tpu.core.scene import _load_checkpoint
+    loaded = _load_checkpoint(ck, 8 * 8, 2, 5)
+    assert loaded is not None and loaded[1] == 2  # both chunks recorded
+    b = np.asarray(sc.render(samples_per_pixel=4, batch_size=2, seed=5,
+                             checkpoint_path=ck))
+    assert np.array_equal(a, b)
+
+
+def test_diffuse_fan_multiplies_samples():
+    # reference parity: each camera sample fans into diffuse_rays paths at
+    # the first diffuse hit (diffuse.py:34-83); render() folds the fan into
+    # the effective sample count
+    def build(fan):
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                      screen_width=8, screen_height=8)
+        sc.add(Plane(material=Diffuse(diff_color=rgb(0.5, 0.5, 0.5),
+                                      diffuse_rays=fan),
+                     center=vec3(0, 0, -2), width=100.0, height=100.0,
+                     u_axis=vec3(1, 0, 0), v_axis=vec3(0, 1, 0)))
+        sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                      center=vec3(0, 0, 0), radius=30.0, shadow=False))
+        return sc
+
+    _, s1 = build(1).render(samples_per_pixel=4, return_stats=True)
+    _, s5 = build(5).render(samples_per_pixel=4, return_stats=True)
+    assert s1["samples"] == 4
+    assert s5["samples"] == 20
+    # same estimator in expectation: fan=1 at 20 spp == fan=5 at 4 spp
+    a = np.asarray(build(1).render(samples_per_pixel=20, seed=1),
+                   np.float32) / 255.0
+    b = np.asarray(build(5).render(samples_per_pixel=4, seed=2),
+                   np.float32) / 255.0
+    assert abs(a.mean() - b.mean()) < 0.03
+
+
+def test_bounce_budget_shared_derivation():
+    # one derivation for Scene.render / render_sharded / get_raycolor
+    from raytracer_tpu.core.compile import compile_scene, derive_max_bounces
+
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8)
+    sc.add(Sphere(material=Refractive(n=vec3(1.5, 1.5, 1.5)),
+                  center=vec3(0, 0, -3), radius=1.0, max_ray_depth=4))
+    sc.add(Plane(material=Diffuse(diff_color=rgb(0.5, 0.5, 0.5)),
+                 center=vec3(0, -2, 0), width=100.0, height=100.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
+    static, _, settings = sc._settings_for_render(False)
+    assert settings.max_bounces == derive_max_bounces(static) == 7  # 4 + 3

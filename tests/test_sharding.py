@@ -76,3 +76,35 @@ def test_sharded_textured_scene():
     ref = np.asarray(sc.render(samples_per_pixel=8), dtype=np.float32) / 255.0
     # different RNG streams across shards: statistical agreement
     assert np.allclose(img.mean(), ref.mean(), atol=0.05)
+
+
+def test_sharded_cornell_mean_and_variance():
+    # Estimator equivalence at meaningful spp: sharded and single-chip
+    # renders of the SAME Cornell scene must agree in per-pixel mean (within
+    # sampling error) AND in noise level — this would catch a diverging
+    # bounce budget (both paths share core.compile.derive_max_bounces) or a
+    # missing diffuse fan on either path.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from example_cornellbox import build_cornell
+
+    mesh = make_mesh(n_sample_shards=8, n_pixel_shards=1)
+    seeds = (11, 12, 13)
+    sh, sg = [], []
+    for s in seeds:
+        sc = build_cornell(16, 16)
+        sh.append(render_sharded(sc, samples_per_pixel=2, mesh=mesh, seed=s))
+        sg.append(np.asarray(sc.render(samples_per_pixel=2, seed=s),
+                             np.float32) / 255.0)
+    sh, sg = np.stack(sh), np.stack(sg)
+    mean_sh, mean_sg = sh.mean(0), sg.mean(0)
+    # z-test on the image mean: SE from the seed-to-seed scatter
+    se = (sh.mean((1, 2, 3)).std() + sg.mean((1, 2, 3)).std()) / np.sqrt(len(seeds))
+    assert abs(mean_sh.mean() - mean_sg.mean()) < max(4 * se, 0.02), (
+        mean_sh.mean(), mean_sg.mean(), se)
+    # matching noise level: per-pixel std across seeds, pooled over pixels
+    var_sh = sh.std(0).mean()
+    var_sg = sg.std(0).mean()
+    assert 0.5 < (var_sh + 1e-4) / (var_sg + 1e-4) < 2.0, (var_sh, var_sg)
