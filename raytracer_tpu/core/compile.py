@@ -332,6 +332,28 @@ def derive_max_bounces(static: "SceneStatic", cap: int = 12) -> int:
     return min(max(capped or [0]) + extra, cap)
 
 
+def derive_split_k(static: "SceneStatic", cap: int = 3) -> int:
+    """Deterministic Fresnel-split levels for this scene (0 = none).
+
+    The reference carries BOTH branches at refractive (mc=False,
+    refractive.py:102-110) and thin-film (thin_film_interference.py:75-113)
+    hits; the wavefront enumerates 2^k branch patterns as extra samples
+    (RenderSettings.split_k).  k is the deepest split-capable recursion,
+    capped — deeper splits fall back to stochastic selection.
+
+    Auto-enabled only for Whitted-style scenes (no Diffuse): there the branch
+    noise is the dominant (visible) noise source and the 2^k multiplier is
+    the reference's own cost model.  In MC path-traced scenes the diffuse fan
+    dominates variance, so the single-branch stochastic estimator is kept
+    (set Scene.settings.split_k explicitly to force splitting there).
+    """
+    if MAT_DIFFUSE in static.mat_types_present:
+        return 0
+    depths = [r.max_depth for r in static.obj_records
+              if r.mat_type in (MAT_REFRACTIVE, MAT_THINFILM) and not r.mc]
+    return min(max(depths or [0]), cap)
+
+
 class _Builder:
     def __init__(self):
         self.spheres = []          # (center, radius)

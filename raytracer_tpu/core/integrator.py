@@ -50,6 +50,16 @@ class RenderSettings:
 
     max_bounces: int = 8
     nudge_eps: float = NUDGE_EPS
+    # deterministic Fresnel branch-splitting depth: the reference carries
+    # BOTH branches at every refractive (mc=False, refractive.py:102-110) and
+    # thin-film (thin_film_interference.py:75-113) hit — 2^depth recursion.
+    # The wavefront equivalent enumerates the 2^split_k branch patterns as
+    # extra samples: each path carries a static `pattern` integer and takes
+    # branch bit[j] at its j-th split with weight F or T (no probability
+    # division); summed over a full pattern block this reproduces the
+    # reference's deterministic tree exactly up to split_k levels (stochastic
+    # beyond).  0 = fully stochastic selection.
+    split_k: int = 0
     # collect per-bounce ray counts for the Mrays/s metric
     collect_stats: bool = False
     # unroll factor of the lax.scan bounce loop (1 = single compiled body;
@@ -85,6 +95,10 @@ class ShadeCtx:
     obj_max_depth: Any   # (N,) int32
     obj_mc: Any      # (N,) bool
     eps: Any         # (N,) scale-aware nudge offsets
+    # deterministic-split state (see RenderSettings.split_k)
+    pattern: Any = None    # (N,) int32 branch pattern, bit j = j-th split
+    split_cnt: Any = None  # (N,) int32 deterministic splits consumed so far
+    split_k: int = 0
     wavelengths: Any = WAVELENGTHS_NM
 
 
@@ -113,10 +127,14 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
     return N
 
 
-def trace(key, origin, direction, n_re, n_im, data, static, settings):
+def trace(key, origin, direction, n_re, n_im, data, static, settings,
+          pattern=None):
     """Trace a wavefront of rays to completion.
 
     origin/direction: (N, 3); n_re/n_im: (N, 3) starting medium IoR.
+    pattern: (N,) int32 deterministic branch patterns (required when
+    settings.split_k > 0; Scene.render derives it from the sample index so
+    every block of 2^split_k samples enumerates all branch combinations).
     Returns (radiance (N, 3), stats dict of scalar counters).
     """
     n = origin.shape[0]
@@ -126,8 +144,11 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         stats = {"rays_traced": jnp.asarray(n, jnp.int32)} if settings.collect_stats else {}
         return f3(0.0), stats
 
+    if pattern is None:
+        pattern = jnp.zeros((n,), jnp.int32)
+
     def bounce_body(carry, bounce):
-        (L, beta, alive, depth, diffuse_refl,
+        (L, beta, alive, depth, diffuse_refl, split_cnt,
          O, D, n_re, n_im, rays_traced) = carry
 
         t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
@@ -158,6 +179,7 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         inc_refl = jnp.zeros((n,), bool)
         inc_trans = jnp.zeros((n,), bool)
         inc_diff = jnp.zeros((n,), bool)
+        inc_split = jnp.zeros((n,), bool)
 
         for mt in static.mat_types_present:
             if mt not in _SHADERS:
@@ -170,6 +192,8 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
                 t=t, P=P, N=N_shad, uv=uv, orient=orient,
                 mat_slot=mat_slot, obj_max_depth=obj_max_depth,
                 obj_mc=obj_mc, eps=eps,
+                pattern=pattern, split_cnt=split_cnt,
+                split_k=settings.split_k,
             )
             out = _SHADERS[mt](ctx)
             m = (mat_type == mt)
@@ -184,6 +208,7 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
             inc_refl = jnp.where(m, out.is_reflection, inc_refl)
             inc_trans = jnp.where(m, out.is_transmission, inc_trans)
             inc_diff = jnp.where(m, out.is_diffuse, inc_diff)
+            inc_split = jnp.where(m, out.did_split, inc_split)
 
         shaded = alive & ~miss
         L = L + jnp.where(shaded[..., None], beta * add, 0.0)
@@ -199,11 +224,12 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         n_im = jnp.where(a3, new_n_im, n_im)
         depth = depth + alive.astype(jnp.int32)
         diffuse_refl = diffuse_refl + (alive & inc_diff).astype(jnp.int32)
+        split_cnt = split_cnt + (shaded & inc_split).astype(jnp.int32)
         del inc_refl, inc_trans  # reflection/transmission counts are not
         # consumed by any termination rule (the reference tracks them on the
         # Ray record but never reads them, ray.py:31-33) — keeping them in the
         # scan carry would cost two (N,) HBM round-trips per bounce.
-        carry = (L, beta, alive, depth, diffuse_refl,
+        carry = (L, beta, alive, depth, diffuse_refl, split_cnt,
                  O, D, n_re, n_im, rays_traced)
         return carry, None
 
@@ -219,6 +245,7 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings):
         z1 < 1.0,                      # alive (all True)
         z1.astype(jnp.int32),          # depth
         z1.astype(jnp.int32),          # diffuse_reflections
+        z1.astype(jnp.int32) + pattern * 0,  # split_cnt (varying like rays)
         origin, direction, n_re, n_im,
         z1.astype(jnp.int32).sum(),    # rays_traced
     )

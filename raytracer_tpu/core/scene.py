@@ -31,7 +31,7 @@ from ..backgrounds.environment import Panorama, SkyBox
 from ..utils.colour import srgb_linear_to_srgb
 from ..utils.image_io import array_to_pil
 from .camera import Camera, generate_rays
-from .compile import compile_scene, derive_max_bounces
+from .compile import compile_scene, derive_max_bounces, derive_split_k
 from .integrator import RenderSettings, trace, trace_distances
 from .vec import as_complex3, as_float3
 
@@ -45,7 +45,15 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp):
     O, D = generate_rays(k_ray, cam, width, height, spp)
     n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
-    L, stats = trace(k_trace, O, D, n_re, n_im, data, static, settings)
+    # branch pattern per ray: rays are [sample, pixel]-ordered and spp is a
+    # multiple of 2^split_k, so each pixel sees every pattern equally often
+    pattern = None
+    if settings.split_k > 0:
+        n_pix = width * height
+        pattern = (jnp.arange(spp * n_pix, dtype=jnp.int32) // n_pix) \
+            % (1 << settings.split_k)
+    L, stats = trace(k_trace, O, D, n_re, n_im, data, static, settings,
+                     pattern=pattern)
     # scrub rare non-finite samples (grazing-angle degeneracies in f32) so a
     # one-in-10^7 ray cannot blacken a pixel; surfaced via stats
     finite = jnp.isfinite(L)
@@ -184,10 +192,12 @@ class Scene:
         if max_b == RenderSettings.max_bounces:
             # shared derivation (also used by render_sharded / get_raycolor)
             max_b = derive_max_bounces(static)
+        split_k = self.settings.split_k or derive_split_k(static)
         settings = RenderSettings(max_bounces=max_b,
                                   nudge_eps=self.settings.nudge_eps,
                                   collect_stats=collect_stats,
-                                  use_pallas=self.settings.use_pallas)
+                                  use_pallas=self.settings.use_pallas,
+                                  split_k=split_k)
         return static, data, settings
 
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
@@ -226,10 +236,15 @@ class Scene:
         cam = self.camera.params()
 
         # reference estimator parity: each camera sample fans into
-        # `diffuse_rays` paths at the first diffuse hit (diffuse.py:34-83);
-        # here the fan multiplies the number of full paths traced instead
-        eff_spp = samples_per_pixel * self._diffuse_fan()
+        # `diffuse_rays` paths at the first diffuse hit (diffuse.py:34-83)
+        # and into 2^split_k deterministic Fresnel branch patterns
+        # (refractive.py:102-110); both multiply the paths traced
+        split_fan = 1 << settings.split_k
+        eff_spp = samples_per_pixel * self._diffuse_fan() * split_fan
         chunk = batch_size or max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
+        # every chunk must cover whole pattern blocks, or the enumerated
+        # branch weights (2F / 2T) would not average back to F + T
+        chunk = max(split_fan, chunk - chunk % split_fan)
         n_chunks = -(-eff_spp // chunk)
 
         base_key = jax.random.PRNGKey(seed)

@@ -44,6 +44,7 @@ class ShadeOut:
     is_reflection: Any    # (N,) bool counter increments
     is_transmission: Any
     is_diffuse: Any
+    did_split: Any = None    # (N,) bool — consumed a deterministic split bit
 
 
 def _zeros_out(ctx):
@@ -52,7 +53,29 @@ def _zeros_out(ctx):
     b = jnp.zeros((n,), bool)
     return ShadeOut(add=f, beta_mult=jnp.ones_like(f), new_origin=ctx.P,
                     new_dir=ctx.D, new_n_re=ctx.n_re, new_n_im=ctx.n_im,
-                    cont=b, is_reflection=b, is_transmission=b, is_diffuse=b)
+                    cont=b, is_reflection=b, is_transmission=b, is_diffuse=b,
+                    did_split=b)
+
+
+def _split_branch(ctx, cont):
+    """Deterministic Fresnel branch selection (reference refractive.py:102-110,
+    thin_film_interference.py:75-113 carry BOTH branches).
+
+    Returns (det, take_second, did_split): det marks rays whose branch is
+    chosen by bit[split_cnt] of the enumerated pattern instead of a coin flip;
+    their throughput uses weight 2*F or 2*T — exactly half of a full
+    2^split_k pattern block takes each branch, so the block average
+    reproduces F*L_reflect + T*L_refract with ZERO branch-selection noise,
+    the reference's deterministic recursion tree.
+    """
+    if ctx.split_k <= 0 or ctx.pattern is None:
+        n = ctx.P.shape[0]
+        z = jnp.zeros((n,), bool)
+        return z, z, z
+    det = (~ctx.obj_mc) & (ctx.split_cnt < ctx.split_k) & cont
+    bit = jnp.bitwise_and(
+        jnp.right_shift(ctx.pattern, jnp.minimum(ctx.split_cnt, 30)), 1) == 1
+    return det, bit, det
 
 
 # ---------------------------------------------------------------------------
@@ -345,17 +368,29 @@ def shade_refractive(ctx):
     w_refr = T / jnp.maximum(p_refr, 1e-9)[..., None]
     w_refl = F / jnp.maximum(1.0 - p_refr, 1e-9)[..., None]
 
+    cont = ctx.depth < ctx.obj_max_depth
+    # deterministic two-branch splitting (reference default, mc=False):
+    # bit[split_cnt] of the sample's pattern picks the branch; raw F/T weight
+    det, bit, did_split = _split_branch(ctx, cont)
+    take_refr = jnp.where(det, bit & non_tir, take_refr)
+    w = jnp.where(take_refr[..., None],
+                  jnp.where(det[..., None], 2.0 * T, w_refr),
+                  jnp.where(det[..., None], 2.0 * F, w_refl))
+    # a pattern demanding refraction under TIR carries zero energy: kill it
+    cont = cont & ~(det & bit & ~non_tir)
+
     out.add = jnp.zeros_like(F)
-    out.beta_mult = absorb * jnp.where(take_refr[..., None], w_refr, w_refl)
+    out.beta_mult = absorb * w
     out.new_dir = jnp.where(take_refr[..., None], refr_dir, refl_dir)
     out.new_origin = jnp.where(take_refr[..., None],
                                ctx.P - N * ctx.eps[..., None],
                                ctx.P + N * ctx.eps[..., None])
     out.new_n_re = jnp.where(take_refr[..., None], n2_re, ctx.n_re)
     out.new_n_im = jnp.where(take_refr[..., None], n2_im, ctx.n_im)
-    out.cont = ctx.depth < ctx.obj_max_depth
+    out.cont = cont
     out.is_reflection = out.cont & ~take_refr
     out.is_transmission = out.cont & take_refr
+    out.did_split = did_split
     return out
 
 
@@ -406,7 +441,16 @@ def shade_thinfilm(ctx):
     w_refl = F / jnp.maximum(F_avg, 1e-9)[..., None]
     w_tran = T / jnp.maximum(1.0 - F_avg, 1e-9)[..., None]
 
-    out.beta_mult = jnp.where(take_refl[..., None], w_refl, w_tran)
+    # deterministic split (the reference ALWAYS carries both film branches,
+    # thin_film_interference.py:75-113); bit=1 -> reflect here
+    det, bit, did_split = _split_branch(ctx, out.cont)
+    take_refl = jnp.where(det, bit, take_refl)
+    out.did_split = did_split
+
+    out.beta_mult = jnp.where(
+        take_refl[..., None],
+        jnp.where(det[..., None], 2.0 * F, w_refl),
+        jnp.where(det[..., None], 2.0 * T, w_tran))
     out.new_dir = jnp.where(take_refl[..., None], _reflect(ctx.D, N), ctx.D)
     out.new_origin = jnp.where(take_refl[..., None],
                                ctx.P + N * ctx.eps[..., None],

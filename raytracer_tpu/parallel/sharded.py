@@ -79,7 +79,14 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
                                  rows=rows)
             n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
             n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
-            L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings)
+            pattern = None
+            if settings.split_k > 0:
+                n_band = rows * width
+                pattern = (jnp.arange(spp_per_device * n_band,
+                                      dtype=jnp.int32)
+                           // n_band) % (1 << settings.split_k)
+            L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings,
+                         pattern=pattern)
         band = L.reshape(spp_per_device, rows * width, 3).sum(axis=0)
         # all-reduce over the sample axis: each pixel shard ends up with the
         # full sample sum for its band (the Pool '+=' loop, as one collective)
@@ -103,19 +110,25 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
 
     samples_per_pixel is rounded up to a multiple of the sample-shard count.
     """
-    from ..core.compile import compile_scene, derive_max_bounces
+    from ..core.compile import (compile_scene, derive_max_bounces,
+                                derive_split_k)
 
     mesh = mesh or make_mesh()
     n_sample = mesh.shape["sample"]
-    # same estimator as Scene.render: fold the reference's first-bounce
-    # diffuse fan (diffuse.py:34-83) into the effective sample count
-    eff_spp = samples_per_pixel * scene._diffuse_fan()
-    spp_per_device = -(-eff_spp // n_sample)
     W, H = scene.camera.screen_width, scene.camera.screen_height
     static, data = compile_scene(scene)
-    # shared bounce-budget derivation — sharded and single-chip renders of
-    # the same scene must trace identical path lengths
-    settings = RenderSettings(max_bounces=derive_max_bounces(static))
+    # shared derivations — sharded and single-chip renders of the same scene
+    # must trace identical path lengths with the same estimator
+    split_k = derive_split_k(static)
+    settings = RenderSettings(max_bounces=derive_max_bounces(static),
+                              split_k=split_k)
+    # fold the reference's first-bounce diffuse fan (diffuse.py:34-83) and
+    # the 2^split_k deterministic branch patterns into the sample count
+    eff_spp = samples_per_pixel * scene._diffuse_fan() * (1 << split_k)
+    spp_per_device = -(-eff_spp // n_sample)
+    # whole pattern blocks per device (the 2F/2T weights average per block)
+    split_fan = 1 << split_k
+    spp_per_device = -(-spp_per_device // split_fan) * split_fan
     run = build_sharded_render(static, settings, mesh, W, H, spp_per_device)
     acc = run(jax.random.PRNGKey(seed), data, scene.camera.params())
     linear = acc / (n_sample * spp_per_device)

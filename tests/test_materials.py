@@ -53,3 +53,52 @@ def test_glossy_schlick_bounds():
     cos = np.linspace(0, 1, 32)
     F = F0 + (1 - F0) * (1 - cos) ** 5
     assert F.min() >= F0 - 1e-9 and F.max() <= 1.0 + 1e-9
+
+
+def test_deterministic_split_exact_and_unbiased():
+    """Deterministic two-branch refraction (reference refractive.py:102-110).
+
+    A glass sphere inside a uniform emissive furnace: every branch of the
+    Fresnel tree terminates on the same radiance L0, and the branch weights
+    at each split sum to F + T = 1, so the pattern-block estimator returns
+    L0 (almost) deterministically — seed-to-seed variance ~0 — while the
+    stochastic estimator (mc=True) shows real branch-selection noise.
+    """
+    import numpy as np
+    from raytracer_tpu import Emissive, Refractive, Scene, Sphere, rgb, vec3
+    from raytracer_tpu.utils.colour import srgb_linear_to_srgb
+
+    L0 = 0.6
+
+    def build(mc):
+        sc = Scene(ambient_color=rgb(0, 0, 0))
+        sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, -1),
+                      screen_width=8, screen_height=8, field_of_view=30)
+        sc.add(Sphere(material=Refractive(n=vec3(1.5, 1.5, 1.5)),
+                      center=vec3(0, 0, 0), radius=0.7, shadow=False,
+                      max_ray_depth=4, mc=mc))
+        sc.add(Sphere(material=Emissive(color=rgb(L0, L0, L0)),
+                      center=vec3(0, 0, 0), radius=20.0, shadow=False))
+        return sc
+
+    def center_vals(mc, spp, seeds):
+        return np.array([
+            np.asarray(build(mc).render(samples_per_pixel=spp, seed=s),
+                       np.float32)[3:5, 3:5, 0].mean() / 255.0
+            for s in seeds])
+
+    from raytracer_tpu.core.compile import compile_scene, derive_split_k
+    static, _ = compile_scene(build(False))
+    assert derive_split_k(static) == 3
+    assert derive_split_k(compile_scene(build(True))[0]) == 0
+
+    expected = float(srgb_linear_to_srgb(np.full((1, 3), L0))[0, 0])
+    det = center_vals(False, 2, seeds=(1, 2, 3))        # eff 2*8 paths
+    sto = center_vals(True, 16, seeds=(1, 2, 3))        # same path count
+    # unbiased: both estimators sit on the furnace value
+    assert abs(det.mean() - expected) < 0.02, (det, expected)
+    assert abs(sto.mean() - expected) < 0.08, (sto, expected)
+    # the deterministic tree has (almost) no branch-selection variance:
+    # residual wiggle is only the 3rd-order stochastic tail + AA jitter
+    assert det.std() <= sto.std() + 1e-4, (det.std(), sto.std())
+    assert det.std() < 0.01, det.std()
