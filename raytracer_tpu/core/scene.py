@@ -77,7 +77,8 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
         cam.origin, cam.fwd, cam.right, cam.up,
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
     L, rays = pallas_trace_chunk(seed, data, cam_vec, static, width, height,
-                                 spp, settings.max_bounces, interpret)
+                                 spp, settings.max_bounces, interpret,
+                                 settings.split_k)
     finite = jnp.isfinite(L)
     stats = {}
     if settings.collect_stats:
@@ -100,7 +101,8 @@ def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
         cam.origin, cam.fwd, cam.right, cam.up,
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
     L, rays = pallas_record_chunk(seed, data, cam_vec, static, width, height,
-                                  spp, settings.max_bounces, interpret)
+                                  spp, settings.max_bounces, interpret,
+                                  settings.split_k)
     finite = jnp.isfinite(L)
     stats = {}
     if settings.collect_stats:

@@ -130,7 +130,7 @@ def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
     return (d22 * dp1 - d12 * dp2) / det, (d11 * dp2 - d12 * dp1) / det
 
 
-def _make_record_kernel(static, width, height, max_bounces, n_pix,
+def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                         lam=WAVELENGTHS_NM):
     records = static.obj_records
     groups, order = _shading_groups(static)
@@ -184,6 +184,9 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix,
         alive = jnp.ones(shape, bool)
         depth = jnp.zeros(shape, jnp.int32)
         dcnt = jnp.zeros(shape, jnp.int32)
+        scnt = jnp.zeros(shape, jnp.int32)
+        # deterministic Fresnel-split pattern (see ops/pallas_trace.py)
+        pattern = jnp.remainder(idx // n_pix, 1 << split_k) if split_k else None
         count = jnp.zeros((), jnp.int32)
 
         grow = [[geom_ref[i, j] for j in range(24)] for i in range(len(records))]
@@ -392,10 +395,26 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix,
                     absorb = [jnp.exp(-2.0 * nim[k] * (2.0 * math.pi / lam[k]) * 1e9 * t)
                               for k in range(3)]
                     cont = depth < maxd
+                    if split_k and not mc:
+                        # deterministic branch from the pattern bit, weight
+                        # 2F / 2T (see core/integrator.py for the derivation)
+                        det = scnt < split_k
+                        bit = jnp.bitwise_and(
+                            jnp.right_shift(pattern, scnt), 1) == 1
+                        take_refr = jnp.where(det, bit & non_tir, take_refr)
+                        cont = cont & ~(det & bit & ~non_tir)
                     gc = g & cont
+                    if split_k and not mc:
+                        scnt = scnt + (gc & det).astype(jnp.int32)
                     for k in range(3):
-                        w_r = T[k] / jnp.maximum(p_refr, 1e-9)
-                        w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
+                        if split_k and not mc:
+                            w_r = jnp.where(det, 2.0 * T[k],
+                                            T[k] / jnp.maximum(p_refr, 1e-9))
+                            w_l = jnp.where(det, 2.0 * F[k],
+                                            F[k] / jnp.maximum(1.0 - p_refr, 1e-9))
+                        else:
+                            w_r = T[k] / jnp.maximum(p_refr, 1e-9)
+                            w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
                         betab[k] = jnp.where(
                             gc, absorb[k] * jnp.where(take_refr, w_r, w_l), betab[k])
                         new_nre[k] = jnp.where(gc & take_refr, n2r_l[k], new_nre[k])
@@ -411,11 +430,22 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix,
                     new_alive = new_alive | gc
 
                 elif mt == MAT_THINFILM:
-                    # coin-flip branch; F/T weight deferred to the LUT replay
+                    # branch selection; the F/T weight is ALWAYS deferred to
+                    # the LUT replay as 2F / 2T, which is simultaneously the
+                    # fair-coin importance weight and the deterministic
+                    # pattern-block weight — only the chooser differs
                     cos_i = jnp.clip(-(dx * nx + dy * ny + dz * nz), 0.0, 1.0)
                     cont = depth < maxd
                     gc = g & cont
                     take_refl = ru[0] < 0.5
+                    if split_k and not mc:
+                        det = scnt < split_k
+                        take_refl = jnp.where(
+                            det,
+                            jnp.bitwise_and(
+                                jnp.right_shift(pattern, scnt), 1) == 1,
+                            take_refl)
+                        scnt = scnt + (gc & det).astype(jnp.int32)
                     ddn = dx * nx + dy * ny + dz * nz
                     rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
                                                 dy - ny * 2.0 * ddn,
@@ -661,11 +691,14 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
 
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
-                                             "spp", "max_bounces", "interpret"))
+                                             "spp", "max_bounces", "interpret",
+                                             "split_k"))
 def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
-                        max_bounces, interpret=False):
+                        max_bounces, interpret=False, split_k=0):
     """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
 
+    split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
+    spp must then be a multiple of 2^split_k.
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
     """
     n_pix = width * height
@@ -695,7 +728,8 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
                               data.scene_n_im,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
-    kernel = _make_record_kernel(static, width, height, max_bounces, n_pix)
+    kernel = _make_record_kernel(static, width, height, max_bounces, n_pix,
+                                 split_k)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(

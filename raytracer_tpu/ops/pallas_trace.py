@@ -246,7 +246,8 @@ def _normal_for(rec, g, px, py, pz):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(static, width, height, spp, max_bounces, n_pix, lam=WAVELENGTHS_NM):
+def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
+                 lam=WAVELENGTHS_NM):
     records = static.obj_records
     # shading groups: objects sharing (material, depth-cap, mc) shade together
     groups = {}
@@ -307,6 +308,11 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, lam=WAVELENGTHS
         alive = jnp.ones(shape, bool)
         depth = jnp.zeros(shape, jnp.int32)
         dcnt = jnp.zeros(shape, jnp.int32)
+        scnt = jnp.zeros(shape, jnp.int32)
+        # deterministic Fresnel-split pattern: sample index mod 2^split_k
+        # (same enumeration as core/integrator.py; spp is a multiple of the
+        # block so each pixel covers every pattern equally)
+        pattern = jnp.remainder(idx // n_pix, 1 << split_k) if split_k else None
         count = jnp.zeros((), jnp.int32)
 
         grow = [[geom_ref[i, j] for j in range(24)] for i in range(len(records))]
@@ -499,10 +505,27 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, lam=WAVELENGTHS
                     absorb = [jnp.exp(-2.0 * nim[k] * (2.0 * math.pi / lam[k]) * 1e9 * t)
                               for k in range(3)]
                     cont = depth < maxd
+                    if split_k and not mc:
+                        # deterministic branch from the pattern bit, weight
+                        # 2F / 2T (half of each pattern block takes each
+                        # branch) — core/integrator.py has the derivation
+                        det = scnt < split_k
+                        bit = jnp.bitwise_and(
+                            jnp.right_shift(pattern, scnt), 1) == 1
+                        take_refr = jnp.where(det, bit & non_tir, take_refr)
+                        cont = cont & ~(det & bit & ~non_tir)
                     gc = g & cont
+                    if split_k and not mc:
+                        scnt = scnt + (gc & det).astype(jnp.int32)
                     for k in range(3):
-                        w_r = T[k] / jnp.maximum(p_refr, 1e-9)
-                        w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
+                        if split_k and not mc:
+                            w_r = jnp.where(det, 2.0 * T[k],
+                                            T[k] / jnp.maximum(p_refr, 1e-9))
+                            w_l = jnp.where(det, 2.0 * F[k],
+                                            F[k] / jnp.maximum(1.0 - p_refr, 1e-9))
+                        else:
+                            w_r = T[k] / jnp.maximum(p_refr, 1e-9)
+                            w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
                         bmul[k] = jnp.where(gc, absorb[k] * jnp.where(take_refr, w_r, w_l),
                                             bmul[k])
                         new_nre[k] = jnp.where(gc & take_refr, n2r_l[k], new_nre[k])
@@ -640,12 +663,15 @@ def _pad_rows(a, min_rows=1):
 
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
-                                             "spp", "max_bounces", "interpret"))
+                                             "spp", "max_bounces", "interpret",
+                                             "split_k"))
 def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
-                       max_bounces, interpret=False):
+                       max_bounces, interpret=False, split_k=0):
     """Trace one spp-chunk with the mega-kernel.
 
     seed: int32 scalar array; cam_vec: (16,) f32.
+    split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
+    spp must then be a multiple of 2^split_k.
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
     """
     n_pix = width * height
@@ -677,7 +703,8 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                               data.scene_n_im,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
-    kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix)
+    kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
+                          split_k)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(

@@ -71,7 +71,8 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
                 jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
             L, _ = pallas_trace_chunk(seed, data, cam_vec, static, width,
                                       height, spp_per_device,
-                                      settings.max_bounces, False)
+                                      settings.max_bounces, False,
+                                      settings.split_k)
         else:
             k_ray, k_trace = jax.random.split(k)
             O, D = generate_rays(k_ray, cam, width, height, spp_per_device,

@@ -62,3 +62,31 @@ def test_thinfilm_ibl_statistical_match():
     a, b = both(sc, 32)
     assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
                        atol=0.03)
+
+
+def test_deterministic_split_record_matches_jnp():
+    """Thin-film furnace: both branches terminate on the same radiance, so
+    with deterministic splitting (reference thin_film_interference.py:75-113
+    always carries both) record+replay and jnp agree tightly, not just
+    statistically."""
+    import numpy as np
+    from raytracer_tpu import (Emissive, RenderSettings, Scene, Sphere,
+                               ThinFilmInterference, rgb, vec3)
+    from raytracer_tpu.core.compile import compile_scene, derive_split_k
+
+    sc = Scene(ambient_color=rgb(0, 0, 0))
+    sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8, field_of_view=30)
+    sc.add(Sphere(material=ThinFilmInterference(thickness=330, noise=0.0),
+                  center=vec3(0, 0, 0), radius=0.7, shadow=False,
+                  max_ray_depth=3))
+    sc.add(Sphere(material=Emissive(color=rgb(0.6, 0.6, 0.6)),
+                  center=vec3(0, 0, 0), radius=20.0, shadow=False))
+    static, _ = compile_scene(sc)
+    assert static.pallas_tex_ok and derive_split_k(static) == 3
+
+    a = np.asarray(sc.render(samples_per_pixel=2, seed=0), np.float32) / 255.0
+    sc.settings = RenderSettings(use_pallas="always")
+    b = np.asarray(sc.render(samples_per_pixel=2, seed=0), np.float32) / 255.0
+    assert np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max() < 0.02, (
+        np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max())

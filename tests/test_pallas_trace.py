@@ -121,3 +121,24 @@ def test_checkpoint_resume_pallas(tmp_path):
     b = np.asarray(sc.render(samples_per_pixel=4, batch_size=2, seed=5,
                              checkpoint_path=ck))
     assert np.array_equal(a, b)
+
+
+def test_deterministic_split_kernel_matches_jnp():
+    """Glass furnace: with deterministic splitting both paths' estimates are
+    (nearly) RNG-free, so kernel and jnp must agree tightly — not just
+    statistically (reference refractive.py:102-110 tree, split_k=3)."""
+    sc = Scene(ambient_color=rgb(0, 0, 0))
+    sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8, field_of_view=30)
+    sc.add(Sphere(material=Refractive(n=vec3(1.5, 1.5, 1.5)),
+                  center=vec3(0, 0, 0), radius=0.7, shadow=False,
+                  max_ray_depth=4))
+    sc.add(Sphere(material=Emissive(color=rgb(0.6, 0.6, 0.6)),
+                  center=vec3(0, 0, 0), radius=20.0, shadow=False))
+    from raytracer_tpu.core.compile import compile_scene
+    static, _ = compile_scene(sc)
+    assert static.pallas_ok
+    a, b = both_renders(sc, 2)   # 16 paths each: full pattern blocks
+    # interior pixels see the furnace almost exactly via both trees
+    assert np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max() < 0.02, (
+        np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max())
