@@ -2,18 +2,26 @@
 """Benchmark: Cornell box path tracing on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": Mrays/s, "unit": "Mrays/s", "vs_baseline": x}
+  {"metric": ..., "value": Mrays/s, "unit": "Mrays/s", "vs_baseline": x, ...}
 
 Workload: the reference's Cornell box scene (example_cornellbox.py) at
-400x400 x 256 spp — the BASELINE.json target configuration.  `value` is
-path-tracing throughput (rays actually traced / steady-state wall-clock).
-`vs_baseline` is the speedup over the numpy reference on this host,
-anchored by scripts/measure_reference.py (BASELINE_MEASURED.json); the
-reference crashes on this machine's numpy 2.x for the Cornell scene, so the
-anchor extrapolates from its working configurations (see BASELINE.md).
+400x400 x 256 spp — the BASELINE.json target configuration.  Since round 2
+`samples_per_pixel` follows reference estimator semantics (each camera
+sample fans into diffuse_rays=20 first-bounce paths, diffuse.py:34-83), so
+256 spp traces 5120 paths/pixel — the SAME sample count the reference's own
+estimator draws at 256 spp.  `value` is path-tracing throughput (rays
+actually traced / steady-state wall-clock); `vs_baseline` is the speedup
+over the numpy reference's total-ray throughput measured on this host
+(scripts/measure_reference.py, BASELINE_MEASURED.json).
+
+Timing: median of REPS identical renders (first render per process pays
+executable-load/warmup and is excluded); IQR reported so round-over-round
+deltas are attributable.  Set RAYTPU_BENCH_EXAMPLES=0 to skip the
+per-example timings (examples 1-4, one render each at 16 spp).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,6 +30,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"))
 
 W, H, SPP = 400, 400, 256
+REPS = 5
+
+
+def _median_iqr(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    med = xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+    q1 = xs[max(0, n // 4)]
+    q3 = xs[min(n - 1, (3 * n) // 4)]
+    return med, q3 - q1
+
+
+def bench_examples():
+    """One timed render per example scene (second run in-process)."""
+    import importlib
+
+    out = {}
+    for name in ("example1", "example2", "example3", "example4"):
+        mod = importlib.import_module(name)
+        sc = mod.Sc
+        spp = 16
+        sc.render(samples_per_pixel=spp, batch_size=None, seed=1)  # warm
+        t0 = time.time()
+        _, stats = sc.render(samples_per_pixel=spp, seed=2, return_stats=True)
+        out[name] = {"wall_s": round(time.time() - t0, 3),
+                     "spp": spp, "samples": int(stats["samples"]),
+                     "mrays_per_s": round(stats["mrays_per_s"], 1)}
+    return out
 
 
 def main():
@@ -30,22 +66,22 @@ def main():
     sc = build_cornell(W, H)
 
     # warm up / compile with a single chunk of the same static shape
-    chunk = max(1, min(SPP, (1 << 22) // (W * H)))
-    sc.render(samples_per_pixel=chunk, batch_size=chunk, seed=1)
+    chunk = max(1, min(SPP * 20, (1 << 22) // (W * H)))
+    sc.render(samples_per_pixel=1, batch_size=chunk, seed=1)
 
-    # best of 2: host-side dispatch is sensitive to CPU contention on this
-    # single-core box; the min is the honest device throughput
-    wall = float("inf")
-    for rep in range(2):
+    walls = []
+    stats = None
+    for rep in range(REPS):
         t0 = time.time()
         img, stats = sc.render(samples_per_pixel=SPP, batch_size=chunk,
                                seed=rep, return_stats=True)
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
     img.save("/tmp/bench_cornell.png")
+    wall, iqr = _median_iqr(walls)
 
     mrays = stats["rays_traced"] / wall / 1e6
 
-    # baseline anchor: numpy reference primary-ray throughput on this host
+    # baseline anchor: numpy reference total-ray throughput on this host
     vs_baseline = None
     anchor = Path(__file__).parent / "BASELINE_MEASURED.json"
     if anchor.exists():
@@ -54,16 +90,24 @@ def main():
         if ref_mrays:
             vs_baseline = mrays / ref_mrays
 
-    print(json.dumps({
+    result = {
         "metric": "cornell_box_400x400_256spp_path_rays",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
         "wall_s_256spp": round(wall, 3),
+        "wall_iqr_s": round(iqr, 3),
+        "reps": REPS,
         "rays_traced": int(stats["rays_traced"]),
         "samples": int(stats["samples"]),
         "target_wall_s": 10.0,
-    }))
+    }
+    if os.environ.get("RAYTPU_BENCH_EXAMPLES", "1") != "0":
+        try:
+            result["examples"] = bench_examples()
+        except Exception as e:         # examples need assets; never fail bench
+            result["examples_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -98,6 +98,55 @@ def _texture_to_device(arr):
     return hit[1]
 
 
+# 10-bit-packed texture atlas for the record-path replay: XLA's TPU gather
+# costs ~13 ns/element regardless of dtype, so fetching an RGB texel as THREE
+# f32 gathers is 3x the irreducible cost.  Each texture packs to one uint32
+# per texel (10 bits/channel over a per-texture scale); the replay does ONE
+# gather per fetch round and decodes with VPU shifts.  Quantization error
+# <= scale/2046 — below the 8-bit granularity of the source images.
+_TEX_PACKED_CACHE = {}
+_ATLAS_CACHE = {}
+
+
+def _texture_packed(arr):
+    key = id(arr)
+    hit = _TEX_PACKED_CACHE.get(key)
+    if hit is None:
+        a = np.asarray(arr, dtype=F32)
+        if a.ndim == 2:
+            a = a[..., None].repeat(3, axis=-1)
+        a = np.ascontiguousarray(a[..., :3])
+        scale = float(max(1.0, np.max(a) if a.size else 1.0))
+        q = np.clip(a / scale * 1023.0 + 0.5, 0.0, 1023.0).astype(np.uint32)
+        packed = (q[..., 0] << 20) | (q[..., 1] << 10) | q[..., 2]
+        hit = (arr, jnp.asarray(packed.reshape(-1).astype(np.int32)), scale,
+               (int(a.shape[0]), int(a.shape[1])))
+        _TEX_PACKED_CACHE[key] = hit
+    return hit[1], hit[2], hit[3]
+
+
+def _texture_atlas(arrs):
+    """(atlas (total,) int32 device array, scales (T,) f32, shapes, offsets)."""
+    key = tuple(id(a) for a in arrs)
+    hit = _ATLAS_CACHE.get(key)
+    if hit is None:
+        parts, scales, shapes, offsets = [], [], [], []
+        off = 0
+        for a in arrs:
+            p, s, shp = _texture_packed(a)
+            parts.append(p)
+            scales.append(s)
+            shapes.append(shp)
+            offsets.append(off)
+            off += shp[0] * shp[1]
+        atlas = (jnp.concatenate(parts) if parts
+                 else jnp.zeros((1,), jnp.int32))
+        hit = (arrs, atlas, np.asarray(scales or [1.0], F32),
+               tuple(shapes), tuple(offsets))
+        _ATLAS_CACHE[key] = hit
+    return hit[1], hit[2], hit[3], hit[4]
+
+
 def _to_device(data):
     """Upload a numpy SceneData pytree with one transfer per dtype group.
 
@@ -230,6 +279,8 @@ class SceneData:
     scene_n_re: Any      # (3,)
     scene_n_im: Any      # (3,)
     pallas_geom: Any = None   # (O, 24) packed per-object geometry params
+    tex_atlas: Any = None     # (total,) int32 10-10-10-packed texels
+    tex_scale: Any = None     # (T,) f32 per-texture decode scale
 
 
 @dataclass(frozen=True)
@@ -295,6 +346,9 @@ class SceneStatic:
     # size (measured tree depth + 2, so DFS can never overflow the stack)
     use_tri_bvh: int = 0
     obj_records: Tuple[ObjRecord, ...] = ()
+    # texture-atlas geometry for the replay's single-gather fetch
+    tex_shapes: Tuple[Tuple[int, int], ...] = ()
+    tex_offsets: Tuple[int, ...] = ()
     pallas_tex_ok: bool = False
     # the Pallas mega-kernel handles solid-color scenes with modest object
     # counts; textured / env / LUT scenes use the jnp wavefront path
@@ -665,6 +719,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
                      and set(present) <= _PALLAS_TEX_TYPES)
 
+    atlas, tex_scale, tex_shapes, tex_offsets = _texture_atlas(tuple(b.textures))
+
     static = SceneStatic(
         n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=len(b.tris),
         n_objects=len(rows),
@@ -679,6 +735,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         thinfilm_noise=tuple(b.thinfilm_noise),
         env_slots=tuple(b.env_slots),
         normal_maps=nmaps,
+        tex_shapes=tex_shapes,
+        tex_offsets=tex_offsets,
         has_shadow_objects=any(r["shadow"] for r in rows),
         max_object_depth=max([r["max_depth"] for r in rows if r["max_depth"] < 999] or [5]),
         needs_uv=needs_uv,
@@ -696,5 +754,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         scene_n_re=_f(np.real(scene.n)),
         scene_n_im=_f(np.imag(scene.n)),
         pallas_geom=pallas_geom,
+        tex_atlas=atlas,
+        tex_scale=tex_scale,
     )
     return static, _to_device(data)

@@ -401,7 +401,10 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                         det = scnt < split_k
                         bit = jnp.bitwise_and(
                             jnp.right_shift(pattern, scnt), 1) == 1
-                        take_refr = jnp.where(det, bit & non_tir, take_refr)
+                        # mask logic, not where(): Mosaic cannot select
+                        # between mixed-width bool vectors (i8 vs i1)
+                        take_refr = ((det & bit & non_tir)
+                                     | (~det & take_refr))
                         cont = cont & ~(det & bit & ~non_tir)
                     gc = g & cont
                     if split_k and not mc:
@@ -440,11 +443,10 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                     take_refl = ru[0] < 0.5
                     if split_k and not mc:
                         det = scnt < split_k
-                        take_refl = jnp.where(
-                            det,
-                            jnp.bitwise_and(
-                                jnp.right_shift(pattern, scnt), 1) == 1,
-                            take_refl)
+                        bit = jnp.bitwise_and(
+                            jnp.right_shift(pattern, scnt), 1) == 1
+                        # mask logic, not where() — see the refractive note
+                        take_refl = (det & bit) | (~det & take_refl)
                         scnt = scnt + (gc & det).astype(jnp.int32)
                     ddn = dx * nx + dy * ny + dz * nz
                     rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
@@ -584,10 +586,21 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
 def _replay(rec_g, rec_f, data, static, max_bounces, n):
     """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3).
 
-    Vectorized over ALL bounces at once: one wrap-around gather per texture
-    for the full (B*N) uv set (instead of B small gathers), then the radiance
-    recursion collapses to an exclusive cumulative product over the short
-    bounce axis.
+    The whole replay performs exactly TWO gathers over the (B*N) record set,
+    both from the 10-10-10-bit packed texture atlas (core/compile.py):
+
+      round 1  wrap-around uv fetch (env cubemap / image textures /
+               thin-film noise)
+      round 2  dependent fetch (env lightmap at the same uv; thin-film LUT
+               at (cos_theta, noise-jittered thickness))
+
+    Measured on TPU v5e, XLA's gather costs ~13 ns/element regardless of
+    dtype — fetching per texture AND per channel (the previous layout) made
+    the replay ~9 gather sweeps; folding the texture choice into per-element
+    atlas offsets (cheap VPU selects over the static shading groups) and the
+    RGB channels into one packed word gets the same texels in 2 sweeps.
+    The radiance recursion is an explicit short product chain over the
+    bounce axis (cumprod lowers to a slow reduce_window here).
     """
     groups, order = _shading_groups(static)
     dif_tex = {r.slot: r for r in static.diffuse_tex}
@@ -613,24 +626,84 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     # env lightmaps apply to secondary rays only: bounce index per element
     bounce_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
 
-    def fetch_planes(tex_arr, repeat):
-        """Wrap-around fetch returning 3 channel planes (M,) each.
+    i0 = jnp.zeros((M,), jnp.int32)
+    f0 = jnp.zeros((M,), jnp.float32)
 
-        A single (M, 3) gather output gets lane-padded 3 -> 128 on TPU (a 42x
-        HBM blowup that OOMs at 7 bounces); per-channel gathers stay linear.
-        """
-        Hh, Ww = tex_arr.shape[0], tex_arr.shape[1]
-        iu = jnp.mod((u_ * (Ww * repeat)).astype(jnp.int32), Ww)
-        iv = jnp.mod((v_ * (Hh * repeat)).astype(jnp.int32), Hh)
-        idx = jnp.mod(-iv, Hh) * Ww + iu
-        flat = tex_arr.reshape(-1, 3)
-        return [jnp.take(flat[:, c], idx) for c in range(3)]
+    class Round:
+        """Per-element fetch parameters, built by group-masked selects."""
 
-    def lut_planes(lut, row, colx):
-        Hh, Ww = lut.shape[0], lut.shape[1]
-        idx = jnp.clip(row, 0, Hh - 1) * Ww + jnp.clip(colx, 0, Ww - 1)
-        flat = lut.reshape(-1, 3)
-        return [jnp.take(flat[:, c], idx) for c in range(3)]
+        def __init__(self):
+            self.off = i0
+            self.W = i0 + 1
+            self.H = i0 + 1
+            self.frep = f0          # W*repeat / H*repeat as floats
+            self.grep = f0
+            self.scale = f0
+
+        def set(self, m, tex_id, repeat=1.0):
+            Hh, Ww = static.tex_shapes[tex_id]
+            self.off = jnp.where(m, static.tex_offsets[tex_id], self.off)
+            self.W = jnp.where(m, Ww, self.W)
+            self.H = jnp.where(m, Hh, self.H)
+            self.frep = jnp.where(m, Ww * repeat, self.frep)
+            self.grep = jnp.where(m, Hh * repeat, self.grep)
+            self.scale = jnp.where(m, data.tex_scale[tex_id], self.scale)
+
+        def uv_index(self):
+            iu = jnp.remainder((u_ * self.frep).astype(jnp.int32), self.W)
+            iv = jnp.remainder((v_ * self.grep).astype(jnp.int32), self.H)
+            return jnp.remainder(-iv, self.H) * self.W + iu + self.off
+
+        def decode(self, w):
+            s = self.scale * (1.0 / 1023.0)
+            return [((w >> 20) & 1023).astype(jnp.float32) * s,
+                    ((w >> 10) & 1023).astype(jnp.float32) * s,
+                    (w & 1023).astype(jnp.float32) * s]
+
+    r1, r2 = Round(), Round()
+    lut_rows = i0          # thin-film LUT row (cos_theta axis), round 2
+    lut_mode = jnp.zeros((M,), bool)
+    for key in order:
+        mt, slot, _maxd, _mc = key
+        m = gid == groups[key]["gid"]
+        if mt == MAT_ENV:
+            env = env_by_slot[slot]
+            r1.set(m, env.tex)
+            if env.lightmap is not None:
+                r2.set(m, env.lightmap)
+        elif mt == MAT_THINFILM:
+            r1.set(m, tf_noise[slot].tex, 0.5)
+            r2.set(m, tf_lut[slot].tex)
+            Hh = static.tex_shapes[tf_lut[slot].tex][0]
+            lut_rows = jnp.where(m, (cos_i * Hh).astype(jnp.int32), lut_rows)
+            lut_mode = lut_mode | m
+        elif mt == MAT_DIFFUSE and slot in dif_tex:
+            r1.set(m, dif_tex[slot].tex, dif_tex[slot].repeat)
+        elif mt == MAT_GLOSSY and slot in glo_tex:
+            r1.set(m, glo_tex[slot].tex, glo_tex[slot].repeat)
+        elif mt == MAT_EMISSIVE and slot in emi_tex:
+            r1.set(m, emi_tex[slot].tex, emi_tex[slot].repeat)
+
+    rgb1 = r1.decode(jnp.take(data.tex_atlas, r1.uv_index(), mode="clip"))
+
+    # round 2 index: env lightmap reuses the uv formula; the thin-film LUT is
+    # a clipped (row, col) fetch whose col depends on round 1's noise value
+    idx2 = r2.uv_index()
+    if any(key[0] == MAT_THINFILM for key in order):
+        # thickness jitter from the noise texture's first channel
+        th_all = f0
+        for key in order:
+            mt, slot, _maxd, _mc = key
+            if mt != MAT_THINFILM:
+                continue
+            m = gid == groups[key]["gid"]
+            th = (data.mats.tf_thickness[slot]
+                  + data.mats.tf_noise[slot] * (rgb1[0] - 0.5))
+            th_all = jnp.where(m, th, th_all)
+        lut_idx = (jnp.clip(lut_rows, 0, r2.H - 1) * r2.W
+                   + jnp.clip(th_all.astype(jnp.int32), 0, r2.W - 1) + r2.off)
+        idx2 = jnp.where(lut_mode, lut_idx, idx2)
+    rgb2 = r2.decode(jnp.take(data.tex_atlas, idx2, mode="clip"))
 
     ones = jnp.ones((M,), jnp.float32)
     tex = [ones, ones, ones]
@@ -639,40 +712,25 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
         mt, slot, _maxd, _mc = key
         m = gid == groups[key]["gid"]
         if mt == MAT_ENV:
-            env = env_by_slot[slot]
-            e = fetch_planes(data.textures[env.tex], 1.0)
-            if env.lightmap is not None:
+            e = rgb1
+            if env_by_slot[slot].lightmap is not None:
                 li = data.mats.env_light_intensity[slot]
-                lm = fetch_planes(data.textures[env.lightmap], 1.0)
                 sec = bounce_ix > 0
-                e = [e[c] + jnp.where(sec, li * lm[c], 0.0) for c in range(3)]
+                e = [rgb1[c] + jnp.where(sec, li * rgb2[c], 0.0)
+                     for c in range(3)]
             tex = [jnp.where(m, e[c], tex[c]) for c in range(3)]
         elif mt == MAT_THINFILM:
-            thickness = data.mats.tf_thickness[slot]
-            nf = data.mats.tf_noise[slot]
-            noise = fetch_planes(data.textures[tf_noise[slot].tex], 0.5)[0]
-            th = thickness + nf * (noise - 0.5)
-            lut = data.textures[tf_lut[slot].tex]
-            Hh = lut.shape[0]
-            F = lut_planes(lut, (cos_i * Hh).astype(jnp.int32),
-                           th.astype(jnp.int32))
             refl = flag == 1
             for c in range(3):
-                tex[c] = jnp.where(m, F[c], tex[c])      # add = ambient * F
+                tex[c] = jnp.where(m, rgb2[c], tex[c])   # add = ambient * F
                 beta_tex[c] = jnp.where(
-                    m, jnp.where(refl, F[c], 1.0 - F[c]), beta_tex[c])
+                    m, jnp.where(refl, rgb2[c], 1.0 - rgb2[c]), beta_tex[c])
         elif mt == MAT_DIFFUSE and slot in dif_tex:
-            r = dif_tex[slot]
-            c3 = fetch_planes(data.textures[r.tex], r.repeat)
-            beta_tex = [jnp.where(m, c3[c], beta_tex[c]) for c in range(3)]
+            beta_tex = [jnp.where(m, rgb1[c], beta_tex[c]) for c in range(3)]
         elif mt == MAT_GLOSSY and slot in glo_tex:
-            r = glo_tex[slot]
-            c3 = fetch_planes(data.textures[r.tex], r.repeat)
-            tex = [jnp.where(m, c3[c], tex[c]) for c in range(3)]
+            tex = [jnp.where(m, rgb1[c], tex[c]) for c in range(3)]
         elif mt == MAT_EMISSIVE and slot in emi_tex:
-            r = emi_tex[slot]
-            c3 = fetch_planes(data.textures[r.tex], r.repeat)
-            tex = [jnp.where(m, c3[c], tex[c]) for c in range(3)]
+            tex = [jnp.where(m, rgb1[c], tex[c]) for c in range(3)]
 
     hit = gid > 0
     out = []
@@ -690,17 +748,9 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     return jnp.stack(out, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("static", "width", "height",
-                                             "spp", "max_bounces", "interpret",
-                                             "split_k"))
-def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
-                        max_bounces, interpret=False, split_k=0):
-    """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
-
-    split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
-    spp must then be a multiple of 2^split_k.
-    Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
-    """
+def _record_call(seed, data, cam_vec, static, width, height, spp,
+                 max_bounces, interpret=False, split_k=0):
+    """Run the Pallas record kernel; returns raw (rec_g, rec_f, cnt)."""
     n_pix = width * height
     n = spp * n_pix
     R = -(-n // 128)
@@ -757,10 +807,26 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )
-    rec_g, rec_f, cnt = call(seed.reshape(1), cam_vec[None, :],
-                             data.pallas_geom, dif, glo, refr, emi, lights,
-                             is_tab, consts)
-    rec_g = rec_g.reshape(max_bounces, G * TILE_ROWS * 128)[:, :n]
-    rec_f = rec_f.reshape(max_bounces, 12, G * TILE_ROWS * 128)[:, :, :n]
+    return call(seed.reshape(1), cam_vec[None, :], data.pallas_geom, dif,
+                glo, refr, emi, lights, is_tab, consts)
+
+
+@functools.partial(jax.jit, static_argnames=("static", "width", "height",
+                                             "spp", "max_bounces", "interpret",
+                                             "split_k"))
+def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
+                        max_bounces, interpret=False, split_k=0):
+    """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
+
+    split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
+    spp must then be a multiple of 2^split_k.
+    Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
+    """
+    n = spp * width * height
+    rec_g, rec_f, cnt = _record_call(seed, data, cam_vec, static, width,
+                                     height, spp, max_bounces, interpret,
+                                     split_k)
+    rec_g = rec_g.reshape(max_bounces, -1)[:, :n]
+    rec_f = rec_f.reshape(max_bounces, 12, -1)[:, :, :n]
     L = _replay(rec_g, rec_f, data, static, max_bounces, n)
     return L, cnt[:, 0, 0].sum()

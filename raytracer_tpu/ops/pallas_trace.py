@@ -512,7 +512,10 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         det = scnt < split_k
                         bit = jnp.bitwise_and(
                             jnp.right_shift(pattern, scnt), 1) == 1
-                        take_refr = jnp.where(det, bit & non_tir, take_refr)
+                        # mask logic, not where(): Mosaic cannot select
+                        # between mixed-width bool vectors (i8 vs i1)
+                        take_refr = ((det & bit & non_tir)
+                                     | (~det & take_refr))
                         cont = cont & ~(det & bit & ~non_tir)
                     gc = g & cont
                     if split_k and not mc:
