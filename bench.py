@@ -51,7 +51,11 @@ def bench_examples():
         mod = importlib.import_module(name)
         sc = mod.Sc
         spp = 16
-        sc.render(samples_per_pixel=spp, batch_size=None, seed=1)  # warm
+        # warm with IDENTICAL settings: return_stats is part of the jit
+        # static key, so a stats-less warmup would make the timed render a
+        # fresh compile (minutes through the axon tunnel)
+        sc.render(samples_per_pixel=spp, batch_size=None, seed=1,
+                  return_stats=True)
         t0 = time.time()
         _, stats = sc.render(samples_per_pixel=spp, seed=2, return_stats=True)
         out[name] = {"wall_s": round(time.time() - t0, 3),
@@ -65,9 +69,10 @@ def main():
 
     sc = build_cornell(W, H)
 
-    # warm up / compile with a single chunk of the same static shape
+    # warm up / compile with a single chunk of the same static shape (and
+    # the same collect_stats static, or the first timed rep recompiles)
     chunk = max(1, min(SPP * 20, (1 << 22) // (W * H)))
-    sc.render(samples_per_pixel=1, batch_size=chunk, seed=1)
+    sc.render(samples_per_pixel=1, batch_size=chunk, seed=1, return_stats=True)
 
     walls = []
     stats = None

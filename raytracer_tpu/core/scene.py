@@ -253,8 +253,10 @@ class Scene:
         acc = jnp.zeros((H * W, 3), jnp.float32)
         start_chunk = 0
         # device-side accumulator: a host int() here would force a (slow)
-        # device->host sync every chunk
-        rays_acc = jnp.zeros((), jnp.int32)
+        # device->host sync every chunk.  float32: the total exceeds int32
+        # (Cornell 256 spp x fan 20 traces ~4e9 rays); per-chunk counts stay
+        # int32-safe and the f32 rounding is irrelevant for a rate metric
+        rays_acc = jnp.zeros((), jnp.float32)
 
         if checkpoint_path is not None:
             loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed)
@@ -279,7 +281,7 @@ class Scene:
                                          W, H, chunk)
             acc = acc + L
             if return_stats:
-                rays_acc = rays_acc + stats["rays_traced"]
+                rays_acc = rays_acc + stats["rays_traced"].astype(jnp.float32)
             if progress_bar:
                 acc.block_until_ready()
                 print(f"  chunk {i + 1}/{n_chunks} "
