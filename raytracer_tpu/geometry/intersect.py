@@ -15,6 +15,7 @@ plane.py:79-90, cuboid.py:129-139, triangle.py:57-66).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.constants import FARAWAY, UPDOWN, UPWARDS
@@ -106,6 +107,40 @@ def intersect_triangles(O, D, p1, normal, centroid, n31, n12, n23, p2, p3):
     return t, orient
 
 
+def _tri_tables(geom):
+    return (geom.tri_p1, geom.tri_normal, geom.tri_centroid, geom.tri_n31,
+            geom.tri_n12, geom.tri_n23, geom.tri_p2, geom.tri_p3)
+
+
+def _tri_block_size(n_rays):
+    # bound the (block, N) intermediates to ~64M elements: a flat (T, N)
+    # sweep at 5k tris x 4M rays would materialize 80+ GB and OOM the chip
+    return max(128, min(2048, (1 << 26) // max(n_rays, 1)))
+
+
+def _blocked_tri_scan(O, D, geom, body_reduce, init):
+    """lax.scan over triangle blocks; body_reduce((t, o, base), carry).
+
+    Padding rows have zero normals/edges, which fail the ndco*ndd > 0 test
+    and therefore always miss.
+    """
+    tabs = _tri_tables(geom)
+    T = tabs[0].shape[0]
+    B = _tri_block_size(O.shape[0])
+    nb = -(-T // B)
+    pad = nb * B - T
+    stacked = [jnp.pad(x, ((0, pad), (0, 0))).reshape(nb, B, 3) for x in tabs]
+
+    def body(carry, blk):
+        base, state = carry
+        t, o = intersect_triangles(O, D, *blk)              # (B, N)
+        state = body_reduce(t, o, base, state)
+        return (base + B, state), None
+
+    (_, state), _ = jax.lax.scan(body, (jnp.int32(0), init), stacked)
+    return state
+
+
 def _type_blocks(geom, skip_tris=False):
     """Yield (intersect_fn, count) per primitive type, in object-id order."""
     blocks = []
@@ -143,7 +178,7 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
     best_o = jnp.ones((n,), O.dtype)
     best_id = jnp.zeros((n,), jnp.int32)
     off = 0
-    for fn, count in _type_blocks(geom, skip_tris=use_tri_bvh):
+    for fn, count in _type_blocks(geom, skip_tris=True):
         t, o = fn(O, D)                           # (M, N)
         am = jnp.argmin(t, axis=0)                # (N,)
         tm = jnp.min(t, axis=0)
@@ -153,7 +188,9 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
         best_o = jnp.where(better, om, best_o)
         best_id = jnp.where(better, am.astype(jnp.int32) + off, best_id)
         off += count
-    if use_tri_bvh and geom.tri_p1.shape[0]:
+    if not geom.tri_p1.shape[0]:
+        return best_t, best_o, best_id
+    if use_tri_bvh:
         from .bvh import STACK_DEPTH, bvh_traverse
         # use_tri_bvh > 1 carries the compile-time stack size (tree depth + 2)
         sd = int(use_tri_bvh) if int(use_tri_bvh) > 1 else STACK_DEPTH
@@ -162,7 +199,19 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
         best_t = jnp.where(better, t, best_t)
         best_o = jnp.where(better, o, best_o)
         best_id = jnp.where(better, tid + off, best_id)
-    return best_t, best_o, best_id
+        return best_t, best_o, best_id
+
+    def reduce_nearest(t, o, base, state):
+        bt, bo, bid = state
+        am = jnp.argmin(t, axis=0)
+        tm = jnp.min(t, axis=0)
+        om = jnp.take_along_axis(o, am[None, :], axis=0)[0]
+        better = tm < bt
+        return (jnp.where(better, tm, bt), jnp.where(better, om, bo),
+                jnp.where(better, am.astype(jnp.int32) + base + off, bid))
+
+    return _blocked_tri_scan(O, D, geom, reduce_nearest,
+                             (best_t, best_o, best_id))
 
 
 def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
@@ -174,18 +223,30 @@ def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
     n = O.shape[0]
     hit = jnp.zeros((n,), bool)
     off = 0
-    for fn, count in _type_blocks(geom, skip_tris=use_tri_bvh):
+    for fn, count in _type_blocks(geom, skip_tris=True):
         t, _ = fn(O, D)                           # (M, N)
         mask = shadow_obj_mask[off:off + count]
         hit = hit | jnp.any((t < max_dist[None, :]) & mask[:, None], axis=0)
         off += count
-    if use_tri_bvh and geom.tri_p1.shape[0]:
+    if not geom.tri_p1.shape[0]:
+        return hit
+    if use_tri_bvh:
         from .bvh import STACK_DEPTH, bvh_traverse
         sd = int(use_tri_bvh) if int(use_tri_bvh) > 1 else STACK_DEPTH
         t, _, _ = bvh_traverse(O, D, geom, tri_mask=shadow_obj_mask[off:],
                                stack_depth=sd)
-        hit = hit | (t < max_dist)
-    return hit
+        return hit | (t < max_dist)
+
+    B = _tri_block_size(n)
+    T = geom.tri_p1.shape[0]
+    nb = -(-T // B)
+    tri_mask = jnp.pad(shadow_obj_mask[off:off + T], (0, nb * B - T))
+
+    def reduce_occ(t, _o, base, hit):
+        m = jax.lax.dynamic_slice(tri_mask, (base,), (B,))
+        return hit | jnp.any((t < max_dist[None, :]) & m[:, None], axis=0)
+
+    return _blocked_tri_scan(O, D, geom, reduce_occ, hit)
 
 
 def intersect_all(O, D, geom):

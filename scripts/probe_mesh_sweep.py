@@ -71,9 +71,9 @@ def make_kernel(T, unrolled):
             bt, bo, bid, nx, ny, nz = jax.lax.fori_loop(
                 0, T, body, (bt, bo, bid, nx, ny, nz))
 
-        out_ref[0] = bt + bo
-        out_ref[1] = nx + ny + nz
-        out_ref[2] = bid.astype(jnp.float32)
+        out_ref[0, 0] = bt + bo
+        out_ref[0, 1] = nx + ny + nz
+        out_ref[0, 2] = bid.astype(jnp.float32)
 
     return kernel
 
