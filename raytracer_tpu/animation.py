@@ -44,26 +44,47 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
     """Compile: (keys (D,2), stacked data, cam (D,16), textures)
     -> (D, H, W, 3) uint8."""
     n_pix = width * height
+    # qualifying frames render through the Pallas kernels on TPU, exactly as
+    # Scene.render would (parallel/sharded.py uses the same routing)
+    pallas_mode = ("solid" if static.pallas_ok
+                   else "record" if static.pallas_tex_ok else None)
+    use_pallas = (pallas_mode is not None
+                  and jax.default_backend() in ("tpu", "axon"))
 
     def per_frame(key, data_nt, cam_vec, textures):
         # shard_map blocks keep the leading (length-1) frame axis: strip it
         data = jax.tree_util.tree_map(lambda x: x[0], data_nt)
         data = dataclasses.replace(data, textures=textures)
-        k_ray, k_trace = jax.random.split(key.reshape(2))
-        O, D = generate_rays(k_ray, _cam_from_vec(cam_vec.reshape(16)),
-                             width, height, spp)
-        n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
-        n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
-        pattern = None
-        if settings.split_k > 0:
-            pattern = (jnp.arange(spp * n_pix, dtype=jnp.int32) // n_pix) \
-                % (1 << settings.split_k)
-        L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings,
-                     pattern=pattern)
-        linear = L.reshape(spp, n_pix, 3).mean(axis=0)
-        srgb = srgb_linear_to_srgb(linear).reshape(height, width, 3)
-        # truncating quantization, matching utils.image_io.array_to_pil
-        return (jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)[None]
+        key = key.reshape(2)
+        cam_vec = cam_vec.reshape(16)
+        if use_pallas:
+            seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+            if pallas_mode == "solid":
+                from .ops.pallas_trace import pallas_trace_chunk
+                L, _ = pallas_trace_chunk(
+                    seed, data, cam_vec, static, width, height, spp,
+                    settings.max_bounces, False, settings.split_k)
+            else:
+                from .ops.pallas_record import pallas_record_chunk
+                L, _ = pallas_record_chunk(
+                    seed, data, cam_vec, static, width, height, spp,
+                    settings.max_bounces, False, settings.split_k)
+        else:
+            k_ray, k_trace = jax.random.split(key)
+            O, D = generate_rays(k_ray, _cam_from_vec(cam_vec),
+                                 width, height, spp)
+            n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
+            n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
+            pattern = None
+            if settings.split_k > 0:
+                pattern = (jnp.arange(spp * n_pix, dtype=jnp.int32) // n_pix) \
+                    % (1 << settings.split_k)
+            L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings,
+                         pattern=pattern)
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
+        # linear radiance SUM over this chunk's spp (host accumulates chunks)
+        return L.reshape(spp, n_pix, 3).sum(axis=0)[None]
 
     @jax.jit
     def run(keys, data_stacked, cam_vecs, textures):
@@ -74,7 +95,14 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
             check_vma=False,
         )(keys, data_stacked, cam_vecs, textures)
 
-    return run
+    @jax.jit
+    def tonemap(acc, n_samples):
+        srgb = srgb_linear_to_srgb(acc / n_samples)
+        srgb = srgb.reshape(acc.shape[0], height, width, 3)
+        # truncating quantization, matching utils.image_io.array_to_pil
+        return (jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return run, tonemap
 
 
 def _cam_from_vec(v):
@@ -117,7 +145,14 @@ def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
     split_fan = 1 << split_k
     eff_spp = samples_per_pixel * scene._diffuse_fan() * split_fan
     eff_spp = -(-eff_spp // split_fan) * split_fan
-    step = _build_frame_step(static0, settings, mesh, W, H, eff_spp)
+    # HBM-bounded per-frame chunking, whole pattern blocks per chunk (the
+    # record kernel's per-(ray, bounce) records are the binding buffer)
+    from .core.scene import MAX_RAYS_PER_CHUNK
+
+    chunk = max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
+    chunk = max(split_fan, chunk - chunk % split_fan)
+    n_chunks = -(-eff_spp // chunk)
+    step, tonemap = _build_frame_step(static0, settings, mesh, W, H, chunk)
 
     def launch(batch_times, base_index):
         """Stack per-frame data and enqueue the sharded render (no sync)."""
@@ -136,10 +171,18 @@ def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
             datas.append(datas[-1])
             cams.append(cams[-1])
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
-        keys = jnp.stack([
-            jax.random.fold_in(jax.random.PRNGKey(seed), base_index + j)
-            for j in range(n_dev)])
-        return step(keys, stacked, jnp.stack(cams), textures), len(batch_times)
+        base = jax.random.PRNGKey(seed)
+        frame_keys = [jax.random.fold_in(base, base_index + j)
+                      for j in range(n_dev)]
+        acc = None
+        for c in range(n_chunks):
+            # chunk 0 reuses the frame key itself, so a 1-chunk frame 0 is
+            # bit-identical to Scene.render's first chunk
+            keys = jnp.stack([k if c == 0 else jax.random.fold_in(k, c)
+                              for k in frame_keys])
+            out = step(keys, stacked, jnp.stack(cams), textures)
+            acc = out if acc is None else acc + out
+        return tonemap(acc, float(n_chunks * chunk)), len(batch_times)
 
     batches = [times[i:i + n_dev] for i in range(0, len(times), n_dev)]
     pending = None

@@ -8,6 +8,7 @@ loop's ~20-tile carry fails to legalize; this measures whether the small
 carry survives, and its speed vs a python-unrolled sweep.
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -21,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = (128, 128)
+import os
+TILE = (int(os.environ.get('PROBE_ROWS','128')), 128)
 FARAWAY = 1.0e30
 
 
@@ -84,7 +86,7 @@ def run(T, unrolled, reps=3):
     d = np.ones((3,) + TILE, np.float32)
     call = pl.pallas_call(
         make_kernel(T, unrolled),
-        grid=(8,),
+        grid=(int(os.environ.get('PROBE_GRID','8')),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3,) + TILE, lambda i: (0, 0, 0),
@@ -94,7 +96,7 @@ def run(T, unrolled, reps=3):
         ],
         out_specs=pl.BlockSpec((1, 3) + TILE, lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, 3) + TILE, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((int(os.environ.get("PROBE_GRID","8")), 3) + TILE, jnp.float32),
     )
     f = jax.jit(lambda m, o, d: call(m, o, d))
     t0 = time.time()
@@ -107,7 +109,7 @@ def run(T, unrolled, reps=3):
         out = f(mesh, jnp.asarray(o), jnp.asarray(d))
         np.asarray(out.ravel()[:1])
         best = min(best, time.time() - t0)
-    rays = 8 * TILE[0] * TILE[1]
+    rays = int(os.environ.get('PROBE_GRID','8')) * TILE[0] * TILE[1]
     print(f"T={T} unrolled={unrolled}: compile {compile_s:.1f}s, "
           f"run {best * 1e3:.2f}ms, {rays * T / best / 1e9:.2f} Gtri-tests/s",
           flush=True)

@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Regenerate the README gallery renders on TPU and report wall-clocks."""
+
+import importlib
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "examples"))
+
+OUT = ROOT / "docs" / "renders"
+
+
+def main():
+    for name, spp in (("example1", 64), ("example2", 64), ("example3", 64),
+                      ("example4", 64)):
+        mod = importlib.import_module(name)
+        sc = mod.Sc
+        sc.render(samples_per_pixel=1)      # compile
+        t0 = time.time()
+        img, st = sc.render(samples_per_pixel=spp, seed=3, return_stats=True)
+        wall = time.time() - t0
+        img.save(str(OUT / f"our_{name}.png"))
+        print(f"{name}: {wall:.2f}s @ {spp} spp "
+              f"({st['samples']} paths/px, {st['mrays_per_s']:.0f} Mrays/s)",
+              flush=True)
+
+    from example_cornellbox import build_cornell
+
+    sc = build_cornell(400, 400)
+    sc.render(samples_per_pixel=1, return_stats=True)
+    t0 = time.time()
+    img, st = sc.render(samples_per_pixel=1024, seed=3, return_stats=True)
+    wall = time.time() - t0
+    img.save(str(OUT / "cornell_1024spp.png"))
+    print(f"cornell 400x400 @1024spp: {wall:.2f}s "
+          f"({st['samples']} paths/px, {st['mrays_per_s']:.0f} Mrays/s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
