@@ -90,20 +90,38 @@ def intersect_boxes(O, D, basis, lb_local, rt_local):
 
 
 def intersect_triangles(O, D, p1, normal, centroid, n31, n12, n23, p2, p3):
-    """Triangle intersection via edge-normal inside tests (reference triangle.py:36-66)."""
-    NdotD = jnp.sum(normal[:, None, :] * D[None, :, :], axis=-1)
-    NdotD = jnp.where(NdotD == 0.0, NdotD + 0.0001, NdotD)
-    NdotC_O = jnp.sum(normal[:, None, :] * (centroid[:, None, :] - O[None, :, :]), axis=-1)
-    t = NdotC_O / NdotD
-    M_point = O[None, :, :] + D[None, :, :] * t[..., None]
-    hit_inside = (
-        (jnp.sum(n31[:, None, :] * (M_point - p1[:, None, :]), axis=-1) >= 0)
-        & (jnp.sum(n12[:, None, :] * (M_point - p2[:, None, :]), axis=-1) >= 0)
-        & (jnp.sum(n23[:, None, :] * (M_point - p3[:, None, :]), axis=-1) >= 0)
-        & (NdotC_O * NdotD > 0)
-    )
+    """Triangle intersection via edge-normal inside tests (reference triangle.py:36-66).
+
+    Every intermediate is a 2D (M, N) plane: triangles in sublanes, rays in
+    lanes.  The textbook vec3 form creates (M, N, 3) temporaries whose minor
+    dim of 3 pads to 128 lanes on TPU — a 42x memory/VPU blowup that capped
+    the flat sweep at ~2.7 G tri-tests/s.  Expanding the point-in-edge test
+    n·(O + t·D − p) = (n·O − n·p) + t·(n·D) turns the whole sweep into six
+    rank-1 dot planes plus a short (M, N) elementwise epilogue.
+    """
+    Ox, Oy, Oz = O[:, 0][None, :], O[:, 1][None, :], O[:, 2][None, :]
+    Dx, Dy, Dz = D[:, 0][None, :], D[:, 1][None, :], D[:, 2][None, :]
+
+    def dots(n):
+        """(M, 3) normals -> (O·n, D·n), each (M, N)."""
+        nx, ny, nz = n[:, 0][:, None], n[:, 1][:, None], n[:, 2][:, None]
+        return nx * Ox + ny * Oy + nz * Oz, nx * Dx + ny * Dy + nz * Dz
+
+    n_dot_o, n_dot_d = dots(normal)
+    ndd = jnp.where(n_dot_d == 0.0, n_dot_d + 0.0001, n_dot_d)
+    nc = jnp.sum(normal * centroid, axis=-1)[:, None]      # (M, 1)
+    ndco = nc - n_dot_o
+    t = ndco / ndd
+
+    def edge_ok(n_edge, p_anchor):
+        a_o, a_d = dots(n_edge)
+        e = jnp.sum(n_edge * p_anchor, axis=-1)[:, None]   # (M, 1)
+        return (a_o - e) + t * a_d >= 0
+
+    hit_inside = (edge_ok(n31, p1) & edge_ok(n12, p2) & edge_ok(n23, p3)
+                  & (ndco * ndd > 0))
     t = jnp.where(hit_inside, jnp.abs(t), FARAWAY)
-    orient = jnp.where(NdotD < 0, UPWARDS, UPDOWN).astype(jnp.float32)
+    orient = jnp.where(ndd < 0, UPWARDS, UPDOWN).astype(jnp.float32)
     return t, orient
 
 
@@ -114,8 +132,9 @@ def _tri_tables(geom):
 
 def _tri_block_size(n_rays):
     # bound the (block, N) intermediates to ~64M elements: a flat (T, N)
-    # sweep at 5k tris x 4M rays would materialize 80+ GB and OOM the chip
-    return max(128, min(2048, (1 << 26) // max(n_rays, 1)))
+    # sweep at 5k tris x 4M rays would materialize 80+ GB and OOM the chip;
+    # keep the block a whole number of 8-row sublane tiles
+    return max(128, min(2048, ((1 << 26) // max(n_rays, 1)) & ~7))
 
 
 def _blocked_tri_scan(O, D, geom, body_reduce, init):
@@ -201,17 +220,33 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
         best_id = jnp.where(better, tid + off, best_id)
         return best_t, best_o, best_id
 
-    def reduce_nearest(t, o, base, state):
-        bt, bo, bid = state
-        am = jnp.argmin(t, axis=0)
-        tm = jnp.min(t, axis=0)
-        om = jnp.take_along_axis(o, am[None, :], axis=0)[0]
-        better = tm < bt
-        return (jnp.where(better, tm, bt), jnp.where(better, om, bo),
-                jnp.where(better, am.astype(jnp.int32) + base + off, bid))
+    # Winner id + orientation via a packed-code max-reduce over the SAME
+    # (B, N) plane the min-reduce consumes.  argmin + take_along_axis here
+    # is a per-lane sublane gather that measured 5x slower than the sweep
+    # itself (scripts/probe_sweep_parts.py: nearest_hit 4.1 G tests/s vs
+    # 21 G for the min-only scan).
+    row2 = None
 
-    return _blocked_tri_scan(O, D, geom, reduce_nearest,
-                             (best_t, best_o, best_id))
+    def reduce_nearest(t, o, base, state):
+        nonlocal row2
+        if row2 is None:
+            row2 = (jnp.arange(t.shape[0], dtype=jnp.int32) * 2)[:, None]
+        bt, bcode = state
+        tm = jnp.min(t, axis=0)
+        code = (base * 2 + row2) + (o < 0)
+        cm = jnp.max(jnp.where(t == tm[None, :], code, -1), axis=0)
+        better = tm < bt
+        return (jnp.where(better, tm, bt), jnp.where(better, cm, bcode))
+
+    tri_t, tri_code = _blocked_tri_scan(
+        O, D, geom, reduce_nearest,
+        (jnp.full_like(best_t, FARAWAY), jnp.full_like(best_id, -1)))
+    better = tri_t < best_t
+    tri_o = jnp.where(tri_code & 1, UPDOWN, UPWARDS).astype(best_o.dtype)
+    best_t = jnp.where(better, tri_t, best_t)
+    best_o = jnp.where(better, tri_o, best_o)
+    best_id = jnp.where(better, (tri_code >> 1) + off, best_id)
+    return best_t, best_o, best_id
 
 
 def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
