@@ -100,3 +100,113 @@ def test_nearest_hit_reduction():
     obj = int(jnp.argmin(t[:, 0]))
     assert obj == 1
     assert np.isclose(float(jnp.min(t[:, 0])), 4.0, atol=1e-5)
+
+
+def _tri_geom(p1, p2, p3):
+    """Minimal GeometryTables stand-in holding only triangles."""
+    n = np.cross(p2 - p1, p3 - p1)
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+
+    class G:
+        pass
+
+    g = G()
+    f = lambda a: jnp.asarray(a, jnp.float32)
+    g.tri_p1, g.tri_p2, g.tri_p3 = f(p1), f(p2), f(p3)
+    g.tri_normal = f(n)
+    g.tri_centroid = f((p1 + p2 + p3) / 3.0)
+    g.tri_n31 = f(np.cross(p3 - p1, n))
+    g.tri_n12 = f(np.cross(p1 - p2, n))
+    g.tri_n23 = f(np.cross(p2 - p3, n))
+    g.sphere_center = jnp.zeros((0, 3), jnp.float32)
+    g.sphere_radius = jnp.zeros((0,), jnp.float32)
+    g.plane_center = g.plane_normal = g.plane_u_axis = g.plane_v_axis = \
+        jnp.zeros((0, 3), jnp.float32)
+    g.plane_half_w = g.plane_half_h = jnp.zeros((0,), jnp.float32)
+    g.box_basis = jnp.zeros((0, 3, 3), jnp.float32)
+    g.box_lb_local = g.box_rt_local = jnp.zeros((0, 3), jnp.float32)
+    return g
+
+
+def test_blocked_nearest_matches_flat_sweep():
+    """nearest_hit's blocked scan + packed-code reduce vs the unblocked
+    intersect_all argmin oracle, across a >1-block triangle table."""
+    rng = np.random.default_rng(7)
+    T = 4100                                    # > 2 blocks at B=2048
+    v0 = rng.uniform(-2, 2, (T, 3)).astype(np.float32)
+    p1 = v0
+    p2 = (v0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    p3 = (v0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    g = _tri_geom(p1, p2, p3)
+
+    N = 64
+    O = jnp.asarray(rng.uniform(-3, 3, (N, 3)).astype(np.float32))
+    Dn = rng.normal(size=(N, 3)).astype(np.float32)
+    Dn /= np.linalg.norm(Dn, axis=1, keepdims=True)
+    D = jnp.asarray(Dn)
+
+    bt, bo, bid = (np.asarray(x) for x in I.nearest_hit(O, D, g))
+
+    # float64 numpy brute-force oracle; f32 XLA programs are only held to it
+    # on rays whose winner is unambiguous at f32 precision (clear of edge
+    # grazes, near-parallel planes, and photo-finish runner-ups)
+    n = np.cross(p2 - p1, p3 - p1).astype(np.float64)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-300)
+    cen = (p1 + p2 + p3).astype(np.float64) / 3.0
+    O64, D64 = np.asarray(O, np.float64), np.asarray(Dn, np.float64)
+    ndd = n @ D64.T                                       # (T, N)
+    ndco = np.sum(n * cen, axis=1)[:, None] - n @ O64.T
+    tt = ndco / np.where(ndd == 0, 1e-300, ndd)
+    P = O64[None] + tt[..., None] * D64[None]             # (T, N, 3)
+    edges = np.stack([
+        np.einsum("tc,tnc->tn", np.cross(p3 - p1, n), P - p1[:, None]),
+        np.einsum("tc,tnc->tn", np.cross(p1 - p2, n), P - p2[:, None]),
+        np.einsum("tc,tnc->tn", np.cross(p2 - p3, n), P - p3[:, None])])
+    valid = (edges >= 0).all(0) & (ndco * ndd > 0)
+    t_or = np.where(valid, np.abs(tt), np.inf)
+    win = t_or.argmin(axis=0)
+    tmin = t_or.min(axis=0)
+    cols = np.arange(len(win))
+    second = np.sort(t_or, axis=0)[1]
+    robust = (np.isfinite(tmin)
+              & (np.where(np.isfinite(second), second, 1e30) - tmin > 1e-3)
+              & (edges[:, win, cols].min(0) > 1e-3)
+              & (np.abs(ndd[win, cols]) > 1e-3))
+    assert robust.mean() > 0.3                  # the test has teeth
+    assert np.array_equal(bid[robust], win[robust])
+    assert np.allclose(bt[robust], tmin[robust], rtol=1e-4, atol=1e-4)
+    oo = np.where(ndd[win, cols] < 0, UPWARDS, UPDOWN)
+    assert np.array_equal(bo[robust], oo[robust])
+    # no-hit rays report >= MISS_THRESHOLD (grazing rays excluded: a ray
+    # within f32 noise of an edge may legitimately differ)
+    graze = (np.abs(edges) < 1e-3).any(0) & (np.abs(tt) < 1e3) & (tt > 0)
+    clean_miss = ~np.isfinite(tmin) & ~graze.any(0)
+    assert np.all(bt[clean_miss] >= MISS_THRESHOLD)
+
+
+def test_nearest_orientation_backface():
+    # single triangle in the z=-3 plane, normal +z; a ray travelling +z hits
+    # the back face -> orientation UPDOWN; travelling -z hits front -> UPWARDS
+    p1 = np.array([[-1.0, -1.0, -3.0]], np.float32)
+    p2 = np.array([[1.0, -1.0, -3.0]], np.float32)
+    p3 = np.array([[0.0, 2.0, -3.0]], np.float32)
+    g = _tri_geom(p1, p2, p3)
+    O, D = rays([[0, 0, -6], [0, 0, 0]], [[0, 0, 1], [0, 0, -1]])
+    t, o, tid = I.nearest_hit(O, D, g)
+    assert np.allclose(np.asarray(t), 3.0, atol=1e-5)
+    assert np.asarray(tid).tolist() == [0, 0]
+    assert float(o[0]) == UPDOWN                # back face (D·n > 0)
+    assert float(o[1]) == UPWARDS               # front face
+
+
+def test_nearest_tie_is_deterministic():
+    # two coincident triangles: the packed-code max-reduce picks the higher
+    # id deterministically (documented tie-break; the pre-r2 argmin picked
+    # the lower id — no estimator depends on which, only on determinism)
+    p = (np.array([[-1.0, -1.0, -3.0]], np.float32),
+         np.array([[1.0, -1.0, -3.0]], np.float32),
+         np.array([[0.0, 2.0, -3.0]], np.float32))
+    g = _tri_geom(*(np.repeat(a, 2, axis=0) for a in p))
+    O, D = rays([[0, 0, 0]], [[0, 0, -1]])
+    _, _, tid = I.nearest_hit(O, D, g)
+    assert int(tid[0]) == 1

@@ -78,6 +78,30 @@ def test_sharded_textured_scene():
     assert np.allclose(img.mean(), ref.mean(), atol=0.05)
 
 
+def test_sharded_mesh_scene():
+    # triangle tables ride the same replicated scene pytree through
+    # shard_map: a two-triangle emissive quad must render identically
+    # sharded and single-chip (deterministic, no RNG dependence)
+    from raytracer_tpu import Triangle
+
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=16, screen_height=16)
+    # the quad overfills the frame: no silhouette pixels, so the image is
+    # independent of each shard's AA-jitter stream
+    quad = [((-50, -50), (50, -50), (50, 50)), ((-50, -50), (50, 50), (-50, 50))]
+    for (x1, y1), (x2, y2), (x3, y3) in quad:
+        sc.add(Triangle(material=Emissive(color=rgb(0.3, 0.6, 0.9)),
+                        center=vec3(0, 0, 0),
+                        p1=vec3(x1, y1, -3), p2=vec3(x2, y2, -3),
+                        p3=vec3(x3, y3, -3)))
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    img = render_sharded(sc, samples_per_pixel=4, mesh=mesh)
+    ref = np.asarray(sc.render(samples_per_pixel=4), dtype=np.float32) / 255.0
+    assert img.shape == ref.shape
+    assert np.allclose(img, ref, atol=1 / 255 + 1e-6)
+
+
 def test_sharded_cornell_mean_and_variance():
     # Estimator equivalence at meaningful spp: sharded and single-chip
     # renders of the SAME Cornell scene must agree in per-pixel mean (within
