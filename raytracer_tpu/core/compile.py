@@ -218,6 +218,11 @@ class GeometryTables:
     bvh_right: Any = None
     bvh_first: Any = None
     bvh_count: Any = None
+    # per-cluster AABBs for the two-level clustered sweep (empty when
+    # n_tris < TRI_CLUSTER_THRESHOLD); triangles are permuted into SAH-BVH
+    # leaf order and grouped TRI_CLUSTER_SIZE at a time
+    tri_cl_lo: Any = None
+    tri_cl_hi: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -534,26 +539,70 @@ class _Builder:
 # in-kernel traversal later.
 BVH_THRESHOLD = 200_000
 
+# Triangle count at which the compiler switches the jnp sweep to the
+# two-level clustered form (geometry/intersect.py): triangles permuted into
+# SAH leaf order, one inflated AABB per TRI_CLUSTER_SIZE run, ray-tile x
+# cluster scan with lax.cond skipping pairs whose tile misses the AABB.
+# Below this the flat blocked sweep wins (a single cluster can't skip).
+TRI_CLUSTER_THRESHOLD = 1024
+
 
 def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     b = _Builder()
     for prim in scene.scene_primitives:
         b.add_primitive(prim)
 
+    # Triangle vertices as ONE (T, 3, 3) array: every derived table below is
+    # a vectorized numpy expression over it.  (Per-triangle Python loops here
+    # cost ~0.5 ms/tri — 10 s of HOST time per render call at 20k faces,
+    # dwarfing the device sweep they feed.)
+    TV = (np.asarray(b.tris, dtype=F32) if b.tris
+          else np.zeros((0, 3, 3), F32))
+
     # ---- triangle BVH (built natively; tables permuted to leaf order) -----
     tri_bvh = None
     tri_bvh_stack = 0
+    tri_cl_lo = np.zeros((0, 3), F32)
+    tri_cl_hi = np.zeros((0, 3), F32)
     if len(b.tris) >= BVH_THRESHOLD:
         from ..native import build_bvh
-        tv = np.stack([np.stack(t) for t in b.tris]).astype(F32)
-        tri_bvh = build_bvh(tv)
+        tri_bvh = build_bvh(TV)
         perm = tri_bvh["order"]
-        b.tris = [b.tris[i] for i in perm]
+        TV = TV[perm]
         b.props["tri"] = [b.props["tri"][i] for i in perm]
         # size the traversal stack from the real tree depth (+2 margin) so
         # unbalanced SAH trees can never silently drop subtrees
         tri_bvh_stack = _bvh_depth(tri_bvh["left"], tri_bvh["right"],
                                    tri_bvh["count"]) + 2
+    elif len(b.tris) >= TRI_CLUSTER_THRESHOLD:
+        from ..geometry.intersect import TRI_CLUSTER_SIZE
+        from ..native import build_bvh
+        perm = build_bvh(TV)["order"]
+        TV = TV[perm]
+        b.props["tri"] = [b.props["tri"][i] for i in perm]
+        Bc = TRI_CLUSTER_SIZE
+        T = TV.shape[0]
+        C = -(-T // Bc)
+        v64 = np.pad(TV.astype(np.float64).reshape(-1, 3),
+                     ((0, (C * Bc - T) * 3), (0, 0)),
+                     constant_values=np.nan).reshape(C, Bc * 3, 3)
+        lo = np.nanmin(v64, axis=1)
+        hi = np.nanmax(v64, axis=1)
+        # inflate generously: the AABB is only a conservative prefilter (the
+        # triangle test decides hits), so f32 slab rounding must never cull a
+        # genuinely hit cluster
+        pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
+        tri_cl_lo = _f(lo - pad)
+        tri_cl_hi = _f(hi + pad)
+
+    # ---- triangle derived tables (vectorized over TV) --------------------
+    P1, P2, P3 = TV[:, 0], TV[:, 1], TV[:, 2]
+    _nr = np.cross(P2 - P1, P3 - P1)
+    _nr_u = _nr / np.maximum(np.linalg.norm(_nr, axis=-1, keepdims=True), 1e-20)
+    tri_normal = _f(_nr_u)
+    tri_n31 = _f(np.cross(P3 - P1, _nr_u))
+    tri_n12 = _f(np.cross(P1 - P2, _nr_u))
+    tri_n23 = _f(np.cross(P2 - P3, _nr_u))
 
     # ---- geometry tables -------------------------------------------------
     geom = GeometryTables(
@@ -575,28 +624,22 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         box_whl=_stack3([np.asarray(w) for *_, w, _, _ in b.boxes]),
         box_lb_local=_stack3([lb for *_, lb, _ in b.boxes]),
         box_rt_local=_stack3([rt for *_, rt in b.boxes]),
-        tri_p1=_stack3([p1 for p1, _, _ in b.tris]),
-        tri_p2=_stack3([p2 for _, p2, _ in b.tris]),
-        tri_p3=_stack3([p3 for _, _, p3 in b.tris]),
-        tri_normal=_stack3([
-            (lambda n: n / max(np.linalg.norm(n), 1e-20))(np.cross(p2 - p1, p3 - p1))
-            for p1, p2, p3 in b.tris]),
-        tri_centroid=_stack3([(p1 + p2 + p3) / 3.0 for p1, p2, p3 in b.tris]),
-        tri_n31=_stack3([
-            np.cross(p3 - p1, np.cross(p2 - p1, p3 - p1) / max(np.linalg.norm(np.cross(p2 - p1, p3 - p1)), 1e-20))
-            for p1, p2, p3 in b.tris]),
-        tri_n12=_stack3([
-            np.cross(p1 - p2, np.cross(p2 - p1, p3 - p1) / max(np.linalg.norm(np.cross(p2 - p1, p3 - p1)), 1e-20))
-            for p1, p2, p3 in b.tris]),
-        tri_n23=_stack3([
-            np.cross(p2 - p3, np.cross(p2 - p1, p3 - p1) / max(np.linalg.norm(np.cross(p2 - p1, p3 - p1)), 1e-20))
-            for p1, p2, p3 in b.tris]),
+        tri_p1=_f(P1),
+        tri_p2=_f(P2),
+        tri_p3=_f(P3),
+        tri_normal=tri_normal,
+        tri_centroid=_f((P1 + P2 + P3) / 3.0),
+        tri_n31=tri_n31,
+        tri_n12=tri_n12,
+        tri_n23=tri_n23,
         bvh_lo=(tri_bvh["bbox_lo"] if tri_bvh else np.zeros((0, 3), F32)),
         bvh_hi=(tri_bvh["bbox_hi"] if tri_bvh else np.zeros((0, 3), F32)),
         bvh_left=(tri_bvh["left"] if tri_bvh else np.zeros((0,), I32)),
         bvh_right=(tri_bvh["right"] if tri_bvh else np.zeros((0,), I32)),
         bvh_first=(tri_bvh["first"] if tri_bvh else np.zeros((0,), I32)),
         bvh_count=(tri_bvh["count"] if tri_bvh else np.zeros((0,), I32)),
+        tri_cl_lo=tri_cl_lo,
+        tri_cl_hi=tri_cl_hi,
     )
 
     # ---- object tables in global id order --------------------------------
@@ -696,16 +739,20 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
         _row(list(np.asarray(basis).reshape(-1)) + list(np.asarray(lbl))
              + list(np.asarray(rtl)) + list(np.asarray(c)) + list(np.asarray(whl)))
-    for (p1, p2, p3), props in zip(b.tris, b.props["tri"]):
-        nrm = np.cross(p2 - p1, p3 - p1)
-        nrm = nrm / max(np.linalg.norm(nrm), 1e-20)
+    for props in b.props["tri"]:
         obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
-        _row(list(p1) + list(p2) + list(p3) + list(nrm)
-             + list(np.cross(p3 - p1, nrm)) + list(np.cross(p1 - p2, nrm))
-             + list(np.cross(p2 - p3, nrm)))
-    pallas_geom = (_f(np.stack(pallas_rows)) if pallas_rows
-                   else np.zeros((0, 24), F32))
+    tri_rows = np.zeros((TV.shape[0], 24), F32)
+    tri_rows[:, 0:3] = P1
+    tri_rows[:, 3:6] = P2
+    tri_rows[:, 6:9] = P3
+    tri_rows[:, 9:12] = _nr_u
+    tri_rows[:, 12:15] = tri_n31
+    tri_rows[:, 15:18] = tri_n12
+    tri_rows[:, 18:21] = tri_n23
+    pallas_geom = np.concatenate(
+        [np.stack(pallas_rows) if pallas_rows else np.zeros((0, 24), F32),
+         tri_rows]).astype(F32)
 
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
     _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}

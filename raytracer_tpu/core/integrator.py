@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.attrs import hit_attributes
-from ..geometry.intersect import intersect_all, nearest_hit
+from ..geometry.intersect import nearest_hit
 from .compile import (PACKED_DEPTH_SHIFT, PACKED_MC_SHIFT, PACKED_SLOT_SHIFT)
 from ..materials import shade
 from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
@@ -218,6 +218,13 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
         alive = shaded & cont
         a3 = alive[..., None]
         beta = jnp.where(a3, beta * beta_mult, beta)
+        # Dead rays keep their stale O/D and are re-swept each later bounce.
+        # Parking them at a far origin (so dead tiles skip every cluster) was
+        # measured NEUTRAL-to-worse on the mesh bench (scripts/probe_park_ab:
+        # interleaved A/B, 7.53s vs 7.19s median at 20k tris): rays there
+        # live through the whole bounce budget, and all-parked blocks sweep
+        # ~40% slower (scripts/probe_parked.py — huge-coordinate inputs hit
+        # a VPU slow path).  Keep the simple select.
         O = jnp.where(a3, new_O, O)
         D = jnp.where(a3, new_D, D)
         n_re = jnp.where(a3, new_n_re, n_re)
@@ -262,8 +269,11 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
 
 
 def trace_distances(origin, direction, data, max_r_distance=10.0):
-    """Depth AOV for debugging (reference ray.py:151-163, scene.py:142-166)."""
-    t_all, _ = intersect_all(origin, direction, data.geom)
-    nearest = jnp.min(t_all, axis=0)
+    """Depth AOV for debugging (reference ray.py:151-163, scene.py:142-166).
+
+    Routes through nearest_hit rather than intersect_all: the blocked /
+    clustered triangle sweeps keep the intermediates bounded where the flat
+    (num_objects, N) matrix would OOM on mesh scenes."""
+    nearest, _, _ = nearest_hit(origin, direction, data.geom)
     r = jnp.minimum(nearest, max_r_distance) / max_r_distance
     return jnp.stack([r, r, r], axis=-1)

@@ -130,6 +130,159 @@ def _tri_tables(geom):
             geom.tri_n12, geom.tri_n23, geom.tri_p2, geom.tri_p3)
 
 
+# --- two-level clustered sweep ---------------------------------------------
+# Triangles are permuted into SAH-BVH leaf order at compile time and grouped
+# into fixed-size clusters; compile_scene stores one inflated AABB per cluster
+# (geom.tri_cl_lo/hi).  The sweep then runs ray-tile x cluster: a cheap slab
+# test against the cluster AABB decides (per tile, via lax.cond — a real
+# branch under scan on TPU) whether the B x R triangle sweep runs at all.
+# Spatially coherent tiles (primary rays are pixel-major; shadow rays point
+# at the same light) skip most (tile, cluster) pairs, turning the O(T x N)
+# flat sweep into O(touched pairs) — the hierarchy the reference wished for
+# (triangle_mesh.py:7-9) in a form the VPU likes: no per-ray stacks, no
+# divergence, still 2D lane-friendly planes inside each pair.
+
+TRI_CLUSTER_SIZE = 512     # triangles per cluster (AABB granularity)
+RAY_TILE = 32768           # rays per tile in the clustered sweep
+# (8192 measured worse: more cond/launch overhead than extra skips recover)
+
+
+def _ray_tiles(O, D, aux=None):
+    """Reshape rays to (nt, R, 3) tiles; padded rays sit at 1e30 so they miss
+    every cluster AABB.  aux (per-ray planes) are tiled alongside, padded 0."""
+    n = O.shape[0]
+    R = min(RAY_TILE, ((n + 255) // 256) * 256)
+    nt = -(-n // R)
+    pad = nt * R - n
+    if pad:
+        O = jnp.concatenate([O, jnp.full((pad, 3), 1e30, O.dtype)])
+        D = jnp.concatenate([D, jnp.ones((pad, 3), D.dtype)])
+        if aux is not None:
+            aux = [jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in aux]
+    tiles = (O.reshape(nt, R, 3), D.reshape(nt, R, 3))
+    if aux is not None:
+        tiles = tiles + tuple(a.reshape(nt, R) for a in aux)
+    return tiles, n, R
+
+
+def _cluster_entry(lo, hi, ox, oy, oz, ix, iy, iz):
+    """(C, R) conservative entry distance of every ray into every cluster
+    AABB; +inf where the ray misses the box.  All-cluster slab tests cost
+    C*R*6 FMAs — noise next to the B*R triangle tests they gate."""
+    tmin = jnp.full((lo.shape[0], ox.shape[0]), -jnp.inf, ox.dtype)
+    tmax = jnp.full_like(tmin, jnp.inf)
+    for axis, (o, i) in enumerate(((ox, ix), (oy, iy), (oz, iz))):
+        t0 = (lo[:, axis][:, None] - o[None, :]) * i[None, :]
+        t1 = (hi[:, axis][:, None] - o[None, :]) * i[None, :]
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    live = (tmax >= 0) & (tmin <= tmax)
+    return jnp.where(live, jnp.maximum(tmin, 0.0), jnp.inf)
+
+
+def _safe_inv(d):
+    eps = jnp.float32(1e-12)
+    return 1.0 / jnp.where(jnp.abs(d) < eps, eps, d)
+
+
+def _clustered_tri_tables(geom):
+    tabs = _tri_tables(geom)
+    T = tabs[0].shape[0]
+    B = TRI_CLUSTER_SIZE
+    C = geom.tri_cl_lo.shape[0]
+    pad = C * B - T
+    stacked = tuple(jnp.pad(x, ((0, pad), (0, 0))).reshape(C, B, 3)
+                    for x in tabs)
+    return stacked, B, C, T
+
+
+def _clustered_nearest(O, D, geom):
+    """(t, packed code) per ray; code = tri_index*2 + (orient < 0), -1 = miss.
+
+    Clusters are visited FRONT-TO-BACK per tile (argsort of each cluster's
+    nearest possible entry over the tile's rays), so after the first surface
+    is found the `entry < best_t` test retires every cluster behind it —
+    the occlusion-culling half of a BVH, without per-ray stacks."""
+    stacked, B, C, _ = _clustered_tri_tables(geom)
+    row2 = (jnp.arange(B, dtype=jnp.int32) * 2)[:, None]
+    (Ot, Dt), n, R = _ray_tiles(O, D)
+
+    def tile_body(_, tile):
+        O_t, D_t = tile
+        ox, oy, oz = O_t[:, 0], O_t[:, 1], O_t[:, 2]
+        ix, iy, iz = (_safe_inv(D_t[:, 0]), _safe_inv(D_t[:, 1]),
+                      _safe_inv(D_t[:, 2]))
+        entry = _cluster_entry(geom.tri_cl_lo, geom.tri_cl_hi,
+                               ox, oy, oz, ix, iy, iz)          # (C, R)
+        order = jnp.argsort(jnp.min(entry, axis=1))             # (C,)
+
+        def cl_body(state, ci):
+            c = order[ci]
+            bt, _ = state
+            ent = jax.lax.dynamic_index_in_dim(entry, c, 0, keepdims=False)
+            live = ent < bt
+
+            def run(s):
+                bt, bcode = s
+                blk = tuple(jax.lax.dynamic_index_in_dim(x, c, 0, False)
+                            for x in stacked)
+                t, o = intersect_triangles(O_t, D_t, *blk)     # (B, R)
+                tm = jnp.min(t, axis=0)
+                code = (c * 2 * B + row2) + (o < 0)
+                cm = jnp.max(jnp.where(t == tm[None, :], code, -1), axis=0)
+                better = tm < bt
+                return (jnp.where(better, tm, bt),
+                        jnp.where(better, cm, bcode))
+
+            return jax.lax.cond(jnp.any(live), run, lambda s: s, state), None
+
+        init = (jnp.full((R,), FARAWAY, O.dtype),
+                jnp.full((R,), -1, jnp.int32))
+        state, _ = jax.lax.scan(cl_body, init, jnp.arange(C, dtype=jnp.int32))
+        return None, state
+
+    _, (ts, codes) = jax.lax.scan(tile_body, None, (Ot, Dt))
+    return ts.reshape(-1)[:n], codes.reshape(-1)[:n]
+
+
+def _clustered_occluded(O, D, geom, tri_mask, max_dist, hit0):
+    """Any-hit over clusters; a cluster is skipped once every ray in the tile
+    that could reach it is already occluded (or misses its AABB).  Near
+    clusters go first: they occlude the most rays soonest."""
+    stacked, B, C, T = _clustered_tri_tables(geom)
+    mask = jnp.pad(tri_mask, (0, C * B - T)).reshape(C, B)
+    (Ot, Dt, mdt, h0t), n, R = _ray_tiles(O, D, aux=[max_dist, hit0])
+
+    def tile_body(_, tile):
+        O_t, D_t, md, h0 = tile
+        ox, oy, oz = O_t[:, 0], O_t[:, 1], O_t[:, 2]
+        ix, iy, iz = (_safe_inv(D_t[:, 0]), _safe_inv(D_t[:, 1]),
+                      _safe_inv(D_t[:, 2]))
+        entry = _cluster_entry(geom.tri_cl_lo, geom.tri_cl_hi,
+                               ox, oy, oz, ix, iy, iz)          # (C, R)
+        order = jnp.argsort(jnp.min(entry, axis=1))
+
+        def cl_body(h, ci):
+            c = order[ci]
+            ent = jax.lax.dynamic_index_in_dim(entry, c, 0, keepdims=False)
+            live = (ent < md) & ~h
+
+            def run(h):
+                blk = tuple(jax.lax.dynamic_index_in_dim(x, c, 0, False)
+                            for x in stacked)
+                m = jax.lax.dynamic_index_in_dim(mask, c, 0, keepdims=False)
+                t, _ = intersect_triangles(O_t, D_t, *blk)     # (B, R)
+                return h | jnp.any((t < md[None, :]) & m[:, None], axis=0)
+
+            return jax.lax.cond(jnp.any(live), run, lambda h: h, h), None
+
+        h, _ = jax.lax.scan(cl_body, h0, jnp.arange(C, dtype=jnp.int32))
+        return None, h
+
+    _, hs = jax.lax.scan(tile_body, None, (Ot, Dt, mdt, h0t))
+    return hs.reshape(-1)[:n]
+
+
 def _tri_block_size(n_rays):
     # bound the (block, N) intermediates to ~64M elements: a flat (T, N)
     # sweep at 5k tris x 4M rays would materialize 80+ GB and OOM the chip;
@@ -219,6 +372,14 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
         best_o = jnp.where(better, o, best_o)
         best_id = jnp.where(better, tid + off, best_id)
         return best_t, best_o, best_id
+    if geom.tri_cl_lo.shape[0]:
+        tri_t, tri_code = _clustered_nearest(O, D, geom)
+        better = tri_t < best_t
+        tri_o = jnp.where(tri_code & 1, UPDOWN, UPWARDS).astype(best_o.dtype)
+        best_t = jnp.where(better, tri_t, best_t)
+        best_o = jnp.where(better, tri_o, best_o)
+        best_id = jnp.where(better, (tri_code >> 1) + off, best_id)
+        return best_t, best_o, best_id
 
     # Winner id + orientation via a packed-code max-reduce over the SAME
     # (B, N) plane the min-reduce consumes.  argmin + take_along_axis here
@@ -271,6 +432,10 @@ def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
         t, _, _ = bvh_traverse(O, D, geom, tri_mask=shadow_obj_mask[off:],
                                stack_depth=sd)
         return hit | (t < max_dist)
+    if geom.tri_cl_lo.shape[0]:
+        T = geom.tri_p1.shape[0]
+        return _clustered_occluded(O, D, geom, shadow_obj_mask[off:off + T],
+                                   max_dist, hit)
 
     B = _tri_block_size(n)
     T = geom.tri_p1.shape[0]

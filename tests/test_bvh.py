@@ -64,6 +64,34 @@ def test_bvh_matches_flat(tmp_path, monkeypatch):
     assert np.allclose(t_ref[hit_ref], t_bvh[hit_bvh], rtol=1e-4, atol=1e-4)
 
 
+def test_mesh_render_clustered_matches_flat(tmp_path, monkeypatch):
+    """End-to-end: the clustered sweep and the flat sweep render the same
+    image (same estimator, same RNG — only the intersection partition
+    differs)."""
+    import raytracer_tpu.core.compile as C
+
+    obj = make_sphere_obj(tmp_path, n_seg=24)  # 1152 tris -> 3 clusters
+
+    def build():
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),
+                      screen_width=16, screen_height=16, field_of_view=45)
+        sc.add(TriangleMesh(obj, center=vec3(0, 0, 0),
+                            material=Emissive(color=rgb(0.2, 0.9, 0.3))))
+        return sc
+
+    monkeypatch.setattr(C, "TRI_CLUSTER_THRESHOLD", 10 ** 9)
+    flat = np.asarray(build().render(samples_per_pixel=2, seed=5),
+                      np.float32)
+    monkeypatch.setattr(C, "TRI_CLUSTER_THRESHOLD", 32)
+    sc = build()
+    static, data = compile_scene(sc)
+    assert data.geom.tri_cl_lo.shape[0] >= 1
+    cl = np.asarray(sc.render(samples_per_pixel=2, seed=5), np.float32)
+    # identical up to last-ulp shading differences between the two programs
+    assert np.abs(cl - flat).max() <= 1.0      # 8-bit output: <= 1 count
+
+
 def test_mesh_render_with_bvh(tmp_path, monkeypatch):
     import raytracer_tpu.core.compile as C
     monkeypatch.setattr(C, "BVH_THRESHOLD", 32)

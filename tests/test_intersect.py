@@ -102,7 +102,7 @@ def test_nearest_hit_reduction():
     assert np.isclose(float(jnp.min(t[:, 0])), 4.0, atol=1e-5)
 
 
-def _tri_geom(p1, p2, p3):
+def _tri_geom(p1, p2, p3, clustered=False):
     """Minimal GeometryTables stand-in holding only triangles."""
     n = np.cross(p2 - p1, p3 - p1)
     n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
@@ -125,19 +125,38 @@ def _tri_geom(p1, p2, p3):
     g.plane_half_w = g.plane_half_h = jnp.zeros((0,), jnp.float32)
     g.box_basis = jnp.zeros((0, 3, 3), jnp.float32)
     g.box_lb_local = g.box_rt_local = jnp.zeros((0, 3), jnp.float32)
+    g.tri_cl_lo = g.tri_cl_hi = jnp.zeros((0, 3), jnp.float32)
+    if clustered:
+        # per-cluster AABBs over TRI_CLUSTER_SIZE runs (grouping need not be
+        # spatial for correctness — only for skip efficiency)
+        B = I.TRI_CLUSTER_SIZE
+        T = len(p1)
+        C = -(-T // B)
+        verts = np.stack([p1, p2, p3], axis=1).astype(np.float64)  # (T, 3, 3)
+        lo = np.stack([verts[i * B:(i + 1) * B].reshape(-1, 3).min(0)
+                       for i in range(C)])
+        hi = np.stack([verts[i * B:(i + 1) * B].reshape(-1, 3).max(0)
+                       for i in range(C)])
+        pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
+        g.tri_cl_lo, g.tri_cl_hi = f(lo - pad), f(hi + pad)
     return g
 
 
-def test_blocked_nearest_matches_flat_sweep():
-    """nearest_hit's blocked scan + packed-code reduce vs the unblocked
-    intersect_all argmin oracle, across a >1-block triangle table."""
+import pytest
+
+
+@pytest.mark.parametrize("clustered", [False, True])
+def test_blocked_nearest_matches_flat_sweep(clustered):
+    """nearest_hit's blocked scan + packed-code reduce (and, parametrized,
+    the two-level clustered sweep) vs a float64 brute-force oracle, across a
+    >1-block triangle table."""
     rng = np.random.default_rng(7)
     T = 4100                                    # > 2 blocks at B=2048
     v0 = rng.uniform(-2, 2, (T, 3)).astype(np.float32)
     p1 = v0
     p2 = (v0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
     p3 = (v0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
-    g = _tri_geom(p1, p2, p3)
+    g = _tri_geom(p1, p2, p3, clustered=clustered)
 
     N = 64
     O = jnp.asarray(rng.uniform(-3, 3, (N, 3)).astype(np.float32))
@@ -197,6 +216,41 @@ def test_nearest_orientation_backface():
     assert np.asarray(tid).tolist() == [0, 0]
     assert float(o[0]) == UPDOWN                # back face (D·n > 0)
     assert float(o[1]) == UPWARDS               # front face
+
+
+def test_clustered_occluded_matches_flat():
+    """Clustered any-hit == flat any-hit away from photo-finish distances."""
+    rng = np.random.default_rng(11)
+    T = 3000
+    v0 = rng.uniform(-2, 2, (T, 3)).astype(np.float32)
+    p1 = v0
+    p2 = (v0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    p3 = (v0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    g_flat = _tri_geom(p1, p2, p3)
+    g_cl = _tri_geom(p1, p2, p3, clustered=True)
+
+    N = 300
+    O = jnp.asarray(rng.uniform(-3, 3, (N, 3)).astype(np.float32))
+    Dn = rng.normal(size=(N, 3)).astype(np.float32)
+    Dn /= np.linalg.norm(Dn, axis=1, keepdims=True)
+    D = jnp.asarray(Dn)
+    md = jnp.asarray(rng.uniform(0.5, 6.0, (N,)).astype(np.float32))
+    mask = jnp.asarray(rng.random(T) < 0.8)
+
+    h_flat = np.asarray(I.occluded(O, D, g_flat, mask, md))
+    h_cl = np.asarray(I.occluded(O, D, g_cl, mask, md))
+
+    # exclude rays whose nearest masked hit sits within f32 noise of max_dist
+    t_flat, _ = I.intersect_triangles(O, D, g_flat.tri_p1, g_flat.tri_normal,
+                                      g_flat.tri_centroid, g_flat.tri_n31,
+                                      g_flat.tri_n12, g_flat.tri_n23,
+                                      g_flat.tri_p2, g_flat.tri_p3)
+    t_near = np.asarray(jnp.min(jnp.where(np.asarray(mask)[:, None], t_flat,
+                                          np.float32(np.inf)), axis=0))
+    robust = np.abs(t_near - np.asarray(md)) > 1e-3 * np.asarray(md)
+    assert robust.mean() > 0.9
+    assert np.array_equal(h_flat[robust], h_cl[robust])
+    assert h_flat[robust].any() and not h_flat[robust].all()
 
 
 def test_nearest_tie_is_deterministic():
