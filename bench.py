@@ -64,6 +64,21 @@ def bench_examples():
     return out
 
 
+def bench_mesh_scene():
+    """5,120-triangle icosphere scene (scripts/bench_mesh.py shapes: second
+    identical render timed, D2H forced)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    from bench_mesh import build_scene
+
+    sc = build_scene(4)
+    sc.render(samples_per_pixel=4, seed=0, return_stats=True)
+    t0 = time.time()
+    img, st = sc.render(samples_per_pixel=4, seed=1, return_stats=True)
+    import numpy as np
+    np.asarray(img)
+    return {"wall_s": round(time.time() - t0, 3), "tris": 5120, "spp": 4}
+
+
 def main():
     from examples.example_cornellbox import build_cornell
 
@@ -112,6 +127,10 @@ def main():
             result["examples"] = bench_examples()
         except Exception as e:         # examples need assets; never fail bench
             result["examples_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result["mesh_icosphere"] = bench_mesh_scene()
+        except Exception as e:
+            result["mesh_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

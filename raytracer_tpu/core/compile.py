@@ -543,7 +543,10 @@ BVH_THRESHOLD = 200_000
 # two-level clustered form (geometry/intersect.py): triangles permuted into
 # SAH leaf order, one inflated AABB per TRI_CLUSTER_SIZE run, ray-tile x
 # cluster scan with lax.cond skipping pairs whose tile misses the AABB.
-# Below this the flat blocked sweep wins (a single cluster can't skip).
+# Below this the flat blocked sweep wins (a single cluster can't skip);
+# above BVH_THRESHOLD the BVH traversal takes over (forcing clusters at
+# 327k tris / 640 clusters crashed the TPU worker — do not raise the cap
+# without re-testing that regime).
 TRI_CLUSTER_THRESHOLD = 1024
 
 

@@ -102,6 +102,36 @@ def test_sharded_mesh_scene():
     assert np.allclose(img, ref, atol=1 / 255 + 1e-6)
 
 
+def test_sharded_clustered_mesh(tmp_path, monkeypatch):
+    # the clustered triangle sweep (lax.scan + lax.cond + dynamic_index over
+    # sorted clusters) must compile and agree inside shard_map: same emissive
+    # sphere rendered sharded-with-clusters vs single-chip-flat
+    import raytracer_tpu.core.compile as C
+    from test_bvh import make_sphere_obj
+    from raytracer_tpu import TriangleMesh
+
+    obj = make_sphere_obj(tmp_path, n_seg=24)       # 1152 tris -> 3 clusters
+
+    def build():
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),
+                      screen_width=16, screen_height=16, field_of_view=45)
+        sc.add(TriangleMesh(obj, center=vec3(0, 0, 0),
+                            material=Emissive(color=rgb(0.2, 0.9, 0.3))))
+        return sc
+
+    monkeypatch.setattr(C, "TRI_CLUSTER_THRESHOLD", 32)
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    img = render_sharded(build(), samples_per_pixel=4, mesh=mesh, seed=7)
+    monkeypatch.setattr(C, "TRI_CLUSTER_THRESHOLD", 10 ** 9)
+    ref = np.asarray(build().render(samples_per_pixel=4, seed=7),
+                     np.float32) / 255.0
+    # deterministic geometry; only silhouette pixels may differ by AA stream
+    interior = np.abs(img - ref) <= 1 / 255 + 1e-6
+    assert interior.mean() > 0.9
+    assert np.allclose(img.mean(), ref.mean(), atol=0.02)
+
+
 def test_sharded_cornell_mean_and_variance():
     # Estimator equivalence at meaningful spp: sharded and single-chip
     # renders of the SAME Cornell scene must agree in per-pixel mean (within
