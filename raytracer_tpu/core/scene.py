@@ -243,7 +243,14 @@ class Scene:
         # (refractive.py:102-110); both multiply the paths traced
         split_fan = 1 << settings.split_k
         eff_spp = samples_per_pixel * self._diffuse_fan() * split_fan
-        chunk = batch_size or max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
+        max_rays = MAX_RAYS_PER_CHUNK
+        if data.geom.tri_cl_lo.shape[0]:
+            # clustered-sweep scenes: ~4M-ray chunks measured 5.7x SLOWER
+            # than the same work in ~0.5M-ray chunks (46k tris, 32 spp:
+            # 103 s one-chunk vs 18 s chunked — the per-sweep calls scale
+            # linearly, the surrounding program does not); cap the chunk
+            max_rays = 1 << 19
+        chunk = batch_size or max(1, min(eff_spp, max_rays // (W * H)))
         # every chunk must cover whole pattern blocks, or the enumerated
         # branch weights (2F / 2T) would not average back to F + T
         chunk = max(split_fan, chunk - chunk % split_fan)

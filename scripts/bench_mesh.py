@@ -40,6 +40,46 @@ def icosphere(subdiv=4):
     return np.asarray(tris, np.float32)
 
 
+def build_spread_scene(subdiv=4, grid=3):
+    """grid x grid icospheres spaced over a ground plane, camera pulled back:
+    each sphere covers a small screen region, so most (ray-tile, cluster)
+    pairs of the clustered sweep skip — the realistic many-objects case, vs
+    build_scene's adversarial single frame-filling sphere."""
+    from raytracer_tpu import (Emissive, Glossy, Plane, Scene, Sphere,
+                               Triangle, rgb, vec3)
+
+    sc = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    sc.add_Camera(look_from=vec3(0, 3.0, 12), look_at=vec3(0, 0, 0),
+                  screen_width=400, screen_height=300, field_of_view=40)
+    sc.add_DirectionalLight(Ldir=vec3(0.5, 0.8, 0.3), color=rgb(0.6, 0.6, 0.6))
+    tris = icosphere(subdiv)
+    n_tri = 0
+    for gi in range(grid):
+        for gj in range(grid):
+            cx = (gi - (grid - 1) / 2) * 3.0
+            cz = (gj - (grid - 1) / 2) * 3.0
+            hue = (gi * grid + gj) / (grid * grid)
+            mat = Glossy(diff_color=rgb(0.3 + 0.6 * hue, 0.4, 0.8 - 0.6 * hue),
+                         roughness=0.3, spec_coeff=0.4, diff_coeff=0.8,
+                         n=vec3(1.2 + 0.3j, 1.2 + 0.3j, 1.1 + 0.3j))
+            for p1, p2, p3 in tris:
+                sc.add(Triangle(material=mat, center=vec3(0, 0, 0),
+                                p1=vec3(p1[0] + cx, p1[1], p1[2] + cz),
+                                p2=vec3(p2[0] + cx, p2[1], p2[2] + cz),
+                                p3=vec3(p3[0] + cx, p3[1], p3[2] + cz),
+                                max_ray_depth=2))
+                n_tri += 1
+    sc.add(Plane(material=Glossy(diff_color=rgb(0.3, 0.3, 0.35),
+                                 roughness=0.0, spec_coeff=0.2, diff_coeff=0.8,
+                                 n=vec3(1.1 + 0.2j, 1.1 + 0.2j, 1.1 + 0.2j)),
+                 center=vec3(0, -1.2, 0), width=80.0, height=80.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1), max_ray_depth=2))
+    sc.add(Sphere(material=Emissive(color=rgb(0.7, 0.8, 0.95)),
+                  center=vec3(0, 0, 0), radius=120.0, shadow=False))
+    print(f"triangles: {n_tri} ({grid}x{grid} spheres)", flush=True)
+    return sc
+
+
 def build_scene(subdiv=4):
     from raytracer_tpu import (Emissive, Glossy, Plane, Scene, Sphere,
                                Triangle, rgb, vec3)
@@ -67,8 +107,8 @@ def build_scene(subdiv=4):
     return sc
 
 
-def main(subdiv=4, spp=4):
-    sc = build_scene(subdiv)
+def main(subdiv=4, spp=4, spread=False):
+    sc = build_spread_scene(subdiv) if spread else build_scene(subdiv)
     from raytracer_tpu.core.compile import compile_scene
 
     static, _ = compile_scene(sc)
@@ -89,4 +129,5 @@ def main(subdiv=4, spp=4):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 4,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+         spread="--spread" in sys.argv)

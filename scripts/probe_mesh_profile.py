@@ -33,14 +33,15 @@ def timeit(fn, *args, reps=3):
     return best
 
 
-def main(subdiv=4, spp=4):
+def main(subdiv=4, spp=4, spread=False):
     import dataclasses
 
+    from bench_mesh import build_spread_scene
     from raytracer_tpu.core.camera import generate_rays
     from raytracer_tpu.core.compile import compile_scene
     from raytracer_tpu.geometry import intersect as I
 
-    sc = build_scene(subdiv)
+    sc = build_spread_scene(subdiv) if spread else build_scene(subdiv)
     static, data = compile_scene(sc)
     g = data.geom
     T = int(g.tri_p1.shape[0])
@@ -59,6 +60,9 @@ def main(subdiv=4, spp=4):
         w = timeit(jax.jit(lambda O, D, gg=gg: I.nearest_hit(O, D, gg)), O, D)
         print(f"nearest {name:9s}: {w*1e3:8.1f} ms "
               f"({T*N/w/1e9:6.1f} G tests/s equiv)", flush=True)
+
+    if "--no-render" in sys.argv:
+        return
 
     # shadow rays: from the primary hit points toward the directional light
     t, _, _ = jax.jit(lambda O, D: I.nearest_hit(O, D, g))(O, D)
@@ -82,4 +86,5 @@ def main(subdiv=4, spp=4):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 4,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+         spread="--spread" in sys.argv)
