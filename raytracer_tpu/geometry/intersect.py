@@ -142,7 +142,9 @@ def _tri_tables(geom):
 # (triangle_mesh.py:7-9) in a form the VPU likes: no per-ray stacks, no
 # divergence, still 2D lane-friendly planes inside each pair.
 
-TRI_CLUSTER_SIZE = 512     # triangles per cluster (AABB granularity)
+TRI_CLUSTER_SIZE = 256     # triangles per cluster (AABB granularity)
+# measured knob sweep (20k-tri icosphere, interleaved in-process medians):
+# 128: 0.66s  256: 0.66s  512: 0.89s  1024: 0.97s; spread scene 256 == 512
 RAY_TILE = 32768           # rays per tile in the clustered sweep
 # (8192 measured worse: more cond/launch overhead than extra skips recover)
 
