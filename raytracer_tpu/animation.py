@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .core.camera import generate_rays
-from .core.compile import compile_scene, derive_max_bounces, derive_split_k
+from .core.compile import compile_scene_cached, derive_max_bounces, derive_split_k
 from .core.integrator import RenderSettings, trace
 from .utils.colour import srgb_linear_to_srgb
 
@@ -115,7 +115,7 @@ def _cam_from_vec(v):
 
 def _frame_data(scene):
     """Compile one frame's scene; textures split out (frame-invariant, big)."""
-    static, data = compile_scene(scene)
+    static, data = compile_scene_cached(scene)
     cam = scene.camera.params()
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,

@@ -65,10 +65,10 @@ def get_raycolor(ray: Ray, scene, seed=0, max_bounces=None):
     Functional analogue of the reference integrator entry point
     (sightpy/ray.py:122-148).
     """
-    from .compile import compile_scene, derive_max_bounces
+    from .compile import compile_scene_cached, derive_max_bounces
     from .integrator import RenderSettings, trace
 
-    static, data = compile_scene(scene)
+    static, data = compile_scene_cached(scene)
     if max_bounces is None:
         # shared derivation — same path lengths as Scene.render
         max_bounces = derive_max_bounces(static)
@@ -90,9 +90,9 @@ def get_raycolor(ray: Ray, scene, seed=0, max_bounces=None):
 
 def get_distances(ray: Ray, scene):
     """Depth AOV for a ray bundle (reference ray.py:151-163)."""
-    from .compile import compile_scene
+    from .compile import compile_scene_cached
     from .integrator import trace_distances
 
-    _, data = compile_scene(scene)
+    _, data = compile_scene_cached(scene)
     return trace_distances(jnp.asarray(ray.origin, jnp.float32),
                            jnp.asarray(ray.dir, jnp.float32), data)

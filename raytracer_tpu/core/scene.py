@@ -31,7 +31,7 @@ from ..backgrounds.environment import Panorama, SkyBox
 from ..utils.colour import srgb_linear_to_srgb
 from ..utils.image_io import array_to_pil
 from .camera import Camera, generate_rays
-from .compile import compile_scene, derive_max_bounces, derive_split_k
+from .compile import compile_scene_cached, derive_max_bounces, derive_split_k
 from .integrator import RenderSettings, trace, trace_distances
 from .vec import as_complex3, as_float3
 
@@ -189,7 +189,7 @@ class Scene:
         return max(fans or [1])
 
     def _settings_for_render(self, collect_stats):
-        static, data = compile_scene(self)
+        static, data = compile_scene_cached(self)
         max_b = self.settings.max_bounces
         if max_b == RenderSettings.max_bounces:
             # shared derivation (also used by render_sharded / get_raycolor)
@@ -325,7 +325,7 @@ class Scene:
         if self.camera is None:
             raise RuntimeError("call add_Camera() first")
         W, H = self.camera.screen_width, self.camera.screen_height
-        _, data = compile_scene(self)
+        _, data = compile_scene_cached(self)
         grey = _distances_chunk(jax.random.PRNGKey(seed), data,
                                 self.camera.params(), W, H)
         img = np.asarray(grey).reshape(H, W, 3)

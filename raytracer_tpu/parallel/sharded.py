@@ -111,13 +111,13 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
 
     samples_per_pixel is rounded up to a multiple of the sample-shard count.
     """
-    from ..core.compile import (compile_scene, derive_max_bounces,
+    from ..core.compile import (compile_scene_cached, derive_max_bounces,
                                 derive_split_k)
 
     mesh = mesh or make_mesh()
     n_sample = mesh.shape["sample"]
     W, H = scene.camera.screen_width, scene.camera.screen_height
-    static, data = compile_scene(scene)
+    static, data = compile_scene_cached(scene)
     # shared derivations — sharded and single-chip renders of the same scene
     # must trace identical path lengths with the same estimator
     split_k = derive_split_k(static)
