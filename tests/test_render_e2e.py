@@ -122,6 +122,41 @@ def test_diffuse_furnace_like():
     assert np.allclose(got, expected, atol=0.05)
 
 
+def test_diffuse_furnace_mesh_clustered(monkeypatch):
+    # same furnace identity with the floor TESSELLATED into triangles routed
+    # through the CLUSTERED sweep — catches normal-orientation or culling
+    # bias in the mesh path (pixel = albedo * E independent of geometry)
+    import raytracer_tpu.core.compile as C
+    from raytracer_tpu import Triangle
+
+    monkeypatch.setattr(C, "TRI_CLUSTER_THRESHOLD", 32)
+    sc = Scene(ambient_color=rgb(0, 0, 0))
+    sc.add_Camera(look_from=vec3(0, 1, 0.01), look_at=vec3(0, 0, 0),
+                  screen_width=12, screen_height=12, field_of_view=30)
+    albedo, E = 0.6, 0.5
+    mat = Diffuse(diff_color=rgb(albedo, albedo, albedo))
+    g = np.linspace(-50, 50, 9)
+    for i in range(8):
+        for j in range(8):
+            x0, x1, z0, z1 = g[i], g[i + 1], g[j], g[j + 1]
+            # counter-clockwise seen from +y so the normal points up
+            sc.add(Triangle(material=mat, center=vec3(0, 0, 0),
+                            p1=vec3(x0, 0, z0), p2=vec3(x1, 0, z1),
+                            p3=vec3(x1, 0, z0)))
+            sc.add(Triangle(material=mat, center=vec3(0, 0, 0),
+                            p1=vec3(x0, 0, z0), p2=vec3(x0, 0, z1),
+                            p3=vec3(x1, 0, z1)))
+    sc.add(Sphere(material=Emissive(color=rgb(E, E, E)),
+                  center=vec3(0, 0, 0), radius=50.0, shadow=False))
+    from raytracer_tpu.core.compile import compile_scene
+    static, data = compile_scene(sc)
+    assert data.geom.tri_cl_lo.shape[0] >= 1   # clustered path engaged
+    img = linear_render(sc, spp=32)
+    expected = np.asarray(srgb_linear_to_srgb(jnp.asarray([[albedo * E] * 3])))[0]
+    got = img[4:8, 4:8].reshape(-1, 3).mean(axis=0)
+    assert np.allclose(got, expected, atol=0.05)
+
+
 def test_deterministic_given_seed():
     sc = Scene()
     sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
