@@ -126,6 +126,22 @@ def test_thin_film_e2e():
     assert center.max() > 0.2
 
 
+def test_example_mesh_builds():
+    # the mesh example constructs its whole scene (OBJ gen + native parse +
+    # rotation) at import; compiling it must engage the clustered sweep
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    mod = importlib.import_module("example_mesh")
+    from raytracer_tpu.core.compile import compile_scene
+
+    static, data = compile_scene(mod.Sc)
+    assert static.n_tris == 5120
+    assert data.geom.tri_cl_lo.shape[0] == 20      # 5120 / 256 clusters
+
+
 def test_triangle_mesh_obj(tmp_path):
     # two triangles forming a quad facing +z
     obj = tmp_path / "quad.obj"
