@@ -218,11 +218,14 @@ class GeometryTables:
     bvh_right: Any = None
     bvh_first: Any = None
     bvh_count: Any = None
-    # per-cluster AABBs for the two-level clustered sweep (empty when
-    # n_tris < TRI_CLUSTER_THRESHOLD); triangles are permuted into SAH-BVH
-    # leaf order and grouped TRI_CLUSTER_SIZE at a time
+    # per-cluster AABBs + start rows for the two-level clustered sweep
+    # (empty when n_tris < TRI_CLUSTER_THRESHOLD); triangles are permuted
+    # into SAH-BVH leaf order and clustered as fixed TRI_CLUSTER_SIZE runs
+    # (see _cluster_runs for the measured negative result on BVH-treelet
+    # cuts).  The sweep dynamic-slices TRI_CLUSTER_SIZE rows from `start`.
     tri_cl_lo: Any = None
     tri_cl_hi: Any = None
+    tri_cl_start: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -648,6 +651,25 @@ BVH_THRESHOLD = 200_000
 TRI_CLUSTER_THRESHOLD = 1024
 
 
+def _cluster_runs(TV, B):
+    """Fixed contiguous B-runs of the leaf-ordered triangles: (starts,
+    bbox_lo, bbox_hi).
+
+    Negative result (interleaved A/B, spread scene, 46k tris): cutting the
+    BVH into TREELETS of <= B instead — subtree-tight boxes, 2.5x less total
+    AABB surface area — measured 25% SLOWER end-to-end (3.25 s vs 2.59 s):
+    the ~1.5x extra clusters cost more cond overhead and redundant overlap
+    retests than the tighter boxes save.  Fixed runs of the SAH leaf order
+    are already spatially compact."""
+    T = TV.shape[0]
+    C = -(-T // B)
+    v64 = np.pad(TV.astype(np.float64).reshape(-1, 3),
+                 ((0, (C * B - T) * 3), (0, 0)),
+                 constant_values=np.nan).reshape(C, B * 3, 3)
+    starts = np.arange(C, dtype=np.int64) * B
+    return starts, np.nanmin(v64, axis=1), np.nanmax(v64, axis=1)
+
+
 def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     b = _Builder()
     for prim in scene.scene_primitives:
@@ -665,6 +687,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     tri_bvh_stack = 0
     tri_cl_lo = np.zeros((0, 3), F32)
     tri_cl_hi = np.zeros((0, 3), F32)
+    tri_cl_start = np.zeros((0,), I32)
     if len(b.tris) >= BVH_THRESHOLD:
         from ..native import build_bvh
         tri_bvh = build_bvh(TV)
@@ -681,20 +704,14 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         perm = build_bvh(TV)["order"]
         TV = TV[perm]
         b.props["tri"] = [b.props["tri"][i] for i in perm]
-        Bc = TRI_CLUSTER_SIZE
-        T = TV.shape[0]
-        C = -(-T // Bc)
-        v64 = np.pad(TV.astype(np.float64).reshape(-1, 3),
-                     ((0, (C * Bc - T) * 3), (0, 0)),
-                     constant_values=np.nan).reshape(C, Bc * 3, 3)
-        lo = np.nanmin(v64, axis=1)
-        hi = np.nanmax(v64, axis=1)
+        starts, lo, hi = _cluster_runs(TV, TRI_CLUSTER_SIZE)
         # inflate generously: the AABB is only a conservative prefilter (the
         # triangle test decides hits), so f32 slab rounding must never cull a
         # genuinely hit cluster
         pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
         tri_cl_lo = _f(lo - pad)
         tri_cl_hi = _f(hi + pad)
+        tri_cl_start = _i(starts)
 
     # ---- triangle derived tables (vectorized over TV) --------------------
     P1, P2, P3 = TV[:, 0], TV[:, 1], TV[:, 2]
@@ -741,6 +758,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         bvh_count=(tri_bvh["count"] if tri_bvh else np.zeros((0,), I32)),
         tri_cl_lo=tri_cl_lo,
         tri_cl_hi=tri_cl_hi,
+        tri_cl_start=tri_cl_start,
     )
 
     # ---- object tables in global id order --------------------------------

@@ -188,14 +188,17 @@ def _safe_inv(d):
 
 
 def _clustered_tri_tables(geom):
+    """Flat tables padded by one cluster of degenerate rows (zero normals
+    always miss), so a fixed-size dynamic_slice from any treelet start stays
+    in bounds.  Clusters are (start, AABB) treelet cuts — compile.py
+    _treelet_cut; rows past a treelet's end belong to neighboring treelets
+    and retesting them is idempotent (codes are global row indices)."""
     tabs = _tri_tables(geom)
     T = tabs[0].shape[0]
     B = TRI_CLUSTER_SIZE
     C = geom.tri_cl_lo.shape[0]
-    pad = C * B - T
-    stacked = tuple(jnp.pad(x, ((0, pad), (0, 0))).reshape(C, B, 3)
-                    for x in tabs)
-    return stacked, B, C, T
+    padded = tuple(jnp.pad(x, ((0, B), (0, 0))) for x in tabs)
+    return padded, B, C, T
 
 
 def _clustered_nearest(O, D, geom):
@@ -205,7 +208,7 @@ def _clustered_nearest(O, D, geom):
     nearest possible entry over the tile's rays), so after the first surface
     is found the `entry < best_t` test retires every cluster behind it —
     the occlusion-culling half of a BVH, without per-ray stacks."""
-    stacked, B, C, _ = _clustered_tri_tables(geom)
+    padded, B, C, _ = _clustered_tri_tables(geom)
     row2 = (jnp.arange(B, dtype=jnp.int32) * 2)[:, None]
     (Ot, Dt), n, R = _ray_tiles(O, D)
 
@@ -226,11 +229,12 @@ def _clustered_nearest(O, D, geom):
 
             def run(s):
                 bt, bcode = s
-                blk = tuple(jax.lax.dynamic_index_in_dim(x, c, 0, False)
-                            for x in stacked)
+                start = geom.tri_cl_start[c]
+                blk = tuple(jax.lax.dynamic_slice(x, (start, 0), (B, 3))
+                            for x in padded)
                 t, o = intersect_triangles(O_t, D_t, *blk)     # (B, R)
                 tm = jnp.min(t, axis=0)
-                code = (c * 2 * B + row2) + (o < 0)
+                code = (start * 2 + row2) + (o < 0)
                 cm = jnp.max(jnp.where(t == tm[None, :], code, -1), axis=0)
                 better = tm < bt
                 return (jnp.where(better, tm, bt),
@@ -251,8 +255,8 @@ def _clustered_occluded(O, D, geom, tri_mask, max_dist, hit0):
     """Any-hit over clusters; a cluster is skipped once every ray in the tile
     that could reach it is already occluded (or misses its AABB).  Near
     clusters go first: they occlude the most rays soonest."""
-    stacked, B, C, T = _clustered_tri_tables(geom)
-    mask = jnp.pad(tri_mask, (0, C * B - T)).reshape(C, B)
+    padded, B, C, T = _clustered_tri_tables(geom)
+    mask = jnp.pad(tri_mask, (0, B))
     (Ot, Dt, mdt, h0t), n, R = _ray_tiles(O, D, aux=[max_dist, hit0])
 
     def tile_body(_, tile):
@@ -270,9 +274,10 @@ def _clustered_occluded(O, D, geom, tri_mask, max_dist, hit0):
             live = (ent < md) & ~h
 
             def run(h):
-                blk = tuple(jax.lax.dynamic_index_in_dim(x, c, 0, False)
-                            for x in stacked)
-                m = jax.lax.dynamic_index_in_dim(mask, c, 0, keepdims=False)
+                start = geom.tri_cl_start[c]
+                blk = tuple(jax.lax.dynamic_slice(x, (start, 0), (B, 3))
+                            for x in padded)
+                m = jax.lax.dynamic_slice(mask, (start,), (B,))
                 t, _ = intersect_triangles(O_t, D_t, *blk)     # (B, R)
                 return h | jnp.any((t < md[None, :]) & m[:, None], axis=0)
 

@@ -54,7 +54,8 @@ def main(subdiv=4, spp=4, spread=False):
 
     g_flat = dataclasses.replace(
         g, tri_cl_lo=jnp.zeros((0, 3), jnp.float32),
-        tri_cl_hi=jnp.zeros((0, 3), jnp.float32))
+        tri_cl_hi=jnp.zeros((0, 3), jnp.float32),
+        tri_cl_start=jnp.zeros((0,), jnp.int32))
 
     for name, gg in (("flat", g_flat), ("clustered", g)):
         w = timeit(jax.jit(lambda O, D, gg=gg: I.nearest_hit(O, D, gg)), O, D)

@@ -71,6 +71,7 @@ def main(N=480_000, T=5120):
     g.box_basis = jnp.zeros((0, 3, 3), jnp.float32)
     g.box_lb_local = g.box_rt_local = jnp.zeros((0, 3), jnp.float32)
     g.tri_cl_lo = g.tri_cl_hi = jnp.zeros((0, 3), jnp.float32)
+    g.tri_cl_start = jnp.zeros((0,), jnp.int32)
 
     O = jnp.asarray(rng.uniform(-3, 3, (N, 3)).astype(np.float32))
     D = rng.normal(size=(N, 3)).astype(np.float32)

@@ -126,12 +126,17 @@ def _tri_geom(p1, p2, p3, clustered=False):
     g.box_basis = jnp.zeros((0, 3, 3), jnp.float32)
     g.box_lb_local = g.box_rt_local = jnp.zeros((0, 3), jnp.float32)
     g.tri_cl_lo = g.tri_cl_hi = jnp.zeros((0, 3), jnp.float32)
+    g.tri_cl_start = jnp.zeros((0,), jnp.int32)
     if clustered:
-        # per-cluster AABBs over TRI_CLUSTER_SIZE runs (grouping need not be
-        # spatial for correctness — only for skip efficiency)
+        # treelet-style (start, AABB) clusters over contiguous runs — a
+        # valid particular cut (grouping need not be spatial for
+        # correctness, only for skip efficiency); uneven final run
+        # exercises the overlapping fixed-size slice
         B = I.TRI_CLUSTER_SIZE
         T = len(p1)
         C = -(-T // B)
+        starts = np.arange(C) * B      # last slice runs into the degenerate
+        # padding rows _clustered_tri_tables appends — exercising that path
         verts = np.stack([p1, p2, p3], axis=1).astype(np.float64)  # (T, 3, 3)
         lo = np.stack([verts[i * B:(i + 1) * B].reshape(-1, 3).min(0)
                        for i in range(C)])
@@ -139,6 +144,7 @@ def _tri_geom(p1, p2, p3, clustered=False):
                        for i in range(C)])
         pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
         g.tri_cl_lo, g.tri_cl_hi = f(lo - pad), f(hi + pad)
+        g.tri_cl_start = jnp.asarray(starts, jnp.int32)
     return g
 
 
