@@ -247,8 +247,10 @@ class Scene:
         if data.geom.tri_cl_lo.shape[0]:
             # clustered-sweep scenes: ~4M-ray chunks measured 5.7x SLOWER
             # than the same work in ~0.5M-ray chunks (46k tris, 32 spp:
-            # 103 s one-chunk vs 18 s chunked — the per-sweep calls scale
-            # linearly, the surrounding program does not); cap the chunk
+            # 103 s one-chunk vs 18 s chunked).  xprof shows IDENTICAL
+            # device op totals for both — the gap is all idle/dispatch:
+            # the axon relay stalls on long single executions.  The cap
+            # keeps each execution short; lift it on direct-attached TPUs.
             max_rays = 1 << 19
         chunk = batch_size or max(1, min(eff_spp, max_rays // (W * H)))
         # every chunk must cover whole pattern blocks, or the enumerated
