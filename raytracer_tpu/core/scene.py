@@ -244,6 +244,13 @@ class Scene:
         split_fan = 1 << settings.split_k
         eff_spp = samples_per_pixel * self._diffuse_fan() * split_fan
         max_rays = MAX_RAYS_PER_CHUNK
+        if static.pallas_tex_ok:
+            # record+replay chunks run ~0.6 s at 4M rays — long enough for
+            # the relay dispatch stall (see below).  1M-ray chunks measured
+            # fastest on example4: 2.55 s -> 2.18 s @ 16 spp (knee at ~1M;
+            # 0.5M and 0.25M identical).  The solid mega-kernel path keeps
+            # full chunks (13 ms per execution — no stall regime).
+            max_rays = 1 << 20
         if data.geom.tri_cl_lo.shape[0]:
             # clustered-sweep scenes: ~4M-ray chunks measured 5.7x SLOWER
             # than the same work in ~0.5M-ray chunks (46k tris, 32 spp:
