@@ -189,10 +189,11 @@ def _safe_inv(d):
 
 def _clustered_tri_tables(geom):
     """Flat tables padded by one cluster of degenerate rows (zero normals
-    always miss), so a fixed-size dynamic_slice from any treelet start stays
-    in bounds.  Clusters are (start, AABB) treelet cuts — compile.py
-    _treelet_cut; rows past a treelet's end belong to neighboring treelets
-    and retesting them is idempotent (codes are global row indices)."""
+    always miss), so the fixed-size dynamic_slice from any cluster start
+    stays in bounds.  Clusters are (start, AABB) runs of the SAH leaf order
+    (compile.py _cluster_runs); rows a slice picks up past a cluster's end
+    are real neighboring triangles or the degenerate padding — retesting
+    them is idempotent (winner codes are global row indices)."""
     tabs = _tri_tables(geom)
     T = tabs[0].shape[0]
     B = TRI_CLUSTER_SIZE
