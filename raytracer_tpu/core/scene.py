@@ -259,7 +259,13 @@ class Scene:
             # the axon relay stalls on long single executions.  The cap
             # keeps each execution short; lift it on direct-attached TPUs.
             max_rays = 1 << 19
-        chunk = batch_size or max(1, min(eff_spp, max_rays // (W * H)))
+        # cap chunk SPP as well as chunk rays: the ray-count bound alone
+        # picks 419-spp chunks for a 100x100 frame, and the Pallas paths'
+        # grids parallelize over pixel tiles with spp looped inside — few
+        # tiles x long serial loops ran the reference's own Cornell config
+        # (100x100 @ 100 spp) in 14.2 s vs 0.63 s at 26-spp chunks.  32
+        # leaves every measured large-frame choice unchanged.
+        chunk = batch_size or max(1, min(eff_spp, 32, max_rays // (W * H)))
         # every chunk must cover whole pattern blocks, or the enumerated
         # branch weights (2F / 2T) would not average back to F + T
         chunk = max(split_fan, chunk - chunk % split_fan)
