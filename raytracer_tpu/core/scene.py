@@ -263,9 +263,11 @@ class Scene:
         # picks 419-spp chunks for a 100x100 frame, and the Pallas paths'
         # grids parallelize over pixel tiles with spp looped inside — few
         # tiles x long serial loops ran the reference's own Cornell config
-        # (100x100 @ 100 spp) in 14.2 s vs 0.63 s at 26-spp chunks.  32
-        # leaves every measured large-frame choice unchanged.
-        chunk = batch_size or max(1, min(eff_spp, 32, max_rays // (W * H)))
+        # (100x100 @ 100 spp) in 14.2 s vs 0.6-0.9 s at 26-128-spp chunks.
+        # 128 leaves every large-frame choice AND every small test render
+        # (eff_spp <= 128 stays one chunk, so per-chunk RNG streams and the
+        # checked-in goldens are unchanged) as they were.
+        chunk = batch_size or max(1, min(eff_spp, 128, max_rays // (W * H)))
         # every chunk must cover whole pattern blocks, or the enumerated
         # branch weights (2F / 2T) would not average back to F + T
         chunk = max(split_fan, chunk - chunk % split_fan)
