@@ -35,14 +35,14 @@ from .animation import create_animation, create_animation_using_opencv
 from .backgrounds.environment import Panorama, SkyBox, procedural_sky
 from .core.camera import Camera
 from .core.integrator import RenderSettings
-from .core.ray import Ray, get_raycolor
+from .core.ray import Hit, Ray, first_hit, get_distances, get_raycolor
 from .core.scene import Scene
 from .core.vec import rgb, vec3
 from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
                            random_in_unit_disk, random_in_unit_sphere,
                            spherical_caps_pdf)
-from .geometry.primitive import (Cuboid, Plane, Primitive, Sphere, Triangle,
-                                 TriangleMesh)
+from .geometry.primitive import (Cuboid, Plane, Primitive, Sphere, Surface,
+                                 Triangle, TriangleMesh)
 from .lights import DirectionalLight, PointLight
 from .materials.base import (Diffuse, Emissive, Glossy, Material, Refractive,
                              ThinFilmInterference)
@@ -53,10 +53,12 @@ from .utils.image_io import add_asset_root, load_image, load_image_as_linear_srg
 __version__ = "0.1.0"
 
 __all__ = [
-    "Scene", "Camera", "vec3", "rgb", "np", "Ray", "get_raycolor",
+    "Scene", "Camera", "vec3", "rgb", "np", "Ray", "Hit", "get_raycolor",
+    "get_distances", "first_hit",
     "PDF", "hemisphere_pdf", "cosine_pdf", "spherical_caps_pdf", "mixed_pdf",
     "random_in_unit_disk", "random_in_unit_sphere",
     "Sphere", "Plane", "Cuboid", "Triangle", "TriangleMesh", "Primitive",
+    "Surface",
     "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
     "Material", "texture", "image", "solid_color",
     "PointLight", "DirectionalLight",

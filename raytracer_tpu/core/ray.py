@@ -96,3 +96,59 @@ def get_distances(ray: Ray, scene):
     _, data = compile_scene_cached(scene)
     return trace_distances(jnp.asarray(ray.origin, jnp.float32),
                            jnp.asarray(ray.dir, jnp.float32), data)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Hit:
+    """Bundle-level hit record (reference `Hit`, sightpy/ray.py:97-119).
+
+    The reference's Hit is a per-collider record with lazily cached uv and
+    normal, produced inside its integrator loop; here all hit attributes are
+    computed SoA-batched by the same kernels the integrator uses
+    (geometry/attrs.py) and stored eagerly — one record describes the whole
+    bundle.  `material` indexes are global object ids (FARAWAY distance =
+    miss); `scene.primitives[obj_id]` recovers the host-side object.
+    """
+
+    distance: Any                   # (N,) nearest-hit distance, FARAWAY = miss
+    orientation: Any                # (N,) +1 entering / -1 exiting
+    point: Any = None               # (N, 3) hit points
+    normal: Any = None              # (N, 3) geometric normals (outward)
+    uv: Any = None                  # (N, 2) texture coordinates
+    obj_id: Any = None              # (N,) int32 global object index
+
+    # lazy-cache accessors of the reference API (ray.py:111-119); values are
+    # precomputed so these are plain reads
+    def get_uv(self):
+        return self.uv
+
+    def get_normal(self):
+        return self.normal
+
+
+def first_hit(ray: Ray, scene) -> Hit:
+    """Intersect a ray bundle against `scene` and return the nearest hits.
+
+    Functional analogue of the reference integrator's resolve step
+    (sightpy/ray.py:124-143: per-collider intersect -> nearest reduce ->
+    Hit construction) as a public debug/AOV entry point.
+    """
+    from ..geometry.attrs import hit_attributes
+    from ..geometry.intersect import nearest_hit
+    from .compile import compile_scene_cached
+
+    static, data = compile_scene_cached(scene)
+    O = jnp.asarray(ray.origin, jnp.float32)
+    D = jnp.asarray(ray.dir, jnp.float32)
+
+    @jax.jit
+    def go(O, D):
+        t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+        P = O + D * t[..., None]
+        N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
+        return t, orient, P, N_geo, uv, obj
+
+    t, orient, P, N_geo, uv, obj = go(O, D)
+    return Hit(distance=t, orientation=orient, point=P, normal=N_geo,
+               uv=uv, obj_id=obj)

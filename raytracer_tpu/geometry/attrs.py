@@ -147,15 +147,16 @@ def triangle_attrs(P, local_id, geom, need_uv):
     return N, jnp.stack([u, v], axis=-1)
 
 
-def hit_attributes(P, obj_id, geom, static):
+def hit_attributes(P, obj_id, geom, static, force_uv=False):
     """Geometric normal (N, 3) and uv (N, 2) for each ray's winning object.
 
     `static` provides the per-type counts (SceneStatic); types not present in
     the scene cost nothing (Python-level skip at trace time).  When
-    static.needs_uv is False the returned uv is all-zeros and costs nothing.
+    static.needs_uv is False the returned uv is all-zeros and costs nothing
+    (force_uv=True overrides, for callers like first_hit that always want uv).
     """
     S, Pn, B, T = static.n_spheres, static.n_planes, static.n_boxes, static.n_tris
-    need_uv = static.needs_uv
+    need_uv = static.needs_uv or force_uv
     normal = jnp.zeros_like(P)
     uv = jnp.zeros(P.shape[:-1] + (2,), P.dtype)
 

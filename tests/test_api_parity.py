@@ -16,7 +16,9 @@ def test_star_import_surface():
                  "Refractive", "Emissive", "ThinFilmInterference", "image",
                  "solid_color", "PointLight", "DirectionalLight",
                  "create_animation", "np", "get_raycolor", "cosine_pdf",
-                 "hemisphere_pdf", "spherical_caps_pdf", "mixed_pdf"]:
+                 "hemisphere_pdf", "spherical_caps_pdf", "mixed_pdf",
+                 "Hit", "get_distances", "first_hit", "Surface", "SkyBox",
+                 "Panorama", "create_animation_using_opencv"]:
         assert hasattr(rt, name), name
 
 
@@ -32,6 +34,27 @@ def test_get_raycolor_bundle():
     assert np.allclose(L[0], [0.25, 0.5, 0.75], atol=1e-5)   # hits
     assert np.allclose(L[1], 0.0)                             # misses
     assert np.allclose(L[3], L[0])
+
+
+def test_first_hit_record():
+    """first_hit returns a populated Hit bundle (reference ray.py:97-143)."""
+    from raytracer_tpu import Emissive, Ray, Scene, Sphere, first_hit, rgb, vec3
+
+    sc = Scene()
+    sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                  center=vec3(0, 0, -5), radius=1.0))
+    O = jnp.zeros((3, 3), jnp.float32)
+    D = jnp.asarray([[0, 0, -1], [0, 0, 1], [0, 1, 0]], jnp.float32)
+    h = first_hit(Ray(origin=O, dir=D), sc)
+    t = np.asarray(h.distance)
+    assert np.isclose(t[0], 4.0, atol=1e-4)            # front of the sphere
+    assert t[1] >= 1e30 and t[2] >= 1e30               # misses -> FARAWAY
+    assert np.allclose(np.asarray(h.point)[0], [0, 0, -4], atol=1e-4)
+    assert np.allclose(np.asarray(h.get_normal())[0], [0, 0, 1], atol=1e-4)
+    u, v = np.asarray(h.get_uv())[0]
+    assert 0.0 <= u <= 1.0 and np.isclose(v, 0.5, atol=1e-4)  # equator
+    assert np.asarray(h.orientation)[0] == 1.0         # entering
+    assert np.asarray(h.obj_id)[0] == 0
 
 
 def test_ray_where_concatenate():
