@@ -44,8 +44,9 @@ from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
 from .geometry.primitive import (Cuboid, Plane, Primitive, Sphere, Surface,
                                  Triangle, TriangleMesh)
 from .lights import DirectionalLight, PointLight
-from .materials.base import (Diffuse, Emissive, Glossy, Material, Refractive,
-                             ThinFilmInterference)
+from .materials.base import (CustomMaterial, Diffuse, Emissive, Glossy,
+                             Material, Refractive, ThinFilmInterference)
+from .materials.shade import ShadeOut, default_shade_out
 from .textures.texture import image, solid_color, texture
 from .utils.colour import srgb_linear_to_srgb, srgb_to_srgb_linear
 from .utils.image_io import add_asset_root, load_image, load_image_as_linear_srgb
@@ -60,7 +61,8 @@ __all__ = [
     "Sphere", "Plane", "Cuboid", "Triangle", "TriangleMesh", "Primitive",
     "Surface",
     "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
-    "Material", "texture", "image", "solid_color",
+    "Material", "CustomMaterial", "ShadeOut", "default_shade_out",
+    "texture", "image", "solid_color",
     "PointLight", "DirectionalLight",
     "SkyBox", "Panorama", "procedural_sky",
     "create_animation", "create_animation_using_opencv",

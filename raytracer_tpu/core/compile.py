@@ -31,8 +31,8 @@ import numpy as np
 
 from ..backgrounds.environment import EnvironmentMaterial, Panorama, SkyBox
 from ..geometry.primitive import Cuboid, Plane, Primitive, Sphere, Triangle, TriangleMesh
-from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
-                              MAT_REFRACTIVE, MAT_THINFILM)
+from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
+                              MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)
 from ..textures.texture import image as image_texture
 from ..textures.texture import solid_color
 
@@ -361,6 +361,10 @@ class SceneStatic:
     # the Pallas mega-kernel handles solid-color scenes with modest object
     # counts; textured / env / LUT scenes use the jnp wavefront path
     pallas_ok: bool = False
+    # user CustomMaterial instances in slot order; shading dispatch unrolls
+    # over them at trace time (instances are static by identity — the jnp
+    # wavefront is the only path that can run them)
+    custom_mats: Tuple[Any, ...] = ()
 
 
 def _bvh_depth(left, right, count):
@@ -389,7 +393,8 @@ def derive_max_bounces(static: "SceneStatic", cap: int = 12) -> int:
     more loop iteration.
     """
     capped = [r.max_depth for r in static.obj_records
-              if r.mat_type in (MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)]
+              if r.mat_type in (MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM,
+                                MAT_CUSTOM)]
     extra = 3 if MAT_DIFFUSE in static.mat_types_present else 1
     return min(max(capped or [0]) + extra, cap)
 
@@ -526,7 +531,8 @@ class _Builder:
         self._tex_ids = {}
         self.mat_slots = {}        # id(material) -> (type, slot)
         self.mat_rows = {MAT_DIFFUSE: [], MAT_GLOSSY: [], MAT_REFRACTIVE: [],
-                         MAT_THINFILM: [], MAT_EMISSIVE: [], MAT_ENV: []}
+                         MAT_THINFILM: [], MAT_EMISSIVE: [], MAT_ENV: [],
+                         MAT_CUSTOM: []}
         self.diffuse_tex = []
         self.glossy_tex = []
         self.emissive_tex = []
@@ -831,7 +837,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     # uv coordinates are only needed when something samples them; solid-color
     # scenes (e.g. the Cornell box) skip the whole uv computation per bounce
     needs_uv = bool(b.diffuse_tex or b.glossy_tex or b.emissive_tex
-                    or b.env_slots or b.thinfilm_lut or nmaps)
+                    or b.env_slots or b.thinfilm_lut or nmaps
+                    or b.mat_rows[MAT_CUSTOM])  # custom shaders may read uv
 
     # ---- static per-object records + packed geometry for the Pallas path ---
     obj_records = []
@@ -910,6 +917,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         pallas_ok=pallas_ok,
         pallas_tex_ok=pallas_tex_ok,
         use_tri_bvh=tri_bvh_stack,
+        custom_mats=tuple(b.mat_rows[MAT_CUSTOM]),
     )
 
     data = SceneData(

@@ -26,8 +26,8 @@ from ..geometry.attrs import hit_attributes
 from ..geometry.intersect import nearest_hit
 from .compile import (PACKED_DEPTH_SHIFT, PACKED_MC_SHIFT, PACKED_SLOT_SHIFT)
 from ..materials import shade
-from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
-                              MAT_REFRACTIVE, MAT_THINFILM)
+from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
+                              MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)
 from ..utils.constants import MISS_THRESHOLD, NUDGE_EPS, WAVELENGTHS_NM
 
 _SHADERS = {
@@ -181,12 +181,23 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
         inc_diff = jnp.zeros((n,), bool)
         inc_split = jnp.zeros((n,), bool)
 
+        # (shader fn, per-ray mask, key salt) per present material type; a
+        # CustomMaterial type unrolls into one entry per registered instance,
+        # masked by slot (user shading hook, materials/base.py CustomMaterial)
+        dispatch = []
         for mt in static.mat_types_present:
-            if mt not in _SHADERS:
-                continue
+            if mt == MAT_CUSTOM:
+                for slot, cm in enumerate(static.custom_mats):
+                    dispatch.append((cm.shade,
+                                     (mat_type == mt) & (mat_slot == slot),
+                                     (mt << 10) | slot))
+            elif mt in _SHADERS:
+                dispatch.append((_SHADERS[mt], mat_type == mt, mt))
+
+        for shader_fn, m, salt in dispatch:
             ctx = ShadeCtx(
                 data=data, static=static, bounce=bounce,
-                key=jax.random.fold_in(key_b, mt),
+                key=jax.random.fold_in(key_b, salt),
                 D=D, n_re=n_re, n_im=n_im, depth=depth,
                 diffuse_reflections=diffuse_refl,
                 t=t, P=P, N=N_shad, uv=uv, orient=orient,
@@ -195,8 +206,7 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
                 pattern=pattern, split_cnt=split_cnt,
                 split_k=settings.split_k,
             )
-            out = _SHADERS[mt](ctx)
-            m = (mat_type == mt)
+            out = shader_fn(ctx)
             m3 = m[..., None]
             add = jnp.where(m3, out.add, add)
             beta_mult = jnp.where(m3, out.beta_mult, beta_mult)
@@ -208,7 +218,8 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
             inc_refl = jnp.where(m, out.is_reflection, inc_refl)
             inc_trans = jnp.where(m, out.is_transmission, inc_trans)
             inc_diff = jnp.where(m, out.is_diffuse, inc_diff)
-            inc_split = jnp.where(m, out.did_split, inc_split)
+            if out.did_split is not None:   # optional for custom shaders
+                inc_split = jnp.where(m, out.did_split, inc_split)
 
         shaded = alive & ~miss
         L = L + jnp.where(shaded[..., None], beta * add, 0.0)

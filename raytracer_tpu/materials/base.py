@@ -21,11 +21,12 @@ MAT_DIFFUSE = 3
 MAT_REFRACTIVE = 4
 MAT_THINFILM = 5
 MAT_ENV = 6          # skybox / panorama environment material
+MAT_CUSTOM = 7       # user-defined wavefront shading hook (CustomMaterial)
 
 MAT_TYPE_NAMES = {
     MAT_NONE: "none", MAT_EMISSIVE: "emissive", MAT_GLOSSY: "glossy",
     MAT_DIFFUSE: "diffuse", MAT_REFRACTIVE: "refractive",
-    MAT_THINFILM: "thinfilm", MAT_ENV: "env",
+    MAT_THINFILM: "thinfilm", MAT_ENV: "env", MAT_CUSTOM: "custom",
 }
 
 
@@ -47,6 +48,35 @@ class Material:
         else:
             self.normalmap = load_image(normalmap, subdir_hint="normalmaps")
         self.normalmap_repeat = float(repeat)
+
+
+class CustomMaterial(Material):
+    """User-defined material: subclass and implement `shade(ctx) -> ShadeOut`.
+
+    The reference's extensibility story is subclassing Material and writing a
+    recursive numpy `get_color(scene, ray, hit)` (sightpy/materials/
+    material.py:11-44).  The TPU-native equivalent is a *wavefront hook*:
+    `shade` receives a ShadeCtx (core/integrator.py) describing the hit state
+    of the WHOLE ray wavefront — positions `ctx.P`, shading normals `ctx.N`,
+    uv `ctx.uv`, incoming directions `ctx.D`, a per-call PRNG key `ctx.key` —
+    and returns a ShadeOut (materials/shade.py) with the local radiance
+    (`add`), throughput multiplier (`beta_mult`) and continuation ray.  Write
+    it in jax.numpy over `(N, ...)` arrays; the integrator masks the result
+    to the rays that actually hit this material and jit-compiles everything.
+
+    Parameters the shader uses should be closed over as constants; treat
+    instances as immutable (the scene-compile cache keys materials by
+    identity — build a new instance to change parameters).
+
+    Scenes containing a CustomMaterial always render through the jnp
+    wavefront path (never the Pallas kernels).
+    """
+
+    mat_type = MAT_CUSTOM
+
+    def shade(self, ctx):
+        raise NotImplementedError(
+            "subclass CustomMaterial and implement shade(ctx) -> ShadeOut")
 
 
 class Emissive(Material):

@@ -47,7 +47,11 @@ class ShadeOut:
     did_split: Any = None    # (N,) bool — consumed a deterministic split bit
 
 
-def _zeros_out(ctx):
+def default_shade_out(ctx):
+    """A neutral ShadeOut (no emission, unit throughput, path terminates).
+
+    Custom shaders (materials/base.py CustomMaterial) should start from this
+    and overwrite the fields they care about with dataclasses.replace."""
     n = ctx.P.shape[0]
     f = jnp.zeros((n, 3), ctx.P.dtype)
     b = jnp.zeros((n,), bool)
@@ -55,6 +59,9 @@ def _zeros_out(ctx):
                     new_dir=ctx.D, new_n_re=ctx.n_re, new_n_im=ctx.n_im,
                     cont=b, is_reflection=b, is_transmission=b, is_diffuse=b,
                     did_split=b)
+
+
+_zeros_out = default_shade_out
 
 
 def _split_branch(ctx, cont):
