@@ -80,6 +80,26 @@ def test_custom_mirror_continuation():
     assert corner.max() < 5, corner
 
 
+def test_example_custom_material_renders():
+    """The showcase example builds and renders a small frame with both
+    custom shaders active alongside built-in Glossy/Emissive."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    mod = importlib.import_module("example_custom_material")
+    sc = mod.build_scene(width=64, height=48)
+    img = np.asarray(sc.render(samples_per_pixel=2, seed=0)).astype(float)
+    assert img.mean() > 5.0          # something rendered
+    H, W, _ = img.shape
+    left = img[:, : W // 2].mean(axis=(0, 1))
+    right = img[:, W // 2:].mean(axis=(0, 1))
+    # iridescent sphere (left) and blue-toon sphere (right) color the halves
+    # differently
+    assert np.abs(left - right).max() > 2.0
+
+
 def test_custom_scene_never_routes_to_pallas():
     from raytracer_tpu import CustomMaterial, default_shade_out
     from raytracer_tpu.core.compile import compile_scene
