@@ -132,6 +132,42 @@ def test_sharded_clustered_mesh(tmp_path, monkeypatch):
     assert np.allclose(img.mean(), ref.mean(), atol=0.02)
 
 
+def test_sharded_custom_material():
+    # a user CustomMaterial (static-by-identity shading hook) must compile
+    # and agree inside shard_map: deterministic shader -> exact match
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytracer_tpu import CustomMaterial, default_shade_out
+
+    class OctantColor(CustomMaterial):
+        # reads ctx.N (exercises the hit-state plumbing) but maps it to a
+        # color constant over each octant, so interior pixels are
+        # independent of the per-shard AA-jitter stream
+        def shade(self, ctx):
+            col = 0.25 + 0.5 * (ctx.N > 0).astype(jnp.float32)
+            return dataclasses.replace(default_shade_out(ctx), add=col)
+
+    def build():
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                      screen_width=16, screen_height=16)
+        sc.add(Sphere(material=OctantColor(), center=vec3(0, 0, -3),
+                      radius=2.5))
+        return sc
+
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    img = render_sharded(build(), samples_per_pixel=4, mesh=mesh, seed=5)
+    ref = np.asarray(build().render(samples_per_pixel=4, seed=5),
+                     np.float32) / 255.0
+    # geometry fills the frame center; only silhouette pixels depend on the
+    # per-shard AA stream
+    interior = np.abs(img - ref) <= 1 / 255 + 1e-6
+    assert interior.mean() > 0.9
+    assert np.allclose(img.mean(), ref.mean(), atol=0.02)
+
+
 def test_sharded_cornell_mean_and_variance():
     # Estimator equivalence at meaningful spp: sharded and single-chip
     # renders of the SAME Cornell scene must agree in per-pixel mean (within
