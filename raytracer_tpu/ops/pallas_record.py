@@ -639,8 +639,10 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             self.frep = f0          # W*repeat / H*repeat as floats
             self.grep = f0
             self.scale = f0
+            self.used = False       # python-static: did any group set()?
 
         def set(self, m, tex_id, repeat=1.0):
+            self.used = True
             Hh, Ww = static.tex_shapes[tex_id]
             self.off = jnp.where(m, static.tex_offsets[tex_id], self.off)
             self.W = jnp.where(m, Ww, self.W)
@@ -684,28 +686,37 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
         elif mt == MAT_EMISSIVE and slot in emi_tex:
             r1.set(m, emi_tex[slot].tex, emi_tex[slot].repeat)
 
-    rgb1 = r1.decode(jnp.take(data.tex_atlas, r1.uv_index(), mode="clip"))
-
-    # round 2 index: env lightmap reuses the uv formula; the thin-film LUT is
-    # a clipped (row, col) fetch whose col depends on round 1's noise value
-    idx2 = r2.uv_index()
-    if any(key[0] == MAT_THINFILM for key in order):
-        # thickness jitter from the noise texture's first channel
-        th_all = f0
-        for key in order:
-            mt, slot, _maxd, _mc = key
-            if mt != MAT_THINFILM:
-                continue
-            m = gid == groups[key]["gid"]
-            th = (data.mats.tf_thickness[slot]
-                  + data.mats.tf_noise[slot] * (rgb1[0] - 0.5))
-            th_all = jnp.where(m, th, th_all)
-        lut_idx = (jnp.clip(lut_rows, 0, r2.H - 1) * r2.W
-                   + jnp.clip(th_all.astype(jnp.int32), 0, r2.W - 1) + r2.off)
-        idx2 = jnp.where(lut_mode, lut_idx, idx2)
-    rgb2 = r2.decode(jnp.take(data.tex_atlas, idx2, mode="clip"))
-
     ones = jnp.ones((M,), jnp.float32)
+    # each gather sweeps all B*N record elements (~13 ns/element on TPU):
+    # skip a round entirely when no shading group registered a fetch for it
+    # (round 2 is unused for any scene without env lightmaps or thin-film —
+    # e.g. a plain SkyBox — halving the replay's gather cost).  The `used`
+    # flags and every consumer below are python-static group structure.
+    rgb1 = (r1.decode(jnp.take(data.tex_atlas, r1.uv_index(), mode="clip"))
+            if r1.used else [ones, ones, ones])
+
+    rgb2 = None
+    if r2.used:
+        # round 2 index: env lightmap reuses the uv formula; the thin-film
+        # LUT is a clipped (row, col) fetch whose col depends on round 1's
+        # noise value
+        idx2 = r2.uv_index()
+        if any(key[0] == MAT_THINFILM for key in order):
+            # thickness jitter from the noise texture's first channel
+            th_all = f0
+            for key in order:
+                mt, slot, _maxd, _mc = key
+                if mt != MAT_THINFILM:
+                    continue
+                m = gid == groups[key]["gid"]
+                th = (data.mats.tf_thickness[slot]
+                      + data.mats.tf_noise[slot] * (rgb1[0] - 0.5))
+                th_all = jnp.where(m, th, th_all)
+            lut_idx = (jnp.clip(lut_rows, 0, r2.H - 1) * r2.W
+                       + jnp.clip(th_all.astype(jnp.int32), 0, r2.W - 1)
+                       + r2.off)
+            idx2 = jnp.where(lut_mode, lut_idx, idx2)
+        rgb2 = r2.decode(jnp.take(data.tex_atlas, idx2, mode="clip"))
     tex = [ones, ones, ones]
     beta_tex = [ones, ones, ones]
     for key in order:
