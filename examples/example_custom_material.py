@@ -49,14 +49,17 @@ class ToonMirror(CustomMaterial):
                  bands=3, mirror=0.35):
         super().__init__()
         self.color = tuple(color)
-        k = jnp.asarray(key_dir, jnp.float32)
-        self.key_dir = k / jnp.linalg.norm(k)
+        # keep host-side (plain tuple): creating a device array here would
+        # initialize the jax backend before the embedding code configures it
+        s = sum(x * x for x in key_dir) ** 0.5
+        self.key_dir = tuple(x / s for x in key_dir)
         self.bands = int(bands)
         self.mirror = float(mirror)
 
     def shade(self, ctx):
         n = ctx.P.shape[0]
-        lam = jnp.clip(jnp.sum(ctx.N * self.key_dir, axis=-1), 0.0, 1.0)
+        key_dir = jnp.asarray(self.key_dir, jnp.float32)
+        lam = jnp.clip(jnp.sum(ctx.N * key_dir, axis=-1), 0.0, 1.0)
         toon = jnp.ceil(lam * self.bands) / self.bands
         add = toon[..., None] * jnp.asarray(self.color, jnp.float32)
         d = ctx.D - ctx.N * (2.0 * jnp.sum(ctx.D * ctx.N, axis=-1,

@@ -363,8 +363,11 @@ class SceneStatic:
     pallas_ok: bool = False
     # user CustomMaterial instances in slot order; shading dispatch unrolls
     # over them at trace time (instances are static by identity — the jnp
-    # wavefront is the only path that can run them)
+    # wavefront is the only path that can run them).  custom_fp carries each
+    # instance's parameter fingerprint into the jit static key so mutating a
+    # plain-python shader parameter forces a retrace (not a stale render).
     custom_mats: Tuple[Any, ...] = ()
+    custom_fp: Tuple[str, ...] = ()
 
 
 def _bvh_depth(left, right, count):
@@ -421,10 +424,34 @@ def derive_split_k(static: "SceneStatic", cap: int = 3) -> int:
     return min(max(depths or [0]), cap)
 
 
+def _custom_param_fp(m) -> str:
+    """Parameter fingerprint of a CustomMaterial instance.
+
+    The shader closes over instance attributes at trace time, so in-place
+    mutation of a plain-python parameter must invalidate both the scene
+    compile cache AND the jit cache (SceneStatic.custom_fp carries this hash
+    into the jit static key).  Plain scalars/strings/tuples hash by value;
+    arrays and other objects by identity, matching _fp_material's policy."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for k in sorted(vars(m)):
+        v = vars(m)[k]
+        if isinstance(v, (int, float, bool, str, bytes, type(None))) or (
+                isinstance(v, tuple)
+                and all(isinstance(x, (int, float, bool, str)) for x in v)):
+            h.update(f"{k}={v!r};".encode())
+        else:
+            h.update(f"{k}:{id(v)};".encode())
+    return h.hexdigest()
+
+
 def _fp_material(h, m, up):
     """Hash every material field compile_scene reads into its tables.
     KEEP IN SYNC with _Builder.material_slot / the MaterialTables build."""
     up(str(id(m)).encode())        # slot identity (dedup key)
+    if getattr(m, "mat_type", None) == MAT_CUSTOM:
+        up(_custom_param_fp(m).encode())
     for tex_attr in ("diff_texture", "texture_color"):
         t = getattr(m, tex_attr, None)
         if isinstance(t, solid_color):
@@ -918,6 +945,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         pallas_tex_ok=pallas_tex_ok,
         use_tri_bvh=tri_bvh_stack,
         custom_mats=tuple(b.mat_rows[MAT_CUSTOM]),
+        custom_fp=tuple(_custom_param_fp(m) for m in b.mat_rows[MAT_CUSTOM]),
     )
 
     data = SceneData(

@@ -15,6 +15,7 @@ given here.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any
 
 import jax
@@ -107,16 +108,20 @@ class Hit:
     normal, produced inside its integrator loop; here all hit attributes are
     computed SoA-batched by the same kernels the integrator uses
     (geometry/attrs.py) and stored eagerly — one record describes the whole
-    bundle.  `material` indexes are global object ids (FARAWAY distance =
-    miss); `scene.primitives[obj_id]` recovers the host-side object.
+    bundle.  Rays that miss everything have distance == FARAWAY and zeroed
+    point/normal/uv.  `obj_id` is the COMPILED global object index, laid out
+    type-major ([spheres..., planes..., boxes..., triangles...], each group
+    in scene add-order; every TriangleMesh face gets its own id) — it
+    matches the ids used by the integrator/attrs tables, NOT the position
+    in Scene.scene_primitives.
     """
 
     distance: Any                   # (N,) nearest-hit distance, FARAWAY = miss
     orientation: Any                # (N,) +1 entering / -1 exiting
-    point: Any = None               # (N, 3) hit points
-    normal: Any = None              # (N, 3) geometric normals (outward)
-    uv: Any = None                  # (N, 2) texture coordinates
-    obj_id: Any = None              # (N,) int32 global object index
+    point: Any = None               # (N, 3) hit points (0 on miss)
+    normal: Any = None              # (N, 3) geometric normals (0 on miss)
+    uv: Any = None                  # (N, 2) texture coordinates (0 on miss)
+    obj_id: Any = None              # (N,) int32 compiled object index
 
     # lazy-cache accessors of the reference API (ray.py:111-119); values are
     # precomputed so these are plain reads
@@ -127,28 +132,34 @@ class Hit:
         return self.normal
 
 
+@partial(jax.jit, static_argnames=("static",))
+def _first_hit_impl(O, D, data, static):
+    from ..geometry.attrs import hit_attributes
+    from ..geometry.intersect import nearest_hit
+    from ..utils.constants import MISS_THRESHOLD
+
+    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    miss = (t >= MISS_THRESHOLD)[..., None]
+    P = jnp.where(miss, 0.0, O + D * t[..., None])
+    N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
+    return t, orient, P, jnp.where(miss, 0.0, N_geo), \
+        jnp.where(miss, 0.0, uv), obj
+
+
 def first_hit(ray: Ray, scene) -> Hit:
     """Intersect a ray bundle against `scene` and return the nearest hits.
 
     Functional analogue of the reference integrator's resolve step
     (sightpy/ray.py:124-143: per-collider intersect -> nearest reduce ->
-    Hit construction) as a public debug/AOV entry point.
+    Hit construction) as a public debug/AOV entry point.  Compiled once per
+    (scene structure, bundle shape): scene tables are jit ARGUMENTS, so
+    moving objects or repeated calls reuse the cached executable.
     """
-    from ..geometry.attrs import hit_attributes
-    from ..geometry.intersect import nearest_hit
     from .compile import compile_scene_cached
 
     static, data = compile_scene_cached(scene)
     O = jnp.asarray(ray.origin, jnp.float32)
     D = jnp.asarray(ray.dir, jnp.float32)
-
-    @jax.jit
-    def go(O, D):
-        t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
-        P = O + D * t[..., None]
-        N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
-        return t, orient, P, N_geo, uv, obj
-
-    t, orient, P, N_geo, uv, obj = go(O, D)
+    t, orient, P, N_geo, uv, obj = _first_hit_impl(O, D, data, static)
     return Hit(distance=t, orientation=orient, point=P, normal=N_geo,
                uv=uv, obj_id=obj)

@@ -64,9 +64,12 @@ class CustomMaterial(Material):
     it in jax.numpy over `(N, ...)` arrays; the integrator masks the result
     to the rays that actually hit this material and jit-compiles everything.
 
-    Parameters the shader uses should be closed over as constants; treat
-    instances as immutable (the scene-compile cache keys materials by
-    identity — build a new instance to change parameters).
+    Parameters the shader uses should be stored as instance attributes and
+    read inside shade(); plain-python parameters (numbers, strings, flat
+    tuples) are change-detected by the compile/jit caches, so mutating them
+    re-traces correctly.  Arrays and other objects are keyed by IDENTITY —
+    assign a NEW array (never mutate one in place) to change such a
+    parameter.
 
     Scenes containing a CustomMaterial always render through the jnp
     wavefront path (never the Pallas kernels).

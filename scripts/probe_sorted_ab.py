@@ -129,10 +129,10 @@ def main(subdiv=4, spp=4, spread=False):
         perm = jnp.argsort(k)
         return O[perm], D[perm]
 
+    fns = [jax.jit(nearest_plain), jax.jit(nearest_sorted),
+           jax.jit(sort_only)]   # one jit wrapper each, reused across labels
     for label, (Oq, Dq) in (("primary", (O, D)), ("bounce1", (Ob, Db))):
-        wa, wb, ws = timeit_interleaved(
-            [jax.jit(nearest_plain), jax.jit(nearest_sorted),
-             jax.jit(sort_only)], (Oq, Dq))
+        wa, wb, ws = timeit_interleaved(fns, (Oq, Dq))
         print(f"nearest  {label}: plain {wa*1e3:7.1f} ms   "
               f"sorted {wb*1e3:7.1f} ms ({wa/wb:4.2f}x)   "
               f"[sort overhead {ws*1e3:6.1f} ms]", flush=True)
@@ -143,7 +143,6 @@ def main(subdiv=4, spp=4, spread=False):
     Lt = jnp.asarray(np.tile(Ldir, (N, 1)), jnp.float32)
     md = jnp.full((N,), 1e30, jnp.float32)
     mask = jnp.asarray(np.ones((static.n_objects,), bool))
-    Tn = static.n_objects  # noqa: F841
 
     def occ_plain(O):
         return I.occluded(O, Lt, g, mask, md)

@@ -100,6 +100,57 @@ def test_example_custom_material_renders():
     assert np.abs(left - right).max() > 2.0
 
 
+def test_custom_param_mutation_retraces():
+    """Mutating a plain-python shader parameter must invalidate BOTH cache
+    layers (scene fingerprint + jit static custom_fp) — not serve the old
+    compiled shader."""
+    from raytracer_tpu import CustomMaterial, default_shade_out
+
+    class Bright(CustomMaterial):
+        def __init__(self):
+            super().__init__()
+            self.level = 0.1
+
+        def shade(self, ctx):
+            col = jnp.full(ctx.P.shape, self.level, ctx.P.dtype)
+            return dataclasses.replace(default_shade_out(ctx), add=col)
+
+    mat = Bright()
+    sc = _scene(mat)
+    a = np.asarray(sc.render(samples_per_pixel=1, seed=0)).astype(float)
+    mat.level = 0.9
+    b = np.asarray(sc.render(samples_per_pixel=1, seed=0)).astype(float)
+    assert b.max() > a.max() + 50, (a.max(), b.max())
+
+
+def test_first_hit_reuses_compiled_executable():
+    """first_hit is compiled once per (structure, shape): a second call and a
+    moved-object call must not re-trace (scene tables are jit arguments)."""
+    from raytracer_tpu import Emissive, Ray, Scene, Sphere, first_hit, rgb, vec3
+    from raytracer_tpu.core.ray import _first_hit_impl
+
+    sc = Scene()
+    sph = Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                 center=vec3(0, 0, -5), radius=1.0)
+    sc.add(sph)
+    O = jnp.zeros((4, 3), jnp.float32)
+    D = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (4, 1))
+    r = Ray(origin=O, dir=D)
+    h1 = first_hit(r, sc)
+    misses0 = int(_first_hit_impl._cache_size())
+    h2 = first_hit(r, sc)
+    sph.center = np.asarray([0, 0, -7], np.float32)   # same structure
+    h3 = first_hit(r, sc)
+    assert int(_first_hit_impl._cache_size()) == misses0   # no new traces
+    assert np.isclose(np.asarray(h1.distance)[0], 4.0, atol=1e-4)
+    assert np.isclose(np.asarray(h2.distance)[0], 4.0, atol=1e-4)
+    assert np.isclose(np.asarray(h3.distance)[0], 6.0, atol=1e-4)
+    # miss lanes are zeroed, not FARAWAY pseudo-points
+    back = first_hit(Ray(origin=O, dir=-D), sc)
+    assert np.asarray(back.distance).min() >= 1e30
+    assert np.allclose(np.asarray(back.point), 0.0)
+
+
 def test_custom_scene_never_routes_to_pallas():
     from raytracer_tpu import CustomMaterial, default_shade_out
     from raytracer_tpu.core.compile import compile_scene
