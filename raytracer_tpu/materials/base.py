@@ -71,6 +71,12 @@ class CustomMaterial(Material):
     assign a NEW array (never mutate one in place) to change such a
     parameter.
 
+    Image textures: close over the array and sample it with
+    `materials.shade.fetch_texture(my_array, ctx.uv, repeat)` — the array
+    is baked into the compiled program as a constant, which is the right
+    trade for small/medium textures (the built-ins' shared device atlas
+    only exists for the Pallas record path, which custom scenes never use).
+
     Scenes containing a CustomMaterial always render through the jnp
     wavefront path (never the Pallas kernels).
     """

@@ -151,6 +151,48 @@ def test_first_hit_reuses_compiled_executable():
     assert np.allclose(np.asarray(back.point), 0.0)
 
 
+def test_custom_shader_with_closed_over_texture():
+    """A custom shader can sample its own image texture via fetch_texture
+    (the array is traced in as a program constant)."""
+    from raytracer_tpu import CustomMaterial, default_shade_out
+    from raytracer_tpu.materials.shade import fetch_texture
+    from raytracer_tpu.textures.procedural import checkerboard
+
+    tex = jnp.asarray(checkerboard(8))
+
+    class Checkered(CustomMaterial):
+        def shade(self, ctx):
+            col = fetch_texture(tex, ctx.uv, repeat=4.0)
+            return dataclasses.replace(default_shade_out(ctx), add=col)
+
+    img = np.asarray(_scene(Checkered(), W=64, H=48).render(
+        samples_per_pixel=4, seed=1)).astype(float)
+    sphere = img[14:34, 22:42].reshape(-1, 3).mean(-1)
+    # a checker pattern on the sphere: both dark and bright texels visible
+    assert sphere.max() > 150 and sphere.min() < 100, (
+        sphere.min(), sphere.max())
+
+
+def test_first_hit_agrees_with_distances_aov():
+    """Two public entry points over the same kernels must agree: first_hit's
+    clipped distances equal the get_distances AOV."""
+    from raytracer_tpu import (Emissive, Ray, Scene, Sphere, first_hit,
+                               get_distances, rgb, vec3)
+
+    sc = Scene()
+    sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                  center=vec3(0, 0, -4), radius=1.0))
+    O = np.zeros((5, 3), np.float32)
+    D = np.asarray([[0, 0, -1], [0.1, 0, -1], [0, 0.12, -1],
+                    [0, 1, 0], [1, 0, 0]], np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    r = Ray(origin=O, dir=D)
+    h = first_hit(r, sc)
+    aov = np.asarray(get_distances(r, sc))
+    expect = np.minimum(np.asarray(h.distance), 10.0) / 10.0
+    assert np.allclose(aov[:, 0], expect, atol=1e-5)
+
+
 def test_custom_scene_never_routes_to_pallas():
     from raytracer_tpu import CustomMaterial, default_shade_out
     from raytracer_tpu.core.compile import compile_scene
