@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..backgrounds.environment import EnvironmentMaterial, Panorama, SkyBox
+from ..backgrounds.environment import Panorama, SkyBox
 from ..geometry.primitive import Cuboid, Plane, Primitive, Sphere, Triangle, TriangleMesh
 from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
                               MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.vec import as_complex3, as_float3
+from ..core.vec import as_complex3
 from ..textures.texture import as_texture
 from ..utils.image_io import load_image
 
