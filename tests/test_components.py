@@ -126,6 +126,28 @@ def test_thin_film_e2e():
     assert center.max() > 0.2
 
 
+def test_simulation_inference_pipeline(tmp_path):
+    # the fork's SBI use case end-to-end at toy scale: simulate a per-ray
+    # dataset over refraction indices, fit the torch regressor, and infer a
+    # finite index for a held-out render (accuracy needs the full run;
+    # this asserts the pipeline itself)
+    import importlib
+    import sys
+    from pathlib import Path
+
+    torch = pytest.importorskip("torch")  # noqa: F841
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    si = importlib.import_module("simulation_inference")
+
+    data = si.simulate(tmp_path / "rays.csv", n_sims=6, spp=4)
+    assert data.shape == (6, 7) and np.isfinite(data).all()
+    obs = si.ray_features(si.glass_scene(1.5).render(samples_per_pixel=4,
+                                                     seed=99))
+    est = si.infer(data, obs)
+    assert np.isfinite(est) and 0.5 < est < 2.5
+    assert (tmp_path / "rays.csv").exists()
+
+
 def test_example_mesh_builds():
     # the mesh example constructs its whole scene (OBJ gen + native parse +
     # rotation) at import; compiling it must engage the clustered sweep
