@@ -662,6 +662,18 @@ class _Builder:
                 self.env_slots[i] = dataclasses.replace(e, kind=kind)
 
 
+# Caps for the fully-unrolled Pallas kernels: every object is an unrolled
+# intersect + normal select, and every shading GROUP (distinct material
+# slot / depth-cap / mc combination) is an unrolled shading block.  Measured
+# on TPU v5e (scripts/probe_obj_cap.py): 48 objects / 6 groups and 36
+# objects / 36 groups both compile (577 s / 902 s through the remote-compile
+# tunnel, persistently cached, then 2-3x faster than the jnp wavefront) but
+# 46+ GROUPS kills the compiler subprocess outright — the group count, not
+# the object count, is the hard wall.  Past either cap the scene renders
+# through the jnp wavefront (96 solid objects measured 0.49 s there).
+PALLAS_MAX_OBJECTS = 48
+PALLAS_MAX_GROUPS = 36
+
 # Triangle count at which the scene compiler builds a BVH (the reference has
 # none at all; its mesh header begs for one, triangle_mesh.py:7-9).
 # Measured on TPU v5e: the data-parallel flat intersection sweep beats the
@@ -909,7 +921,10 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
 
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
     _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}
-    _common_ok = (0 < len(rows) <= 48
+    n_groups = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
+                    for r in obj_records})
+    _common_ok = (0 < len(rows) <= PALLAS_MAX_OBJECTS
+                  and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
                   and tri_bvh is None)
     pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)

@@ -9,8 +9,10 @@ the scene (geometry, material, light tables) is a few KB resident in VMEM.
 
 Scope (static.pallas_ok, core/compile.py): solid-color materials
 (Diffuse / Glossy / Refractive / Emissive), any mix of spheres / planes /
-boxes / triangles (<= 48 objects), directional + point lights with shadow
-rays, spherical-cap importance sampling.  Scenes with image textures /
+boxes / triangles (<= PALLAS_MAX_OBJECTS objects AND <= PALLAS_MAX_GROUPS
+shading groups — the group count is the compiler's hard wall, see
+compile.py), directional + point lights with shadow rays, spherical-cap
+importance sampling.  Scenes with image textures /
 environment maps / thin-film LUTs render through the jnp path (texture
 gathers from HBM are not lane-addressable inside a TPU kernel).
 

@@ -76,3 +76,31 @@ def test_rotation_lowering():
     # rows are rotated axes; 90 deg about y maps x -> -z
     assert np.allclose(basis[0], [0, 0, -1], atol=1e-6)
     assert np.allclose(basis @ basis.T, np.eye(3), atol=1e-6)
+
+
+def test_pallas_gate_bounds_shading_groups():
+    # 46 spheres with DISTINCT materials = 48 shading groups: measured to
+    # kill the TPU compiler subprocess outright (scripts/probe_obj_cap.py),
+    # so the gate must route such scenes to the jnp wavefront even though
+    # the object count is under PALLAS_MAX_OBJECTS.  The same scene sharing
+    # 4 materials (6 groups) stays on the kernel path.
+    from raytracer_tpu import Emissive, Sphere
+    from raytracer_tpu.materials.base import Diffuse as DiffuseMat
+
+    def build(n_materials):
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0, 0, 5), look_at=vec3(0, 0, 0),
+                      screen_width=8, screen_height=8)
+        mats = [DiffuseMat(diff_color=rgb(0.1 + 0.01 * i, 0.5, 0.5),
+                           diffuse_rays=1) for i in range(n_materials)]
+        for i in range(46):
+            sc.add(Sphere(material=mats[i % n_materials],
+                          center=vec3(i * 1.0, 0, 0), radius=0.4))
+        sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                      center=vec3(0, 0, 0), radius=200.0, shadow=False))
+        return sc
+
+    static_many, _ = compile_scene(build(46))     # 48 groups
+    assert not static_many.pallas_ok and not static_many.pallas_tex_ok
+    static_few, _ = compile_scene(build(4))       # 6 groups
+    assert static_few.pallas_ok
