@@ -40,7 +40,8 @@ from .core.scene import Scene
 from .core.vec import rgb, vec3
 from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
                            random_in_unit_disk, random_in_unit_sphere,
-                           spherical_caps_pdf)
+                           random_in_unit_spherical_cap,
+                           random_in_unit_spherical_caps, spherical_caps_pdf)
 from .geometry.primitive import (Cuboid, Plane, Primitive, Sphere, Surface,
                                  Triangle, TriangleMesh)
 from .lights import DirectionalLight, PointLight
@@ -48,8 +49,17 @@ from .materials.base import (CustomMaterial, Diffuse, Emissive, Glossy,
                              Material, Refractive, ThinFilmInterference)
 from .materials.shade import ShadeOut, default_shade_out
 from .textures.texture import image, solid_color, texture
+from .backgrounds.blur import blur_skybox, blur_skybox_array
 from .utils.colour import srgb_linear_to_srgb, srgb_to_srgb_linear
-from .utils.image_io import add_asset_root, load_image, load_image_as_linear_srgb
+from .utils.image_io import (add_asset_root, load_image,
+                             load_image_as_linear_srgb, load_image_with_blur)
+
+# the reference star-exports these exact (camelCase) names
+# (sightpy/utils/colour_functions.py, image_functions.py, and
+# blur_background.py's blur_skybox); user scripts call them verbatim
+sRGB_linear_to_sRGB = srgb_linear_to_srgb
+sRGB_to_sRGB_linear = srgb_to_srgb_linear
+load_image_as_linear_sRGB = load_image_as_linear_srgb
 
 __version__ = "0.1.0"
 
@@ -58,6 +68,7 @@ __all__ = [
     "get_distances", "first_hit",
     "PDF", "hemisphere_pdf", "cosine_pdf", "spherical_caps_pdf", "mixed_pdf",
     "random_in_unit_disk", "random_in_unit_sphere",
+    "random_in_unit_spherical_cap", "random_in_unit_spherical_caps",
     "Sphere", "Plane", "Cuboid", "Triangle", "TriangleMesh", "Primitive",
     "Surface",
     "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
@@ -67,6 +78,8 @@ __all__ = [
     "SkyBox", "Panorama", "procedural_sky",
     "create_animation", "create_animation_using_opencv",
     "RenderSettings", "add_asset_root",
-    "load_image", "load_image_as_linear_srgb",
+    "load_image", "load_image_as_linear_srgb", "load_image_with_blur",
     "srgb_linear_to_srgb", "srgb_to_srgb_linear",
+    "sRGB_linear_to_sRGB", "sRGB_to_sRGB_linear", "load_image_as_linear_sRGB",
+    "blur_skybox", "blur_skybox_array",
 ]

@@ -40,6 +40,12 @@ def _fill_empty_cells(img):
     return out
 
 
+def blur_skybox(img_array, blur, cubemap=None):
+    """Reference-exact signature (blur_background.py:17).  The third
+    argument is only a progress-print label there; ignored here."""
+    return blur_skybox_array(img_array, blur)
+
+
 def blur_skybox_array(img, blur_radius):
     """Gaussian-blur a [0,1] float cubemap cross and return *linear* sRGB.
 

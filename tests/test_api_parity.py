@@ -18,7 +18,12 @@ def test_star_import_surface():
                  "create_animation", "np", "get_raycolor", "cosine_pdf",
                  "hemisphere_pdf", "spherical_caps_pdf", "mixed_pdf",
                  "Hit", "get_distances", "first_hit", "Surface", "SkyBox",
-                 "Panorama", "create_animation_using_opencv"]:
+                 "Panorama", "create_animation_using_opencv",
+                 # the reference's exact camelCase util names
+                 "sRGB_linear_to_sRGB", "sRGB_to_sRGB_linear",
+                 "load_image_with_blur", "load_image_as_linear_sRGB",
+                 "random_in_unit_spherical_cap",
+                 "random_in_unit_spherical_caps", "blur_skybox"]:
         assert hasattr(rt, name), name
 
 
