@@ -37,7 +37,11 @@ from .core.camera import Camera
 from .core.integrator import RenderSettings
 from .core.ray import Hit, Ray, first_hit, get_distances, get_raycolor
 from .core.scene import Scene
-from .core.vec import rgb, vec3
+from .core.vec import array_to_vec3, extract, rgb, vec3
+from .lights import Light
+# reference constants, star-exported there (sightpy/utils/constants.py);
+# FARAWAY here is the float32-safe 1e30 (the reference's 1e39 overflows f32)
+from .utils.constants import FARAWAY, SKYBOX_DISTANCE, UPDOWN, UPWARDS
 from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
                            random_in_unit_disk, random_in_unit_sphere,
                            random_in_unit_spherical_cap,
@@ -82,4 +86,6 @@ __all__ = [
     "srgb_linear_to_srgb", "srgb_to_srgb_linear",
     "sRGB_linear_to_sRGB", "sRGB_to_sRGB_linear", "load_image_as_linear_sRGB",
     "blur_skybox", "blur_skybox_array",
+    "extract", "array_to_vec3", "Light",
+    "FARAWAY", "UPWARDS", "UPDOWN", "SKYBOX_DISTANCE",
 ]

@@ -239,6 +239,21 @@ class vec3:
 rgb = vec3
 
 
+def extract(cond, x):
+    """Masked extraction, scalar pass-through (reference vector3.py:5-9)."""
+    import numbers
+
+    if isinstance(x, numbers.Number):
+        return x
+    return np.extract(cond, x)
+
+
+def array_to_vec3(array):
+    """First three components of `array` as a vec3 (reference
+    vector3.py:229-230)."""
+    return vec3(array[0], array[1], array[2])
+
+
 def as_float3(v, name="value"):
     """Lower a vec3 / 3-sequence / scalar to a float64 numpy (3,) array."""
     if isinstance(v, vec3):

@@ -23,7 +23,9 @@ def test_star_import_surface():
                  "sRGB_linear_to_sRGB", "sRGB_to_sRGB_linear",
                  "load_image_with_blur", "load_image_as_linear_sRGB",
                  "random_in_unit_spherical_cap",
-                 "random_in_unit_spherical_caps", "blur_skybox"]:
+                 "random_in_unit_spherical_caps", "blur_skybox",
+                 "extract", "array_to_vec3", "Light",
+                 "FARAWAY", "UPWARDS", "UPDOWN", "SKYBOX_DISTANCE"]:
         assert hasattr(rt, name), name
 
 
