@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .safemath import safe_sqrt
+
 # ---------------------------------------------------------------------------
 # basic geometric samplers
 # ---------------------------------------------------------------------------
@@ -111,10 +113,12 @@ def caps_geometry(origin, targets_center, targets_radius):
     Reference: spherical_caps_pdf, random.py:98-133.
     """
     d = targets_center - origin[..., None, :]                       # (..., K, 3)
-    dist = jnp.linalg.norm(d, axis=-1)                               # (..., K)
+    # safe_sqrt forms: an origin on/inside a target sphere saturates these
+    # (dist = 0, sin_max = 1) and the plain-sqrt backward would be NaN
+    dist = safe_sqrt(jnp.sum(d * d, axis=-1))                        # (..., K)
     ax_w = d / jnp.maximum(dist, 1e-20)[..., None]
     sin_max = jnp.clip(targets_radius / jnp.maximum(dist, 1e-20), 0.0, 1.0)
-    cos_max = jnp.sqrt(1.0 - sin_max * sin_max)
+    cos_max = safe_sqrt(1.0 - sin_max * sin_max)
     return ax_w, cos_max
 
 
@@ -136,7 +140,7 @@ def caps_sample(key, origin, targets_center, targets_radius):
     phi = jax.random.uniform(k_phi, batch) * (2.0 * jnp.pi)
     r2 = jax.random.uniform(k_r2, batch)
     z = 1.0 + r2 * (cos_sel - 1.0)
-    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    s = safe_sqrt(1.0 - z * z)
     return ax_u * (jnp.cos(phi) * s)[..., None] + ax_v * (jnp.sin(phi) * s)[..., None] + ax_w_sel * z[..., None]
 
 
@@ -160,7 +164,7 @@ def spherical_cap_sample(key, cos_max, normal):
     phi = jax.random.uniform(k_phi, batch) * (2.0 * jnp.pi)
     r2 = jax.random.uniform(k_r2, batch)
     z = 1.0 + r2 * (cos_max - 1.0)
-    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    s = safe_sqrt(1.0 - z * z)
     return ax_u * (jnp.cos(phi) * s)[..., None] + ax_v * (jnp.sin(phi) * s)[..., None] + normal * z[..., None]
 
 

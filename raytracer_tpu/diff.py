@@ -1,0 +1,103 @@
+"""Differentiable rendering: inverse rendering by gradient descent.
+
+The fork's distinguishing use case is simulation-based inference of material
+parameters: `Training_raytracer.ipynb` renders per-ray data at known
+refraction indices and trains likelihood-free models (NDE/ROLR/...) to
+invert the renderer.  This engine's simulator is pure JAX, so the renderer
+inverts *itself*: `jax.grad` flows through the wavefront integrator with
+respect to the compiled scene tables — refraction indices, absorption,
+material colors, light colors, ambient — and parameters can be recovered by
+plain gradient descent on a pixel loss, no learned surrogate needed.
+See `examples/inverse_rendering.py` and `tests/test_diff.py`.
+
+What differentiates and what doesn't:
+
+* Supported: any float leaf of the `SceneData` pytree that shading math
+  consumes — `data.mats.*` (IoR, colors, roughness, film thickness scale),
+  `data.lights.*`, `data.ambient_color`, `data.scene_n_*`, texture planes.
+* Discrete events — which object a ray hits, refl/refr branch choice,
+  texel indices — are piecewise-constant in the parameters: they contribute
+  zero gradient (the standard "interior" derivative).  Geometry parameters
+  (`data.geom.*`) therefore get shading gradients but NO silhouette
+  gradients; moving an edge is invisible to `jax.grad` here.
+* The estimator is fixed-sample Monte Carlo: with a fixed `seed` the image
+  is a deterministic function of the parameters, so gradients are exact
+  derivatives of the *estimate* (the reparameterization trick comes free —
+  random draws depend only on counters, never on parameters).
+
+Gradient numerics: the shading/intersection kernels use `safe_sqrt`
+(core/safemath.py) at every masked-saturation site, so gradients stay
+finite through total internal reflection, missed-sphere discriminants, and
+grazing importance caps.
+
+This path uses the jnp wavefront integrator (core/integrator.py) — the
+Pallas kernels have no VJP rules.  Keep resolutions/spp modest inside
+optimization loops; one `fn(data)` call traces rays for the whole frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .core.scene import _render_chunk
+
+__all__ = ["differentiable_render", "update_materials", "update_lights"]
+
+
+def differentiable_render(scene, samples_per_pixel, seed=0):
+    """Build a differentiable render function for `scene`.
+
+    Returns `(render_fn, data)`:
+
+    * `data` — the scene compiled to its `SceneData` pytree of flat device
+      tables (the leaves are the differentiable parameters).
+    * `render_fn(data) -> (H, W, 3)` linear-sRGB radiance, jit-compiled,
+      deterministic in `seed`, differentiable w.r.t. `data`'s float leaves.
+
+    `samples_per_pixel` follows `Scene.render` semantics (the diffuse fan
+    and deterministic Fresnel split multiply the paths actually traced).
+
+    Typical use::
+
+        fn, data = differentiable_render(scene, samples_per_pixel=8)
+        target = fn(data)                      # or a photograph
+        def loss(n_re):
+            d = update_materials(data, refr_n_re=n_re)
+            return jnp.mean((fn(d) - target) ** 2)
+        g = jax.grad(loss)(data.mats.refr_n_re)
+    """
+    if scene.camera is None:
+        raise ValueError("scene has no camera; call add_Camera first")
+    static, data, settings = scene._settings_for_render(False)
+    cam = scene.camera.params()
+    width = scene.camera.screen_width
+    height = scene.camera.screen_height
+    spp = samples_per_pixel * scene._diffuse_fan() * (1 << settings.split_k)
+    key = jax.random.PRNGKey(seed)
+
+    def render_fn(d):
+        L, _ = _render_chunk(key, d, cam, static, settings,
+                             width, height, spp)
+        return (L / spp).reshape(height, width, 3)
+
+    return render_fn, data
+
+
+def update_materials(data, **fields):
+    """Functionally replace `MaterialTables` leaves on a `SceneData`.
+
+    `update_materials(data, refr_n_re=x)` returns a new SceneData whose
+    material table has `refr_n_re = x` — the pattern for differentiating
+    w.r.t. one named parameter table.
+    """
+    return dataclasses.replace(
+        data, mats=dataclasses.replace(data.mats, **fields))
+
+
+def update_lights(data, **fields):
+    """Functionally replace `LightTables` leaves on a `SceneData`."""
+    return dataclasses.replace(
+        data, lights=dataclasses.replace(data.lights, **fields))

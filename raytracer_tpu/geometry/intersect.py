@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.safemath import safe_sqrt
 from ..utils.constants import FARAWAY, UPDOWN, UPWARDS
 
 
@@ -35,7 +36,7 @@ def intersect_spheres(O, D, center, radius):
     d2 = jnp.sum(perp * perp, axis=-1)
     r2 = (radius * radius)[:, None]
     disc = r2 - d2
-    sq = jnp.sqrt(jnp.maximum(0.0, disc))
+    sq = safe_sqrt(disc)   # grad-safe: missed rays (disc <= 0) get 0, not NaN
     h0 = tca - sq
     h1 = tca + sq
     h = jnp.where((h0 > 0) & (h0 < h1), h0, h1)

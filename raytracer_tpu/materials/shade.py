@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng
+from ..core.safemath import safe_sqrt
 from ..geometry.intersect import occluded
 from ..utils.constants import SKYBOX_DISTANCE, UPWARDS
 
@@ -135,9 +136,11 @@ def _c_div(a, b):
 
 
 def _c_sqrt(a):
-    mag = jnp.sqrt(a[0] * a[0] + a[1] * a[1])
-    re = jnp.sqrt(jnp.maximum((mag + a[0]) * 0.5, 0.0))
-    im = jnp.sqrt(jnp.maximum((mag - a[0]) * 0.5, 0.0))
+    # safe_sqrt throughout: at TIR with a real IoR this evaluates sqrt(0),
+    # whose backward pass would poison every gradient (see core/safemath.py)
+    mag = safe_sqrt(a[0] * a[0] + a[1] * a[1])
+    re = safe_sqrt((mag + a[0]) * 0.5)
+    im = safe_sqrt((mag - a[0]) * 0.5)
     return re, jnp.where(a[1] < 0, -im, im)
 
 
@@ -359,8 +362,9 @@ def shade_refractive(ctx):
     sin2_t = ratio_avg ** 2 * (1.0 - cos_i1 ** 2)
     non_tir = sin2_t <= 1.0
     refr_dir = (ctx.D * ratio_avg[..., None]
-                + N * (ratio_avg * cos_i1 - jnp.sqrt(1.0 - jnp.clip(sin2_t, 0.0, 1.0)))[..., None])
-    refr_dir = refr_dir / jnp.maximum(jnp.linalg.norm(refr_dir, axis=-1, keepdims=True), 1e-20)
+                + N * (ratio_avg * cos_i1 - safe_sqrt(1.0 - sin2_t))[..., None])
+    refr_norm = safe_sqrt(jnp.sum(refr_dir * refr_dir, axis=-1, keepdims=True))
+    refr_dir = refr_dir / jnp.maximum(refr_norm, 1e-20)
     refl_dir = _reflect(ctx.D, N)
 
     # Beer-Lambert absorption over the segment just travelled (refractive.py:114-122)
