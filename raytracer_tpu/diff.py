@@ -44,7 +44,8 @@ import jax.numpy as jnp
 
 from .core.scene import _render_chunk
 
-__all__ = ["differentiable_render", "update_materials", "update_lights"]
+__all__ = ["differentiable_render", "differentiable_render_sharded",
+           "update_materials", "update_lights"]
 
 
 def differentiable_render(scene, samples_per_pixel, seed=0):
@@ -82,6 +83,47 @@ def differentiable_render(scene, samples_per_pixel, seed=0):
         L, _ = _render_chunk(key, d, cam, static, settings,
                              width, height, spp)
         return (L / spp).reshape(height, width, 3)
+
+    return render_fn, data
+
+
+def differentiable_render_sharded(scene, samples_per_pixel, mesh=None,
+                                  seed=0):
+    """`differentiable_render` across a ("sample", "pixel") device mesh.
+
+    Same contract — returns `(render_fn, data)` with `render_fn(data)` a
+    jit-compiled `(H, W, 3)` linear-sRGB radiance mean — but the forward
+    pass runs under `shard_map`: each device traces its shard of the
+    samples and the per-pixel radiance sum is one `psum` over the sample
+    axis.  `jax.grad` differentiates straight through the collective (the
+    psum transposes to a broadcast), so every device computes its shard of
+    the gradient and the result is exactly the data-parallel gradient —
+    the multi-chip analogue of gradient accumulation.
+
+    The sharded path is pinned to the differentiable jnp wavefront
+    (`force_jnp=True`): the Pallas kernels have no VJP rules.
+    """
+    from .parallel.sharded import (build_sharded_render, make_mesh,
+                                   plan_spp_per_device)
+
+    if scene.camera is None:
+        raise ValueError("scene has no camera; call add_Camera first")
+    mesh = mesh or make_mesh()
+    static, data, settings = scene._settings_for_render(False)
+    width = scene.camera.screen_width
+    height = scene.camera.screen_height
+    n_sample = mesh.shape["sample"]
+    spp_per_device = plan_spp_per_device(samples_per_pixel,
+                                         scene._diffuse_fan(),
+                                         settings.split_k, n_sample)
+    run = build_sharded_render(static, settings, mesh, width, height,
+                               spp_per_device, force_jnp=True)
+    key = jax.random.PRNGKey(seed)
+    cam = scene.camera.params()
+    total = n_sample * spp_per_device
+
+    def render_fn(d):
+        return (run(key, d, cam) / total).reshape(height, width, 3)
 
     return render_fn, data
 

@@ -41,12 +41,29 @@ def make_mesh(n_sample_shards=None, n_pixel_shards=1, devices=None):
     return Mesh(dev_array, axis_names=("sample", "pixel"))
 
 
+def plan_spp_per_device(samples_per_pixel, diffuse_fan, split_k, n_sample):
+    """Per-device sample count for a sharded render.
+
+    Folds the reference's first-bounce diffuse fan (diffuse.py:34-83) and the
+    2^split_k deterministic branch patterns into the effective count, splits
+    over the sample shards, and rounds up to whole pattern blocks (the 2F/2T
+    split weights only average out per block).
+    """
+    eff_spp = samples_per_pixel * diffuse_fan * (1 << split_k)
+    spp_per_device = -(-eff_spp // n_sample)
+    split_fan = 1 << split_k
+    return -(-spp_per_device // split_fan) * split_fan
+
+
 def build_sharded_render(static, settings: RenderSettings, mesh,
-                         width: int, height: int, spp_per_device: int):
+                         width: int, height: int, spp_per_device: int,
+                         force_jnp: bool = False):
     """Compile a sharded render step.
 
     Returns f(key, data, cam) -> (H*W, 3) linear radiance SUM over
     n_sample_shards * spp_per_device samples (divide by that to average).
+    `force_jnp` pins the differentiable jnp wavefront (the Pallas kernels
+    have no VJP rules — diff.differentiable_render_sharded needs this).
     """
     n_pixel = mesh.shape["pixel"]
     assert height % n_pixel == 0, f"height {height} % pixel shards {n_pixel} != 0"
@@ -55,7 +72,7 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
     # On TPU, pure sample-sharding routes each device's slice through the
     # fused Pallas mega-kernel; pixel-sharded or non-qualifying scenes (and
     # the CPU dry run) use the jnp wavefront.
-    use_pallas = (static.pallas_ok and n_pixel == 1
+    use_pallas = (static.pallas_ok and n_pixel == 1 and not force_jnp
                   and jax.default_backend() in ("tpu", "axon"))
 
     def per_device(key, data, cam):
@@ -123,13 +140,9 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
     split_k = derive_split_k(static)
     settings = RenderSettings(max_bounces=derive_max_bounces(static),
                               split_k=split_k)
-    # fold the reference's first-bounce diffuse fan (diffuse.py:34-83) and
-    # the 2^split_k deterministic branch patterns into the sample count
-    eff_spp = samples_per_pixel * scene._diffuse_fan() * (1 << split_k)
-    spp_per_device = -(-eff_spp // n_sample)
-    # whole pattern blocks per device (the 2F/2T weights average per block)
-    split_fan = 1 << split_k
-    spp_per_device = -(-spp_per_device // split_fan) * split_fan
+    spp_per_device = plan_spp_per_device(samples_per_pixel,
+                                         scene._diffuse_fan(), split_k,
+                                         n_sample)
     run = build_sharded_render(static, settings, mesh, W, H, spp_per_device)
     acc = run(jax.random.PRNGKey(seed), data, scene.camera.params())
     linear = acc / (n_sample * spp_per_device)

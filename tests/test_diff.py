@@ -16,7 +16,10 @@ import numpy as np
 import optax
 
 from raytracer_tpu import Emissive, Refractive, Scene, Sphere, rgb, vec3
-from raytracer_tpu.diff import differentiable_render, update_materials
+from raytracer_tpu.diff import (differentiable_render,
+                                differentiable_render_sharded,
+                                update_materials)
+from raytracer_tpu.parallel.sharded import make_mesh
 
 
 def glass_scene(n=1.5, wh=(16, 16)):
@@ -65,6 +68,26 @@ def test_grad_wrt_emissive_color_is_exact():
     g2 = jax.grad(mean_img)(2.0 * em0)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.allclose(np.asarray(g), np.asarray(g2), rtol=1e-5)
+
+
+def test_sharded_grad_finite_and_matches_fd():
+    # data-parallel gradient: shard_map over the 8 virtual devices, psum
+    # over the sample axis; AD must transpose through the collective
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    fn, data = differentiable_render_sharded(glass_scene(), 8, mesh=mesh)
+
+    def loss(n_re):
+        return jnp.mean(fn(update_materials(data, refr_n_re=n_re)) ** 2)
+
+    n0 = data.mats.refr_n_re
+    g = jax.grad(loss)(n0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 1e-5
+
+    eps = 1e-3
+    e = jnp.zeros_like(n0).at[0, 0].set(eps)
+    fd = (loss(n0 + e) - loss(n0 - e)) / (2 * eps)
+    assert np.isclose(float(fd), float(g[0, 0]), rtol=0.05), (fd, g[0, 0])
 
 
 def test_recover_ior_by_gradient_descent():
