@@ -29,7 +29,8 @@ import optax                                 # noqa: E402
 
 from raytracer_tpu import (                  # noqa: E402
     Emissive, Refractive, Scene, Sphere, rgb, vec3)
-from raytracer_tpu.diff import differentiable_render, update_materials  # noqa: E402
+from raytracer_tpu.diff import (differentiable_render,  # noqa: E402
+                                safe_value_and_grad, update_materials)
 from raytracer_tpu.utils.colour import srgb_linear_to_srgb  # noqa: E402
 
 
@@ -81,7 +82,9 @@ def main():
 
     @jax.jit
     def step(n, s):
-        v, g = jax.value_and_grad(loss)(n)
+        # safe_value_and_grad: one degenerate f32 sample would otherwise
+        # NaN the gradient and apply_updates would never recover
+        v, g = safe_value_and_grad(loss)(n)
         upd, s = opt.update(g, s)
         return optax.apply_updates(n, upd), s, v, g
 

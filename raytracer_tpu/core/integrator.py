@@ -28,6 +28,7 @@ from .compile import (PACKED_DEPTH_SHIFT, PACKED_MC_SHIFT, PACKED_SLOT_SHIFT)
 from ..materials import shade
 from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
                               MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)
+from .safemath import safe_norm
 from ..utils.constants import MISS_THRESHOLD, NUDGE_EPS, WAVELENGTHS_NM
 
 _SHADERS = {
@@ -122,7 +123,7 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
         else:  # box: inverse basis columns are the box axes = basis rows
             basis = data.geom.box_basis[ref.local_id].T
         Nm = (m * 2.0) @ basis.T
-        Nm = Nm / jnp.maximum(jnp.linalg.norm(Nm, axis=-1, keepdims=True), 1e-20)
+        Nm = Nm / jnp.maximum(safe_norm(Nm, keepdims=True), 1e-20)
         N = jnp.where((obj_id == ref.obj)[..., None], Nm, N)
     return N
 

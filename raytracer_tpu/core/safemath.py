@@ -17,10 +17,20 @@ x <= 0, clamped near the boundary.
 
 import jax.numpy as jnp
 
-__all__ = ["safe_sqrt"]
+__all__ = ["safe_sqrt", "safe_norm"]
 
 
 def safe_sqrt(x, eps=1e-30):
     """sqrt(max(0, x)) with a finite gradient everywhere."""
     r = jnp.sqrt(jnp.maximum(x, eps))
     return jnp.where(x > 0, r, 0.0)
+
+
+def safe_norm(v, axis=-1, keepdims=False, eps=1e-30):
+    """``jnp.linalg.norm(v, axis)`` with a finite gradient at v = 0.
+
+    norm's own VJP is v/||v|| = 0/0 at the origin, and a downstream
+    ``maximum(norm, tiny)`` guard only protects the *division* that follows,
+    not norm's backward pass.  Value-identical to the l2 norm away from 0.
+    """
+    return safe_sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims), eps)

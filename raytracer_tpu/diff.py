@@ -31,8 +31,11 @@ finite through total internal reflection, missed-sphere discriminants, and
 grazing importance caps.
 
 This path uses the jnp wavefront integrator (core/integrator.py) — the
-Pallas kernels have no VJP rules.  Keep resolutions/spp modest inside
-optimization loops; one `fn(data)` call traces rays for the whole frame.
+Pallas kernels have no VJP rules.  Renders are chunked with the same
+HBM/spp bounds as `Scene.render`, accumulated under a rematerialized
+`lax.scan` (`jax.checkpoint`), so forward AND gradient memory stay bounded
+by one chunk at any resolution/spp.  For optimizer robustness against the
+rare degenerate float32 sample, wrap losses with `safe_value_and_grad`.
 """
 
 from __future__ import annotations
@@ -42,10 +45,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .core.scene import _render_chunk
+from .core.scene import MAX_RAYS_PER_CHUNK, _render_chunk
+from .parallel.sharded import plan_spp_per_device
 
 __all__ = ["differentiable_render", "differentiable_render_sharded",
-           "update_materials", "update_lights"]
+           "safe_value_and_grad", "update_materials", "update_lights"]
 
 
 def differentiable_render(scene, samples_per_pixel, seed=0):
@@ -72,17 +76,49 @@ def differentiable_render(scene, samples_per_pixel, seed=0):
     """
     if scene.camera is None:
         raise ValueError("scene has no camera; call add_Camera first")
+    if samples_per_pixel < 1:
+        raise ValueError("samples_per_pixel must be >= 1")
     static, data, settings = scene._settings_for_render(False)
     cam = scene.camera.params()
     width = scene.camera.screen_width
     height = scene.camera.screen_height
-    spp = samples_per_pixel * scene._diffuse_fan() * (1 << settings.split_k)
+    # one shared eff-spp derivation (diffuse fan x 2^split_k pattern blocks)
+    eff_spp = plan_spp_per_device(samples_per_pixel, scene._diffuse_fan(),
+                                  settings.split_k, n_sample=1)
+    # Scene.render's chunk bounds apply here too: the 4M-ray HBM bound
+    # (tighter for clustered mesh scenes — relay stalls on long single
+    # executions, core/scene.py) and the 128-spp Pallas-free chunk cap.
+    max_rays = MAX_RAYS_PER_CHUNK
+    if data.geom.tri_cl_lo.shape[0]:
+        max_rays = 1 << 19
+    split_fan = 1 << settings.split_k
+    chunk = max(1, min(eff_spp, 128, max_rays // (width * height)))
+    chunk = max(split_fan, chunk - chunk % split_fan)
+    n_chunks = -(-eff_spp // chunk)
+    total = n_chunks * chunk
     key = jax.random.PRNGKey(seed)
 
-    def render_fn(d):
-        L, _ = _render_chunk(key, d, cam, static, settings,
-                             width, height, spp)
-        return (L / spp).reshape(height, width, 3)
+    if n_chunks == 1:
+        def render_fn(d):
+            L, _ = _render_chunk(key, d, cam, static, settings,
+                                 width, height, chunk)
+            return (L / total).reshape(height, width, 3)
+    else:
+        # accumulate chunks under lax.scan with a rematerialized body: the
+        # backward pass re-traces one chunk at a time instead of storing
+        # every chunk's wavefront residuals (jax.checkpoint), so gradient
+        # memory is bounded by ONE chunk regardless of spp/resolution
+        def render_fn(d):
+            @jax.checkpoint
+            def _body(acc, i):
+                k_i = jax.random.fold_in(key, i)
+                L, _ = _render_chunk(k_i, d, cam, static, settings,
+                                     width, height, chunk)
+                return acc + L, None
+
+            acc0 = jnp.zeros((height * width, 3), jnp.float32)
+            L, _ = jax.lax.scan(_body, acc0, jnp.arange(n_chunks))
+            return (L / total).reshape(height, width, 3)
 
     return render_fn, data
 
@@ -103,11 +139,12 @@ def differentiable_render_sharded(scene, samples_per_pixel, mesh=None,
     The sharded path is pinned to the differentiable jnp wavefront
     (`force_jnp=True`): the Pallas kernels have no VJP rules.
     """
-    from .parallel.sharded import (build_sharded_render, make_mesh,
-                                   plan_spp_per_device)
+    from .parallel.sharded import build_sharded_render, make_mesh
 
     if scene.camera is None:
         raise ValueError("scene has no camera; call add_Camera first")
+    if samples_per_pixel < 1:
+        raise ValueError("samples_per_pixel must be >= 1")
     mesh = mesh or make_mesh()
     static, data, settings = scene._settings_for_render(False)
     width = scene.camera.screen_width
@@ -126,6 +163,34 @@ def differentiable_render_sharded(scene, samples_per_pixel, mesh=None,
         return (run(key, d, cam) / total).reshape(height, width, 3)
 
     return render_fn, data
+
+
+def safe_value_and_grad(fun, **kwargs):
+    """`jax.value_and_grad(fun)` with non-finite gradient leaves zeroed.
+
+    The renderer's gradients are exact, but float32 path tracing has rare
+    degenerate samples (grazing-angle roundoff, ~1e-7/ray historically;
+    core/scene.py scrubs their forward VALUES).  A `where`-scrub cannot
+    repair the backward pass — a zero cotangent times an infinite partial
+    is still NaN — and a single such sample makes the summed gradient NaN
+    for EVERY parameter leaf.  Over an optimization run tracing millions
+    of samples, one bad draw would then NaN the parameters permanently
+    (`optax.apply_updates(params, nan)` never recovers).
+
+    This wrapper keeps optimization loops robust: any non-finite leaf of
+    the gradient is replaced with zeros, so the optimizer simply takes no
+    step from that leaf that iteration.  Use it anywhere you would use
+    `jax.value_and_grad` on a loss through `differentiable_render`.
+    """
+    vg = jax.value_and_grad(fun, **kwargs)
+
+    def wrapped(*args, **kw):
+        v, g = vg(*args, **kw)
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x)), g)
+        return v, g
+
+    return wrapped
 
 
 def update_materials(data, **fields):

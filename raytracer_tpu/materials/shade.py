@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng
-from ..core.safemath import safe_sqrt
+from ..core.safemath import safe_norm, safe_sqrt
 from ..geometry.intersect import occluded
 from ..utils.constants import SKYBOX_DISTANCE, UPWARDS
 
@@ -222,7 +222,7 @@ def shade_glossy(ctx):
         # Schlick-Fresnel * normalized Blinn-Phong specular lobe
         # (reference glossy.py:64-84); guarded so roughness == 0 contributes 0.
         H = L + V
-        H = H / jnp.maximum(jnp.linalg.norm(H, axis=-1, keepdims=True), 1e-20)
+        H = H / jnp.maximum(safe_norm(H, keepdims=True), 1e-20)
         # F0 uses the *ray medium* IoR (glossy.py:65)
         num2 = _cmag2(ctx.n_re - m_n_re, ctx.n_im - m_n_im)
         den2 = _cmag2(ctx.n_re + m_n_re, ctx.n_im + m_n_im)
@@ -245,7 +245,7 @@ def shade_glossy(ctx):
         pos = data.lights.point_pos[i]
         color = data.lights.point_color[i]
         d = pos[None, :] - ctx.P
-        dist = jnp.linalg.norm(d, axis=-1)
+        dist = safe_norm(d, axis=-1)
         L = d / jnp.maximum(dist, 1e-20)[..., None]
         add = add + light_term(
             L, dist,

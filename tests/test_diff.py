@@ -14,11 +14,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from raytracer_tpu import Emissive, Refractive, Scene, Sphere, rgb, vec3
+from raytracer_tpu.core.safemath import safe_norm
 from raytracer_tpu.diff import (differentiable_render,
                                 differentiable_render_sharded,
-                                update_materials)
+                                safe_value_and_grad, update_materials)
 from raytracer_tpu.parallel.sharded import make_mesh
 
 
@@ -88,6 +90,73 @@ def test_sharded_grad_finite_and_matches_fd():
     e = jnp.zeros_like(n0).at[0, 0].set(eps)
     fd = (loss(n0 + e) - loss(n0 - e)) / (2 * eps)
     assert np.isclose(float(fd), float(g[0, 0]), rtol=0.05), (fd, g[0, 0])
+
+
+def test_chunked_render_grad_matches_fd():
+    # eff spp past the 128-spp chunk cap: the Refractive scene's auto
+    # split_k=3 makes 32 camera samples x 8 patterns = 256 eff spp, so the
+    # render accumulates 2 chunks under the rematerialized lax.scan.  AD
+    # through the scan + checkpoint must still match finite differences.
+    fn, data = differentiable_render(glass_scene(), samples_per_pixel=32)
+
+    def loss(n_re):
+        return jnp.mean(fn(update_materials(data, refr_n_re=n_re)) ** 2)
+
+    n0 = data.mats.refr_n_re
+    g = jax.grad(loss)(n0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 1e-5
+
+    eps = 1e-3
+    e = jnp.zeros_like(n0).at[0, 0].set(eps)
+    fd = (loss(n0 + e) - loss(n0 - e)) / (2 * eps)
+    assert np.isclose(float(fd), float(g[0, 0]), rtol=0.05), (fd, g[0, 0])
+
+    # and the chunked estimator agrees with the single-chunk one
+    fn1, _ = differentiable_render(glass_scene(), samples_per_pixel=8)
+    a, b = np.asarray(fn(data)), np.asarray(fn1(data))
+    assert abs(a.mean() - b.mean()) < 0.02, (a.mean(), b.mean())
+
+
+def test_spp_validation():
+    with pytest.raises(ValueError, match="samples_per_pixel"):
+        differentiable_render(glass_scene(), samples_per_pixel=0)
+    with pytest.raises(ValueError, match="samples_per_pixel"):
+        differentiable_render_sharded(glass_scene(), 0,
+                                      mesh=make_mesh(4, 2))
+
+
+def test_safe_value_and_grad_scrubs_nonfinite():
+    # where() scrubbing repairs the forward value but NOT the backward pass
+    # (zero cotangent x infinite partial = NaN) — the exact hazard
+    # safe_value_and_grad exists for
+    denom = jnp.array([1.0, 0.0])
+
+    def f(x):
+        y = x / denom
+        return jnp.sum(jnp.where(jnp.isfinite(y), y, 0.0))
+
+    x0 = jnp.array([2.0, 3.0])
+    v_plain, g_plain = jax.value_and_grad(f)(x0)
+    assert np.isfinite(float(v_plain)) and not np.all(np.isfinite(g_plain))
+    v, g = safe_value_and_grad(f)(x0)
+    assert float(v) == float(v_plain)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(g[0]) == 1.0 and float(g[1]) == 0.0
+
+
+def test_safe_norm_grad_finite_at_zero():
+    # jnp.linalg.norm's VJP is 0/0 at the origin; safe_norm's is defined
+    g = jax.grad(lambda v: jnp.sum(safe_norm(v)))(jnp.zeros((4, 3)))
+    assert np.all(np.isfinite(np.asarray(g)))
+    g_ref = jax.grad(lambda v: jnp.sum(jnp.linalg.norm(v, axis=-1)))(
+        jnp.zeros((4, 3)))
+    assert not np.all(np.isfinite(np.asarray(g_ref)))  # the hazard is real
+    # value parity away from zero
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)),
+                    jnp.float32)
+    assert np.allclose(np.asarray(safe_norm(v)),
+                       np.asarray(jnp.linalg.norm(v, axis=-1)), rtol=1e-6)
 
 
 def test_recover_ior_by_gradient_descent():
