@@ -35,6 +35,7 @@ from .animation import create_animation, create_animation_using_opencv
 from .backgrounds.environment import Panorama, SkyBox, procedural_sky
 from .core.camera import Camera
 from .core.integrator import RenderSettings
+from .core.aov import render_aovs
 from .core.ray import Hit, Ray, first_hit, get_distances, get_raycolor
 from .core.scene import Scene
 from .core.vec import array_to_vec3, extract, rgb, vec3
@@ -69,7 +70,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Scene", "Camera", "vec3", "rgb", "np", "Ray", "Hit", "get_raycolor",
-    "get_distances", "first_hit",
+    "get_distances", "first_hit", "render_aovs",
     "PDF", "hemisphere_pdf", "cosine_pdf", "spherical_caps_pdf", "mixed_pdf",
     "random_in_unit_disk", "random_in_unit_sphere",
     "random_in_unit_spherical_cap", "random_in_unit_spherical_caps",

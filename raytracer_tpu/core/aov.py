@@ -1,0 +1,138 @@
+"""Arbitrary-output-variable (AOV) rendering: denoiser-ready feature planes.
+
+The reference's only diagnostic output is the normalized depth map of
+`Scene.get_distances` (sightpy/scene.py:142-166).  This module generalizes it
+into the standard feature set consumed by image-space denoisers and debugging
+tools: first-hit depth, oriented shading normals, surface albedo, object ids
+and hit coverage — all produced by ONE compiled first-hit pass that reuses the
+integrator's intersection and attribute kernels (no second geometry codepath
+to keep in sync).
+
+Everything is fixed-shape and jit-compiled; samples-per-pixel > 1 gives
+anti-aliased (box-filtered) feature planes using the camera's AA jitter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..materials import shade
+from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
+                              MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)
+from ..utils.constants import MISS_THRESHOLD
+from .camera import generate_rays
+from .compile import PACKED_SLOT_SHIFT
+from .ray import _first_hit_impl
+
+
+def _albedo_at_hit(mat_type, mat_slot, uv, data, static):
+    """Base surface color per ray, dispatched over the material types present.
+
+    Conventions (matching what a denoiser wants as the albedo modulator):
+    diffuse/glossy/emissive -> their texture-or-solid base color (the same
+    `_slot_color` fetch the shaders use); refractive/thin-film -> white
+    (specular transport carries no base color of its own); environment ->
+    the background texture (no lightmap term: AOVs are primary-hit only);
+    custom materials -> white (their shading is an opaque user hook).
+    """
+    n = mat_slot.shape[0]
+    alb = jnp.ones((n, 3), jnp.float32)
+    mats, textures = data.mats, data.textures
+    for mt in static.mat_types_present:
+        if mt == MAT_DIFFUSE:
+            c = shade._slot_color(mats.diffuse_color, mat_slot, uv,
+                                  static.diffuse_tex, textures)
+        elif mt == MAT_GLOSSY:
+            c = shade._slot_color(mats.glossy_color, mat_slot, uv,
+                                  static.glossy_tex, textures)
+        elif mt == MAT_EMISSIVE:
+            c = shade._slot_color(mats.emissive_color, mat_slot, uv,
+                                  static.emissive_tex, textures)
+        elif mt == MAT_ENV:
+            c = jnp.zeros((n, 3), jnp.float32)
+            for env in static.env_slots:
+                ce = shade.fetch_texture(textures[env.tex], uv, 1.0)
+                c = jnp.where((mat_slot == env.slot)[..., None], ce, c)
+        elif mt in (MAT_REFRACTIVE, MAT_THINFILM, MAT_CUSTOM):
+            continue    # keep the white default
+        else:
+            continue
+        alb = jnp.where((mat_type == mt)[..., None], c, alb)
+    return alb
+
+
+@partial(jax.jit, static_argnames=("static", "width", "height", "spp"))
+def _aov_chunk(key, data, cam, static, width, height, spp):
+    O, D = generate_rays(key, cam, width, height, spp)
+    t, orient, P, N_geo, uv, obj = _first_hit_impl(O, D, data, static)
+    hit = t < MISS_THRESHOLD
+    h1 = hit[..., None]
+
+    packed = jnp.take(data.obj.packed, obj, mode="clip")
+    mat_type = packed & 0x7
+    mat_slot = (packed >> PACKED_SLOT_SHIFT) & 0x3FF
+
+    # oriented normals (flipped toward the ray side, like the integrator's
+    # shading normal before normal mapping)
+    N_out = jnp.where(h1, N_geo * orient[..., None], 0.0)
+    alb = jnp.where(h1, _albedo_at_hit(mat_type, mat_slot, uv, data, static),
+                    0.0)
+    depth = jnp.where(hit, t, 0.0)
+
+    n_pix = height * width
+    sum_pix = lambda x: x.reshape((spp, n_pix) + x.shape[1:]).sum(axis=0)
+    first = lambda x: x.reshape((spp, n_pix) + x.shape[1:])[0]
+    return dict(
+        depth=sum_pix(depth),
+        normal=sum_pix(N_out),
+        albedo=sum_pix(alb),
+        coverage=sum_pix(hit.astype(jnp.float32)),
+        obj_id=first(jnp.where(hit, obj, -1)),
+        position=sum_pix(jnp.where(h1, P, 0.0)),
+    )
+
+
+def render_aovs(scene, samples_per_pixel=1, seed=0):
+    """Render first-hit feature planes for `scene`.
+
+    Returns a dict of numpy arrays:
+      depth    (H, W)    mean hit distance over the samples that hit
+      normal   (H, W, 3) mean oriented unit normal (zero where nothing hits)
+      albedo   (H, W, 3) mean base surface color (see _albedo_at_hit)
+      position (H, W, 3) mean world-space hit point
+      coverage (H, W)    fraction of samples that hit anything
+      obj_id   (H, W)    compiled object index of sample 0's hit (-1 = miss)
+
+    samples_per_pixel > 1 anti-aliases depth/normal/albedo/position with the
+    camera's sub-pixel jitter; obj_id always comes from one sample (ids do
+    not average).
+    """
+    from .compile import compile_scene_cached
+
+    if scene.camera is None:
+        raise RuntimeError("call add_Camera() first")
+    W, H = scene.camera.screen_width, scene.camera.screen_height
+    static, data = compile_scene_cached(scene)
+    out = _aov_chunk(jax.random.PRNGKey(seed), data, scene.camera.params(),
+                     static, W, H, int(samples_per_pixel))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    spp = float(samples_per_pixel)
+    cov = out["coverage"]
+    hits = np.maximum(cov, 1.0)
+    depth = out["depth"] / hits
+    normal = out["normal"] / spp
+    nlen = np.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / np.maximum(nlen, 1e-12)
+    normal = np.where(cov[..., None] > 0, normal, 0.0)
+    return dict(
+        depth=depth.reshape(H, W),
+        normal=normal.reshape(H, W, 3),
+        albedo=(out["albedo"] / spp).reshape(H, W, 3),
+        position=(out["position"] / spp).reshape(H, W, 3),
+        coverage=(cov / spp).reshape(H, W),
+        obj_id=out["obj_id"].reshape(H, W).astype(np.int32),
+    )

@@ -337,6 +337,14 @@ class Scene:
             return np.asarray(out[0], dtype=np.float32) / 255.0, out[1]
         return np.asarray(out, dtype=np.float32) / 255.0
 
+    def render_aovs(self, samples_per_pixel=1, seed=0):
+        """First-hit feature planes (depth/normal/albedo/position/coverage/
+        obj_id) for denoising and debugging — see core/aov.py.  The
+        reference's only diagnostic is the depth map (scene.py:142-166)."""
+        from .aov import render_aovs
+
+        return render_aovs(self, samples_per_pixel, seed)
+
     def get_distances(self, seed=0):
         """Depth AOV debug render (reference scene.py:142-166)."""
         if self.camera is None:
