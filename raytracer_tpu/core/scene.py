@@ -138,6 +138,25 @@ def _tonemap(acc, n_samples, width, height):
     return srgb_linear_to_srgb(linear).reshape(height, width, 3)
 
 
+@jax.jit
+def _noise_q99(acc, acc2, k, chunk):
+    """Estimated display-space noise after k chunks of `chunk` samples each.
+
+    Treats each chunk's per-pixel mean radiance m_i = L_i / chunk as one
+    observation; the standard error of the running mean M = mean(m_i) over k
+    chunks is s/sqrt(k) with s the sample std-dev of the m_i.  The noise
+    magnitude is mapped to DISPLAY space — |srgb(M + SE) - srgb(M)|, worst
+    channel — so a single threshold means the same visible grain in shadows
+    and highlights (the sRGB EOTF expands shadows ~12.9x).  Returns the 99th
+    percentile over pixels: "all but 1% of pixels are visually converged".
+    """
+    M = acc / (k * chunk)
+    var = jnp.maximum(acc2 / k - M * M, 0.0) * (k / jnp.maximum(k - 1.0, 1.0))
+    se = jnp.sqrt(var / k)
+    e = jnp.abs(srgb_linear_to_srgb(M + se) - srgb_linear_to_srgb(M))
+    return jnp.quantile(e.max(axis=-1), 0.99)
+
+
 class Scene:
     def __init__(self, ambient_color=(0.01, 0.01, 0.01), n=(1.0, 1.0, 1.0)):
         self.scene_primitives = []
@@ -204,7 +223,8 @@ class Scene:
 
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
                seed=0, return_stats=False, checkpoint_path=None,
-               checkpoint_every=4, profile_dir=None):
+               checkpoint_every=4, profile_dir=None, target_noise=None,
+               noise_check_every=4):
         """Render and return a PIL image (reference scene.py:71-140).
 
         samples_per_pixel follows reference semantics: camera samples, each
@@ -217,6 +237,14 @@ class Scene:
         (never fewer than requested — unlike the reference, whose
         partial-batch accumulation is broken, scene.py:103-116).
 
+        target_noise: adaptive sampling — stop early once the estimated
+        display-space noise (99th-percentile per-pixel standard error mapped
+        through the sRGB EOTF, see _noise_q99) drops to this value;
+        samples_per_pixel then acts as the BUDGET CAP.  0.01 ≈ ±2.5/255 on
+        99% of pixels.  Convergence is checked every `noise_check_every`
+        chunks (each check is one device->host scalar sync).  The reference
+        has no render-to-quality mode — spp is pure guesswork there.
+
         profile_dir: capture a jax.profiler device trace of the render into
         this directory (view with TensorBoard / xprof).  The reference's only
         instrumentation is a wall-clock print (SURVEY.md §5).
@@ -227,7 +255,8 @@ class Scene:
             with _profiler.trace(str(profile_dir)):
                 return self.render(samples_per_pixel, progress_bar, batch_size,
                                    seed, return_stats, checkpoint_path,
-                                   checkpoint_every)
+                                   checkpoint_every, None, target_noise,
+                                   noise_check_every)
         if self.camera is None:
             raise RuntimeError("call add_Camera() first")
         if samples_per_pixel < 1:
@@ -273,8 +302,13 @@ class Scene:
         chunk = max(split_fan, chunk - chunk % split_fan)
         n_chunks = -(-eff_spp // chunk)
 
+        adaptive = target_noise is not None
+        if adaptive and n_chunks < 2:
+            adaptive = False    # need >= 2 chunks to estimate variance
         base_key = jax.random.PRNGKey(seed)
         acc = jnp.zeros((H * W, 3), jnp.float32)
+        # second moment of per-chunk means, for the adaptive noise estimate
+        acc2 = jnp.zeros((H * W, 3), jnp.float32) if adaptive else None
         start_chunk = 0
         # device-side accumulator: a host int() here would force a (slow)
         # device->host sync every chunk.  float32: the total exceeds int32
@@ -283,13 +317,18 @@ class Scene:
         rays_acc = jnp.zeros((), jnp.float32)
 
         if checkpoint_path is not None:
-            loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed)
+            loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed,
+                                      with_acc2=adaptive)
             if loaded is not None:
-                acc, start_chunk = loaded
+                acc, start_chunk, loaded_acc2 = loaded
+                if adaptive:
+                    acc2 = loaded_acc2
 
         pallas_mode, pallas_interp = _use_pallas(static, settings)
         if progress_bar:
             print("Rendering...")
+        chunks_done = start_chunk
+        last_noise = None
         for i in range(start_chunk, n_chunks):
             k_i = jax.random.fold_in(base_key, i)
             if pallas_mode == "solid":
@@ -304,6 +343,9 @@ class Scene:
                 L, stats = _render_chunk(k_i, data, cam, static, settings,
                                          W, H, chunk)
             acc = acc + L
+            if adaptive:
+                m = L / chunk
+                acc2 = acc2 + m * m
             if return_stats:
                 rays_acc = rays_acc + stats["rays_traced"].astype(jnp.float32)
             if progress_bar:
@@ -314,9 +356,21 @@ class Scene:
             if checkpoint_path is not None and (
                     (i + 1) % checkpoint_every == 0 or i + 1 == n_chunks):
                 # each save is a device->host sync; amortize over N chunks
-                _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed)
+                _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed,
+                                 acc2=acc2)
+            chunks_done = i + 1
+            if adaptive and chunks_done >= 2 and (
+                    chunks_done % noise_check_every == 0
+                    or chunks_done == n_chunks):
+                last_noise = float(_noise_q99(acc, acc2, float(chunks_done),
+                                              float(chunk)))
+                if progress_bar:
+                    print(f"  noise q99 {last_noise:.4f} "
+                          f"(target {target_noise})", flush=True)
+                if last_noise <= target_noise:
+                    break
 
-        n_samples = n_chunks * chunk
+        n_samples = chunks_done * chunk if adaptive else n_chunks * chunk
         img = np.asarray(_tonemap(acc, float(n_samples), W, H))
         dt = time.time() - t0
         if progress_bar:
@@ -327,6 +381,8 @@ class Scene:
             total_stats = dict(
                 rays_traced=rays, wall_s=dt, samples=n_samples, width=W,
                 height=H, mrays_per_s=rays / dt / 1e6 if dt > 0 else 0.0)
+            if adaptive:
+                total_stats["noise_q99"] = last_noise
             return pil, total_stats
         return pil
 
@@ -364,13 +420,14 @@ def _ckpt_path(path):
     return p if p.endswith(".npz") else p + ".npz"
 
 
-def _save_checkpoint(path, acc, chunks_done, chunk, seed):
+def _save_checkpoint(path, acc, chunks_done, chunk, seed, acc2=None):
+    extra = {} if acc2 is None else {"acc2": np.asarray(acc2)}
     with open(_ckpt_path(path), "wb") as f:
         np.savez(f, acc=np.asarray(acc), chunks_done=chunks_done,
-                 chunk=chunk, seed=seed)
+                 chunk=chunk, seed=seed, **extra)
 
 
-def _load_checkpoint(path, n_pix, chunk, seed):
+def _load_checkpoint(path, n_pix, chunk, seed, with_acc2=False):
     import os
     path = _ckpt_path(path)
     if not os.path.exists(path):
@@ -378,4 +435,7 @@ def _load_checkpoint(path, n_pix, chunk, seed):
     z = np.load(path)
     if int(z["chunk"]) != chunk or int(z["seed"]) != seed or z["acc"].shape[0] != n_pix:
         return None
-    return jnp.asarray(z["acc"]), int(z["chunks_done"])
+    if with_acc2 and "acc2" not in z.files:
+        return None     # adaptive resume needs the second moment
+    acc2 = jnp.asarray(z["acc2"]) if with_acc2 else None
+    return jnp.asarray(z["acc"]), int(z["chunks_done"]), acc2
