@@ -39,17 +39,24 @@ from .vec import as_complex3, as_float3
 MAX_RAYS_PER_CHUNK = 1 << 22
 
 
-@partial(jax.jit, static_argnames=("static", "settings", "width", "height", "spp"))
-def _render_chunk(key, data, cam, static, settings, width, height, spp):
+@partial(jax.jit, static_argnames=("static", "settings", "width", "height",
+                                   "spp", "rows"))
+def _render_chunk(key, data, cam, static, settings, width, height, spp,
+                  row0=0.0, rows=None):
+    """One spp-chunk via the jnp wavefront.  row0/rows select a horizontal
+    row band of the frame (large-frame chunking); default is the full frame.
+    """
+    rows = height if rows is None else rows
     k_ray, k_trace = jax.random.split(key)
-    O, D = generate_rays(k_ray, cam, width, height, spp)
+    O, D = generate_rays(k_ray, cam, width, height, spp,
+                         row0=jnp.float32(row0), rows=rows)
     n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
     # branch pattern per ray: rays are [sample, pixel]-ordered and spp is a
     # multiple of 2^split_k, so each pixel sees every pattern equally often
     pattern = None
     if settings.split_k > 0:
-        n_pix = width * height
+        n_pix = width * rows
         pattern = (jnp.arange(spp * n_pix, dtype=jnp.int32) // n_pix) \
             % (1 << settings.split_k)
     L, stats = trace(k_trace, O, D, n_re, n_im, data, static, settings,
@@ -60,7 +67,7 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp):
     if settings.collect_stats:
         stats["nonfinite_samples"] = jnp.sum(~finite) // 3
     L = jnp.where(finite, L, 0.0)
-    L = L.reshape(spp, height * width, 3).sum(axis=0)
+    L = L.reshape(spp, rows * width, 3).sum(axis=0)
     return L, stats
 
 
@@ -325,6 +332,19 @@ class Scene:
                     acc2 = loaded_acc2
 
         pallas_mode, pallas_interp = _use_pallas(static, settings)
+        # Large frames: when even a 1-spp chunk exceeds the ray cap (a 4K
+        # frame is 8.8M rays), split each chunk into horizontal row bands.
+        # The mega-kernel's per-ray footprint is tiny (paths never leave
+        # VMEM), so the solid path keeps full frames; the jnp wavefront's
+        # HBM state and the record path's per-bounce tables are what the cap
+        # protects, so those band (record falls back to the banded wavefront
+        # — its chunk cap is 1M rays and its record tables scale with rays).
+        band_rows = H
+        if pallas_mode != "solid" and W * H * chunk > max_rays:
+            if pallas_mode == "record":
+                pallas_mode = None
+            band_rows = max(1, max_rays // (W * chunk))
+        n_bands = -(-H // band_rows)
         if progress_bar:
             print("Rendering...")
         chunks_done = start_chunk
@@ -339,9 +359,21 @@ class Scene:
                 L, stats = _render_chunk_record(k_i, data, cam, static,
                                                 settings, W, H, chunk,
                                                 pallas_interp)
-            else:
+            elif n_bands == 1:
                 L, stats = _render_chunk(k_i, data, cam, static, settings,
                                          W, H, chunk)
+            else:
+                parts, stats = [], {}
+                for b in range(n_bands):
+                    r0 = b * band_rows
+                    rb = min(band_rows, H - r0)
+                    Lb, sb = _render_chunk(jax.random.fold_in(k_i, b), data,
+                                           cam, static, settings, W, H,
+                                           chunk, row0=float(r0), rows=rb)
+                    parts.append(Lb)
+                    stats = sb if not stats else {
+                        k: stats[k] + sb[k] for k in stats}
+                L = jnp.concatenate(parts, axis=0)
             acc = acc + L
             if adaptive:
                 m = L / chunk
