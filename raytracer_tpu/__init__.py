@@ -37,6 +37,7 @@ from .core.camera import Camera
 from .core.integrator import RenderSettings
 from .core.aov import render_aovs
 from .core.ray import Hit, Ray, first_hit, get_distances, get_raycolor
+from .denoise import denoise
 from .core.scene import Scene
 from .core.vec import array_to_vec3, extract, rgb, vec3
 from .lights import Light
@@ -70,7 +71,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Scene", "Camera", "vec3", "rgb", "np", "Ray", "Hit", "get_raycolor",
-    "get_distances", "first_hit", "render_aovs",
+    "get_distances", "first_hit", "render_aovs", "denoise",
     "PDF", "hemisphere_pdf", "cosine_pdf", "spherical_caps_pdf", "mixed_pdf",
     "random_in_unit_disk", "random_in_unit_sphere",
     "random_in_unit_spherical_cap", "random_in_unit_spherical_caps",

@@ -83,6 +83,11 @@ def _aov_chunk(key, data, cam, static, width, height, spp):
                     0.0)
     depth = jnp.where(hit, t, 0.0)
 
+    # emission sources: their radiance is exact (no MC noise), so denoisers
+    # freeze them (raytracer_tpu/denoise.py) — and their AOV "albedo" is the
+    # emission color, which can exceed 1 arbitrarily
+    is_src = (mat_type == MAT_EMISSIVE) | (mat_type == MAT_ENV)
+
     n_pix = height * width
     sum_pix = lambda x: x.reshape((spp, n_pix) + x.shape[1:]).sum(axis=0)
     first = lambda x: x.reshape((spp, n_pix) + x.shape[1:])[0]
@@ -93,6 +98,7 @@ def _aov_chunk(key, data, cam, static, width, height, spp):
         coverage=sum_pix(hit.astype(jnp.float32)),
         obj_id=first(jnp.where(hit, obj, -1)),
         position=sum_pix(jnp.where(h1, P, 0.0)),
+        emissive=sum_pix((is_src & hit).astype(jnp.float32)),
     )
 
 
@@ -106,6 +112,9 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
       position (H, W, 3) mean world-space hit point
       coverage (H, W)    fraction of samples that hit anything
       obj_id   (H, W)    compiled object index of sample 0's hit (-1 = miss)
+      emissive (H, W)    fraction of samples that hit an emission source
+                         (Emissive material or environment) — pixels with any
+                         emissive coverage are frozen by the denoiser
 
     samples_per_pixel > 1 anti-aliases depth/normal/albedo/position with the
     camera's sub-pixel jitter; obj_id always comes from one sample (ids do
@@ -135,4 +144,5 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
         position=(out["position"] / spp).reshape(H, W, 3),
         coverage=(cov / spp).reshape(H, W),
         obj_id=out["obj_id"].reshape(H, W).astype(np.int32),
+        emissive=(out["emissive"] / spp).reshape(H, W),
     )

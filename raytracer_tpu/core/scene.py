@@ -231,8 +231,12 @@ class Scene:
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
                seed=0, return_stats=False, checkpoint_path=None,
                checkpoint_every=4, profile_dir=None, target_noise=None,
-               noise_check_every=4):
+               noise_check_every=4, output="pil"):
         """Render and return a PIL image (reference scene.py:71-140).
+
+        output: "pil" (default, tonemapped PIL image) or "linear" (the raw
+        (H, W, 3) float32 linear-radiance mean — what a denoiser or custom
+        tonemapper wants; see render_denoised / raytracer_tpu.denoise).
 
         samples_per_pixel follows reference semantics: camera samples, each
         of which fans into the scene's `diffuse_rays` paths when a Diffuse
@@ -263,7 +267,9 @@ class Scene:
                 return self.render(samples_per_pixel, progress_bar, batch_size,
                                    seed, return_stats, checkpoint_path,
                                    checkpoint_every, None, target_noise,
-                                   noise_check_every)
+                                   noise_check_every, output)
+        if output not in ("pil", "linear"):
+            raise ValueError(f"output must be 'pil' or 'linear', got {output!r}")
         if self.camera is None:
             raise RuntimeError("call add_Camera() first")
         if samples_per_pixel < 1:
@@ -403,11 +409,16 @@ class Scene:
                     break
 
         n_samples = chunks_done * chunk if adaptive else n_chunks * chunk
-        img = np.asarray(_tonemap(acc, float(n_samples), W, H))
-        dt = time.time() - t0
+        if output == "linear":
+            pil = (np.asarray(acc, dtype=np.float32) / n_samples
+                   ).reshape(H, W, 3)
+            dt = time.time() - t0
+        else:
+            img = np.asarray(_tonemap(acc, float(n_samples), W, H))
+            dt = time.time() - t0
+            pil = array_to_pil(img)
         if progress_bar:
             print("Render Took", dt)
-        pil = array_to_pil(img)
         if return_stats:
             rays = int(rays_acc)
             total_stats = dict(
@@ -432,6 +443,27 @@ class Scene:
         from .aov import render_aovs
 
         return render_aovs(self, samples_per_pixel, seed)
+
+    def render_denoised(self, samples_per_pixel, seed=0, aov_samples=None,
+                        output="pil", **denoise_kwargs):
+        """Render at low spp, then reconstruct with the à-trous denoiser
+        (raytracer_tpu.denoise) guided by this scene's AOV feature planes.
+
+        aov_samples: spp for the (cheap, first-hit-only) feature pass;
+        defaults to min(16, max(4, samples_per_pixel)).  denoise_kwargs are
+        forwarded to `denoise()` (iterations / sigma_* / demodulate_albedo).
+        output: "pil" (tonemapped) or "linear" (float (H, W, 3) array).
+        """
+        from ..denoise import denoise
+
+        linear = self.render(samples_per_pixel, seed=seed, output="linear")
+        aovs = self.render_aovs(
+            aov_samples or min(16, max(4, samples_per_pixel)), seed=seed + 1)
+        out = denoise(linear, aovs, **denoise_kwargs)
+        if output == "linear":
+            return out
+        img = np.asarray(srgb_linear_to_srgb(jnp.asarray(out)))
+        return array_to_pil(img)
 
     def get_distances(self, seed=0):
         """Depth AOV debug render (reference scene.py:142-166)."""
