@@ -40,11 +40,13 @@ MAX_RAYS_PER_CHUNK = 1 << 22
 
 
 @partial(jax.jit, static_argnames=("static", "settings", "width", "height",
-                                   "spp", "rows"))
+                                   "spp", "rows", "with_sq"))
 def _render_chunk(key, data, cam, static, settings, width, height, spp,
-                  row0=0.0, rows=None):
+                  row0=0.0, rows=None, with_sq=False):
     """One spp-chunk via the jnp wavefront.  row0/rows select a horizontal
     row band of the frame (large-frame chunking); default is the full frame.
+    with_sq additionally returns the per-pixel sum of squared samples (the
+    variance estimate feeding the SVGF-style denoiser).
     """
     rows = height if rows is None else rows
     k_ray, k_trace = jax.random.split(key)
@@ -67,14 +69,16 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp,
     if settings.collect_stats:
         stats["nonfinite_samples"] = jnp.sum(~finite) // 3
     L = jnp.where(finite, L, 0.0)
-    L = L.reshape(spp, rows * width, 3).sum(axis=0)
-    return L, stats
+    L = L.reshape(spp, rows * width, 3)
+    if with_sq:
+        return L.sum(axis=0), (L * L).sum(axis=0), stats
+    return L.sum(axis=0), stats
 
 
 @partial(jax.jit, static_argnames=("static", "settings", "width", "height",
-                                   "spp", "interpret"))
+                                   "spp", "interpret", "with_sq"))
 def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
-                         interpret=False):
+                         interpret=False, with_sq=False):
     """Chunk via the fused Pallas mega-kernel: camera ray generation and all
     bounces run inside one TPU kernel (ops/pallas_trace.py)."""
     from ..ops.pallas_trace import pallas_trace_chunk
@@ -91,14 +95,16 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
     if settings.collect_stats:
         stats = {"rays_traced": rays, "nonfinite_samples": jnp.sum(~finite) // 3}
     L = jnp.where(finite, L, 0.0)
-    L = L.reshape(spp, height * width, 3).sum(axis=0)
-    return L, stats
+    L = L.reshape(spp, height * width, 3)
+    if with_sq:
+        return L.sum(axis=0), (L * L).sum(axis=0), stats
+    return L.sum(axis=0), stats
 
 
 @partial(jax.jit, static_argnames=("static", "settings", "width", "height",
-                                   "spp", "interpret"))
+                                   "spp", "interpret", "with_sq"))
 def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
-                         interpret=False):
+                         interpret=False, with_sq=False):
     """Chunk via the path-recording kernel + texture replay
     (ops/pallas_record.py) — textured scenes."""
     from ..ops.pallas_record import pallas_record_chunk
@@ -115,8 +121,10 @@ def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
     if settings.collect_stats:
         stats = {"rays_traced": rays, "nonfinite_samples": jnp.sum(~finite) // 3}
     L = jnp.where(finite, L, 0.0)
-    L = L.reshape(spp, height * width, 3).sum(axis=0)
-    return L, stats
+    L = L.reshape(spp, height * width, 3)
+    if with_sq:
+        return L.sum(axis=0), (L * L).sum(axis=0), stats
+    return L.sum(axis=0), stats
 
 
 def _use_pallas(static, settings):
@@ -231,12 +239,17 @@ class Scene:
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
                seed=0, return_stats=False, checkpoint_path=None,
                checkpoint_every=4, profile_dir=None, target_noise=None,
-               noise_check_every=4, output="pil"):
+               noise_check_every=4, output="pil", with_variance=False):
         """Render and return a PIL image (reference scene.py:71-140).
 
         output: "pil" (default, tonemapped PIL image) or "linear" (the raw
         (H, W, 3) float32 linear-radiance mean — what a denoiser or custom
         tonemapper wants; see render_denoised / raytracer_tpu.denoise).
+
+        with_variance (requires output="linear"): also return the per-pixel
+        variance OF THE MEAN, estimated from the sample population — the
+        confidence signal the variance-guided denoiser consumes.  Return
+        order becomes (linear, variance[, stats]).
 
         samples_per_pixel follows reference semantics: camera samples, each
         of which fans into the scene's `diffuse_rays` paths when a Diffuse
@@ -267,9 +280,13 @@ class Scene:
                 return self.render(samples_per_pixel, progress_bar, batch_size,
                                    seed, return_stats, checkpoint_path,
                                    checkpoint_every, None, target_noise,
-                                   noise_check_every, output)
+                                   noise_check_every, output, with_variance)
         if output not in ("pil", "linear"):
             raise ValueError(f"output must be 'pil' or 'linear', got {output!r}")
+        if with_variance and output != "linear":
+            raise ValueError("with_variance requires output='linear'")
+        if with_variance and checkpoint_path is not None:
+            raise ValueError("with_variance does not support checkpointing")
         if self.camera is None:
             raise RuntimeError("call add_Camera() first")
         if samples_per_pixel < 1:
@@ -322,6 +339,8 @@ class Scene:
         acc = jnp.zeros((H * W, 3), jnp.float32)
         # second moment of per-chunk means, for the adaptive noise estimate
         acc2 = jnp.zeros((H * W, 3), jnp.float32) if adaptive else None
+        # sum of squared SAMPLES, for the per-pixel variance output
+        acc_ss = jnp.zeros((H * W, 3), jnp.float32) if with_variance else None
         start_chunk = 0
         # device-side accumulator: a host int() here would force a (slow)
         # device->host sync every chunk.  float32: the total exceeds int32
@@ -357,30 +376,47 @@ class Scene:
         last_noise = None
         for i in range(start_chunk, n_chunks):
             k_i = jax.random.fold_in(base_key, i)
+            L2 = None
             if pallas_mode == "solid":
-                L, stats = _render_chunk_pallas(k_i, data, cam, static,
-                                                settings, W, H, chunk,
-                                                pallas_interp)
+                out_c = _render_chunk_pallas(k_i, data, cam, static,
+                                             settings, W, H, chunk,
+                                             pallas_interp, with_variance)
             elif pallas_mode == "record":
-                L, stats = _render_chunk_record(k_i, data, cam, static,
-                                                settings, W, H, chunk,
-                                                pallas_interp)
+                out_c = _render_chunk_record(k_i, data, cam, static,
+                                             settings, W, H, chunk,
+                                             pallas_interp, with_variance)
             elif n_bands == 1:
-                L, stats = _render_chunk(k_i, data, cam, static, settings,
-                                         W, H, chunk)
+                out_c = _render_chunk(k_i, data, cam, static, settings,
+                                      W, H, chunk, with_sq=with_variance)
             else:
-                parts, stats = [], {}
+                parts, parts2, stats = [], [], {}
                 for b in range(n_bands):
                     r0 = b * band_rows
                     rb = min(band_rows, H - r0)
-                    Lb, sb = _render_chunk(jax.random.fold_in(k_i, b), data,
-                                           cam, static, settings, W, H,
-                                           chunk, row0=float(r0), rows=rb)
+                    ob = _render_chunk(jax.random.fold_in(k_i, b), data,
+                                       cam, static, settings, W, H,
+                                       chunk, row0=float(r0), rows=rb,
+                                       with_sq=with_variance)
+                    if with_variance:
+                        Lb, L2b, sb = ob
+                        parts2.append(L2b)
+                    else:
+                        Lb, sb = ob
                     parts.append(Lb)
                     stats = sb if not stats else {
                         k: stats[k] + sb[k] for k in stats}
                 L = jnp.concatenate(parts, axis=0)
+                if with_variance:
+                    L2 = jnp.concatenate(parts2, axis=0)
+                out_c = None
+            if out_c is not None:
+                if with_variance:
+                    L, L2, stats = out_c
+                else:
+                    L, stats = out_c
             acc = acc + L
+            if with_variance:
+                acc_ss = acc_ss + L2
             if adaptive:
                 m = L / chunk
                 acc2 = acc2 + m * m
@@ -409,9 +445,17 @@ class Scene:
                     break
 
         n_samples = chunks_done * chunk if adaptive else n_chunks * chunk
+        variance = None
         if output == "linear":
             pil = (np.asarray(acc, dtype=np.float32) / n_samples
                    ).reshape(H, W, 3)
+            if with_variance:
+                # unbiased sample variance / n = variance of the mean
+                ss = np.asarray(acc_ss, np.float32).reshape(H, W, 3)
+                s2 = np.maximum(ss / n_samples - pil * pil, 0.0)
+                if n_samples > 1:
+                    s2 *= n_samples / (n_samples - 1.0)
+                variance = s2 / n_samples
             dt = time.time() - t0
         else:
             img = np.asarray(_tonemap(acc, float(n_samples), W, H))
@@ -419,6 +463,7 @@ class Scene:
             pil = array_to_pil(img)
         if progress_bar:
             print("Render Took", dt)
+        ret = (pil, variance) if with_variance else (pil,)
         if return_stats:
             rays = int(rays_acc)
             total_stats = dict(
@@ -426,8 +471,8 @@ class Scene:
                 height=H, mrays_per_s=rays / dt / 1e6 if dt > 0 else 0.0)
             if adaptive:
                 total_stats["noise_q99"] = last_noise
-            return pil, total_stats
-        return pil
+            ret = ret + (total_stats,)
+        return ret if len(ret) > 1 else ret[0]
 
     def render_array(self, samples_per_pixel, **kwargs):
         """Like render() but returns the float (H, W, 3) sRGB array."""
@@ -445,7 +490,7 @@ class Scene:
         return render_aovs(self, samples_per_pixel, seed)
 
     def render_denoised(self, samples_per_pixel, seed=0, aov_samples=None,
-                        output="pil", **denoise_kwargs):
+                        output="pil", variance_guided=True, **denoise_kwargs):
         """Render at low spp, then reconstruct with the à-trous denoiser
         (raytracer_tpu.denoise) guided by this scene's AOV feature planes.
 
@@ -453,13 +498,23 @@ class Scene:
         defaults to min(16, max(4, samples_per_pixel)).  denoise_kwargs are
         forwarded to `denoise()` (iterations / sigma_* / demodulate_albedo).
         output: "pil" (tonemapped) or "linear" (float (H, W, 3) array).
+        variance_guided: estimate per-pixel sample variance during the render
+        and use the SVGF-style luminance weight (denoise.py) — converged
+        pixels keep detail, noisy ones filter hard.  Needs >= 2 samples;
+        falls back to the fixed-sigma weight at spp*fan == 1.
         """
         from ..denoise import denoise
 
-        linear = self.render(samples_per_pixel, seed=seed, output="linear")
+        variance = None
+        if variance_guided and samples_per_pixel * self._diffuse_fan() > 1:
+            linear, variance = self.render(samples_per_pixel, seed=seed,
+                                           output="linear",
+                                           with_variance=True)
+        else:
+            linear = self.render(samples_per_pixel, seed=seed, output="linear")
         aovs = self.render_aovs(
             aov_samples or min(16, max(4, samples_per_pixel)), seed=seed + 1)
-        out = denoise(linear, aovs, **denoise_kwargs)
+        out = denoise(linear, aovs, variance=variance, **denoise_kwargs)
         if output == "linear":
             return out
         img = np.asarray(srgb_linear_to_srgb(jnp.asarray(out)))

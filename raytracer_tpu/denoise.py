@@ -35,8 +35,22 @@ import numpy as np
 _B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 
+def _gauss3(x):
+    """3x3 binomial prefilter (edge-clamped) — SVGF smooths the variance
+    estimate before it drives the luminance weight."""
+    k = (0.25, 0.5, 0.25)
+    H, W = x.shape
+    xp = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")
+    out = jnp.zeros_like(x)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out = out + (k[dy] * k[dx]) * jax.lax.slice(
+                xp, (dy, dx), (dy + H, dx + W))
+    return out
+
+
 @partial(jax.jit, static_argnames=("iterations",))
-def _atrous(illum, normal, depth, valid, iterations, sigma_color,
+def _atrous(illum, normal, depth, valid, var_lum, iterations, sigma_color,
             sigma_normal, sigma_depth):
     """iterations levels of the edge-avoiding à-trous transform.
 
@@ -45,10 +59,17 @@ def _atrous(illum, normal, depth, valid, iterations, sigma_color,
     (H, W) 1.0 for filterable pixels, 0.0 for frozen ones (emission sources —
     their radiance is exact, and mixing it into neighbors bleeds light).
     The three sigmas are traced f32 scalars.
+
+    var_lum: None for the fixed-sigma Dammertz-style radiance weight, or the
+    (H, W) per-pixel luminance variance of illum, which switches the radiance
+    weight to the SVGF form exp(-|Δlum| / (σ·sqrt(var))) — noisy pixels
+    filter aggressively, converged pixels keep their detail — and the
+    variance itself is propagated through each level (var' = Σw²v/(Σw)²).
     """
     H, W = illum.shape[0], illum.shape[1]
     keep = valid[..., None]
     out = illum
+    var = var_lum
     for level in range(iterations):
         step = 1 << level
         # color support halves per level: coarse levels smooth big noise,
@@ -60,6 +81,12 @@ def _atrous(illum, normal, depth, valid, iterations, sigma_color,
         npad = jnp.pad(normal, spec + ((0, 0),), mode="edge")
         dpad = jnp.pad(depth, spec, mode="edge")
         vpad = jnp.pad(valid, spec, mode="constant")
+        if var is not None:
+            lum = out.mean(-1)
+            lpad = jnp.pad(lum, spec, mode="edge")
+            varpad = jnp.pad(var, spec, mode="edge")
+            sdev = jnp.sqrt(jnp.maximum(_gauss3(var), 0.0))
+            vsum = jnp.zeros((H, W), out.dtype)
         csum = jnp.zeros_like(out)
         wsum = jnp.zeros((H, W, 1), out.dtype)
         for dy in (-2, -1, 0, 1, 2):
@@ -75,8 +102,14 @@ def _atrous(illum, normal, depth, valid, iterations, sigma_color,
                              / jnp.maximum(sigma_normal, 1e-6))
                 zden = sigma_depth * jnp.maximum(jnp.maximum(depth, dj), 1e-6)
                 wz = jnp.exp(-((depth - dj) / zden) ** 2)
-                # radiance edge (on the running estimate, not the raw input)
-                wc = jnp.exp(-jnp.sum((out - cj) ** 2, -1) / sc2)
+                if var is not None:
+                    # SVGF luminance weight: distance in units of local noise
+                    lj = jax.lax.slice(lpad, (y0, x0), (y0 + H, x0 + W))
+                    wc = jnp.exp(-jnp.abs(lum - lj)
+                                 / (sigma_color * sdev + 1e-8))
+                else:
+                    # radiance edge (on the running estimate, not raw input)
+                    wc = jnp.exp(-jnp.sum((out - cj) ** 2, -1) / sc2)
                 w = (_B3[dy + 2] * _B3[dx + 2]) * wn * wz * wc
                 if (dy, dx) == (0, 0):
                     w = jnp.maximum(w, 1e-8)   # anchor: never divide by zero
@@ -84,12 +117,17 @@ def _atrous(illum, normal, depth, valid, iterations, sigma_color,
                     w = w * vj                 # frozen taps contribute nothing
                 csum = csum + w[..., None] * cj
                 wsum = wsum + w[..., None]
+                if var is not None:
+                    varj = jax.lax.slice(varpad, (y0, x0), (y0 + H, x0 + W))
+                    vsum = vsum + w * w * varj
         out = jnp.where(keep > 0, csum / wsum, illum)
+        if var is not None:
+            var = jnp.where(valid > 0, vsum / wsum[..., 0] ** 2, var)
     return out
 
 
-def denoise(img, aovs, *, iterations=4, sigma_color=4.0, sigma_normal=0.1,
-            sigma_depth=0.1, demodulate_albedo=True):
+def denoise(img, aovs, *, variance=None, iterations=4, sigma_color=4.0,
+            sigma_normal=0.1, sigma_depth=0.1, demodulate_albedo=True):
     """Denoise a LINEAR-radiance frame using its AOV feature planes.
 
     img:  (H, W, 3) linear radiance (e.g. `Scene.render(..., output="linear")`).
@@ -98,6 +136,15 @@ def denoise(img, aovs, *, iterations=4, sigma_color=4.0, sigma_normal=0.1,
       pass through unfiltered and contribute nothing to their neighbors
       (their radiance is exact, and a light panel is often 10-100x brighter
       than the surfaces around it — mixing bleeds light).
+
+    variance: optional (H, W, 3) per-pixel variance of the mean of img
+      (`Scene.render(..., output="linear", with_variance=True)`).  When
+      given, the radiance edge-stopping weight switches to the SVGF form
+      (Schied et al. 2017): luminance differences are measured in units of
+      the LOCAL noise level, so noisy pixels filter aggressively while
+      converged pixels keep their detail, and sigma_color becomes a
+      dimensionless count of standard deviations (the SVGF default is 4 —
+      same numeric default, new meaning).
 
     iterations: à-trous levels; level i has footprint stride 2^i, so 4 levels
       smooth over a ~31-pixel support while stopping at geometric edges.
@@ -144,7 +191,19 @@ def denoise(img, aovs, *, iterations=4, sigma_color=4.0, sigma_normal=0.1,
     else:
         mod = jnp.ones_like(img)
         illum = img
-    out = _atrous(illum, normal, depth, valid, int(iterations),
+    if variance is not None:
+        var = jnp.asarray(variance, jnp.float32)
+        if var.shape != img.shape:
+            raise ValueError(
+                f"variance shape {var.shape} must match img {img.shape}")
+        # demodulate (Var(x/m) = Var(x)/m²) and reduce to a luminance
+        # variance.  MC channel noise comes from the same paths, so channels
+        # are strongly correlated — the fully-correlated bound mean(var_c)
+        # is the stable estimate for Var(mean_c), vs /3 under independence.
+        var_lum = jnp.maximum(var / (mod * mod), 0.0).mean(-1)
+    else:
+        var_lum = None
+    out = _atrous(illum, normal, depth, valid, var_lum, int(iterations),
                   jnp.float32(sigma_color), jnp.float32(sigma_normal),
                   jnp.float32(sigma_depth))
     return np.asarray(out * mod)

@@ -117,6 +117,61 @@ def test_cornell_mse_improves():
     assert lin_dn < 0.45 * lin_raw, (lin_raw, lin_dn)
 
 
+def test_with_variance_output():
+    # render(with_variance=True) returns a sane per-pixel variance of the
+    # mean: non-negative, finite, and shrinking roughly like 1/n with spp
+    from example_cornellbox import build_cornell
+
+    sc = build_cornell(16, 16)
+    lin, var = sc.render(2, seed=7, output="linear", with_variance=True)
+    assert lin.shape == (16, 16, 3) and var.shape == (16, 16, 3)
+    assert np.isfinite(var).all() and (var >= 0).all()
+    assert var.max() > 0  # 2-spp Cornell is noisy somewhere
+    _, var8 = sc.render(8, seed=7, output="linear", with_variance=True)
+    # 4x the samples -> ~4x smaller variance of the mean (loose: the sample
+    # variance estimate itself is noisy at 2 spp)
+    assert var8.mean() < 0.6 * var.mean(), (var.mean(), var8.mean())
+    # variance agrees with the scatter of independent renders: the mean
+    # predicted std must be on the order of the observed seed-to-seed std
+    renders = np.stack([sc.render(2, seed=s, output="linear")
+                        for s in range(20, 26)])
+    observed = renders.std(axis=0, ddof=1).mean()
+    predicted = np.sqrt(var).mean()
+    assert 0.3 < predicted / observed < 3.0, (predicted, observed)
+
+
+def test_variance_guided_beats_fixed():
+    # the SVGF-style luminance weight must beat the fixed-sigma weight on a
+    # real low-spp render (measured: display MSE 0.0044 -> 0.0030 at 2 spp)
+    from example_cornellbox import build_cornell
+    from raytracer_tpu import srgb_linear_to_srgb
+
+    sc = build_cornell(24, 24)
+    truth = sc.render(32, seed=100, output="linear")
+    noisy, var = sc.render(2, seed=7, output="linear", with_variance=True)
+    aovs = sc.render_aovs(4, seed=11)
+    dn_fix = denoise(noisy, aovs)
+    dn_var = denoise(noisy, aovs, variance=var)
+    tm = lambda x: np.asarray(srgb_linear_to_srgb(np.asarray(x)))
+    mse_fix = float(((tm(dn_fix) - tm(truth)) ** 2).mean())
+    mse_var = float(((tm(dn_var) - tm(truth)) ** 2).mean())
+    assert mse_var < mse_fix, (mse_fix, mse_var)
+
+
+def test_with_variance_validation():
+    from example_cornellbox import build_cornell
+
+    sc = build_cornell(8, 8)
+    with pytest.raises(ValueError, match="with_variance"):
+        sc.render(2, with_variance=True)  # needs output="linear"
+    with pytest.raises(ValueError, match="checkpoint"):
+        sc.render(2, output="linear", with_variance=True,
+                  checkpoint_path="/tmp/nope.npz")
+    img = sc.render(2, seed=3, output="linear")
+    img2, var = sc.render(2, seed=3, output="linear", with_variance=True)
+    assert np.allclose(img, img2), "with_variance must not change the mean"
+
+
 def test_render_denoised_api():
     from example_cornellbox import build_cornell
 
