@@ -23,9 +23,12 @@ from raytracer_tpu.utils.image_io import array_to_pil   # noqa: E402
 def main(size=160, spp=4, truth_spp=64, out="cornell_denoised.png"):
     sc = build_cornell(size, size)
     print(f"rendering {size}x{size} @ {spp} spp ...")
-    noisy = sc.render(spp, seed=7, output="linear", progress_bar=True)
+    noisy, var = sc.render(spp, seed=7, output="linear", with_variance=True,
+                           progress_bar=True)
     aovs = sc.render_aovs(8, seed=11)
-    dn = denoise(noisy, aovs)
+    # SVGF-style variance guidance: noisy pixels filter hard, converged
+    # pixels keep detail (what Scene.render_denoised does in one call)
+    dn = denoise(noisy, aovs, variance=var)
     print(f"rendering ground truth @ {truth_spp} spp ...")
     truth = sc.render(truth_spp, seed=100, output="linear", progress_bar=True)
 
