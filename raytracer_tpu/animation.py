@@ -51,29 +51,35 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
     use_pallas = (pallas_mode is not None
                   and jax.default_backend() in ("tpu", "axon"))
 
-    def per_frame(key, data_nt, cam_vec, textures):
+    def per_frame(key, data_nt, cam_vec, textures, strat):
         # shard_map blocks keep the leading (length-1) frame axis: strip it
         data = jax.tree_util.tree_map(lambda x: x[0], data_nt)
         data = dataclasses.replace(data, textures=textures)
         key = key.reshape(2)
         cam_vec = cam_vec.reshape(16)
+        strat = strat.reshape(2)   # [R2 rotation seed, global sample offset]
         if use_pallas:
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
                                       dtype=jnp.int32)
+            seed_vec = jnp.stack([seed, strat[0], strat[1]])
             if pallas_mode == "solid":
                 from .ops.pallas_trace import pallas_trace_chunk
                 L, _ = pallas_trace_chunk(
-                    seed, data, cam_vec, static, width, height, spp,
-                    settings.max_bounces, False, settings.split_k)
+                    seed_vec, data, cam_vec, static, width, height, spp,
+                    settings.max_bounces, False, settings.split_k,
+                    settings.sampler)
             else:
                 from .ops.pallas_record import pallas_record_chunk
                 L, _ = pallas_record_chunk(
-                    seed, data, cam_vec, static, width, height, spp,
-                    settings.max_bounces, False, settings.split_k)
+                    seed_vec, data, cam_vec, static, width, height, spp,
+                    settings.max_bounces, False, settings.split_k,
+                    settings.sampler)
         else:
             k_ray, k_trace = jax.random.split(key)
             O, D = generate_rays(k_ray, _cam_from_vec(cam_vec),
-                                 width, height, spp)
+                                 width, height, spp,
+                                 sampler=settings.sampler,
+                                 strat_seed=strat[0], sample0=strat[1])
             n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
             n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
             pattern = None
@@ -87,13 +93,13 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
         return L.reshape(spp, n_pix, 3).sum(axis=0)[None]
 
     @jax.jit
-    def run(keys, data_stacked, cam_vecs, textures):
+    def run(keys, data_stacked, cam_vecs, textures, strat):
         return jax.shard_map(
             per_frame, mesh=mesh,
-            in_specs=(P("frame"), P("frame"), P("frame"), P()),
+            in_specs=(P("frame"), P("frame"), P("frame"), P(), P("frame")),
             out_specs=P("frame"),
             check_vma=False,
-        )(keys, data_stacked, cam_vecs, textures)
+        )(keys, data_stacked, cam_vecs, textures, strat)
 
     @jax.jit
     def tonemap(acc, n_samples):
@@ -141,7 +147,8 @@ def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
     static0, _, textures, _ = _frame_data(scene)
     split_k = derive_split_k(static0)
     settings = RenderSettings(max_bounces=derive_max_bounces(static0),
-                              split_k=split_k)
+                              split_k=split_k,
+                              sampler=scene.settings.sampler)
     split_fan = 1 << split_k
     eff_spp = samples_per_pixel * scene._diffuse_fan() * split_fan
     eff_spp = -(-eff_spp // split_fan) * split_fan
@@ -174,13 +181,20 @@ def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
         base = jax.random.PRNGKey(seed)
         frame_keys = [jax.random.fold_in(base, base_index + j)
                       for j in range(n_dev)]
+        # R2 rotation seed from the BASE key — the same derivation as
+        # Scene.render (frame 0 stays bit-identical to it) and the same
+        # lattice on every frame (temporally stable AA, no sample shimmer)
+        strat_seed = jax.random.randint(base, (), 0, 2 ** 31 - 1,
+                                        dtype=jnp.int32)
         acc = None
         for c in range(n_chunks):
             # chunk 0 reuses the frame key itself, so a 1-chunk frame 0 is
             # bit-identical to Scene.render's first chunk
             keys = jnp.stack([k if c == 0 else jax.random.fold_in(k, c)
                               for k in frame_keys])
-            out = step(keys, stacked, jnp.stack(cams), textures)
+            strat = jnp.broadcast_to(
+                jnp.stack([strat_seed, jnp.int32(c * chunk)]), (n_dev, 2))
+            out = step(keys, stacked, jnp.stack(cams), textures, strat)
             acc = out if acc is None else acc + out
         return tonemap(acc, float(n_chunks * chunk)), len(batch_times)
 

@@ -42,16 +42,20 @@ MAX_RAYS_PER_CHUNK = 1 << 22
 @partial(jax.jit, static_argnames=("static", "settings", "width", "height",
                                    "spp", "rows", "with_sq"))
 def _render_chunk(key, data, cam, static, settings, width, height, spp,
-                  row0=0.0, rows=None, with_sq=False):
+                  row0=0.0, rows=None, with_sq=False, strat_seed=None,
+                  sample0=None):
     """One spp-chunk via the jnp wavefront.  row0/rows select a horizontal
     row band of the frame (large-frame chunking); default is the full frame.
     with_sq additionally returns the per-pixel sum of squared samples (the
-    variance estimate feeding the SVGF-style denoiser).
+    variance estimate feeding the SVGF-style denoiser).  strat_seed/sample0
+    continue one R2 lattice across chunks (core/lds.py); both traced.
     """
     rows = height if rows is None else rows
     k_ray, k_trace = jax.random.split(key)
     O, D = generate_rays(k_ray, cam, width, height, spp,
-                         row0=jnp.float32(row0), rows=rows)
+                         row0=jnp.float32(row0), rows=rows,
+                         sampler=settings.sampler, strat_seed=strat_seed,
+                         sample0=sample0)
     n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
     # branch pattern per ray: rays are [sample, pixel]-ordered and spp is a
@@ -78,18 +82,26 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp,
 @partial(jax.jit, static_argnames=("static", "settings", "width", "height",
                                    "spp", "interpret", "with_sq"))
 def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
-                         interpret=False, with_sq=False):
+                         interpret=False, with_sq=False, strat_seed=None,
+                         sample0=None):
     """Chunk via the fused Pallas mega-kernel: camera ray generation and all
     bounces run inside one TPU kernel (ops/pallas_trace.py)."""
     from ..ops.pallas_trace import pallas_trace_chunk
 
     seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    if strat_seed is None:
+        strat_seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
+                                        dtype=jnp.int32)
+    if sample0 is None:
+        sample0 = jnp.int32(0)
+    seed_vec = jnp.stack([seed, jnp.asarray(strat_seed, jnp.int32),
+                          jnp.asarray(sample0, jnp.int32)])
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
-    L, rays = pallas_trace_chunk(seed, data, cam_vec, static, width, height,
-                                 spp, settings.max_bounces, interpret,
-                                 settings.split_k)
+    L, rays = pallas_trace_chunk(seed_vec, data, cam_vec, static, width,
+                                 height, spp, settings.max_bounces, interpret,
+                                 settings.split_k, settings.sampler)
     finite = jnp.isfinite(L)
     stats = {}
     if settings.collect_stats:
@@ -104,18 +116,27 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
 @partial(jax.jit, static_argnames=("static", "settings", "width", "height",
                                    "spp", "interpret", "with_sq"))
 def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
-                         interpret=False, with_sq=False):
+                         interpret=False, with_sq=False, strat_seed=None,
+                         sample0=None):
     """Chunk via the path-recording kernel + texture replay
     (ops/pallas_record.py) — textured scenes."""
     from ..ops.pallas_record import pallas_record_chunk
 
     seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    if strat_seed is None:
+        strat_seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
+                                        dtype=jnp.int32)
+    if sample0 is None:
+        sample0 = jnp.int32(0)
+    seed_vec = jnp.stack([seed, jnp.asarray(strat_seed, jnp.int32),
+                          jnp.asarray(sample0, jnp.int32)])
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
-    L, rays = pallas_record_chunk(seed, data, cam_vec, static, width, height,
-                                  spp, settings.max_bounces, interpret,
-                                  settings.split_k)
+    L, rays = pallas_record_chunk(seed_vec, data, cam_vec, static, width,
+                                  height, spp, settings.max_bounces,
+                                  interpret, settings.split_k,
+                                  settings.sampler)
     finite = jnp.isfinite(L)
     stats = {}
     if settings.collect_stats:
@@ -233,6 +254,7 @@ class Scene:
                                   nudge_eps=self.settings.nudge_eps,
                                   collect_stats=collect_stats,
                                   use_pallas=self.settings.use_pallas,
+                                  sampler=self.settings.sampler,
                                   split_k=split_k)
         return static, data, settings
 
@@ -374,20 +396,30 @@ class Scene:
             print("Rendering...")
         chunks_done = start_chunk
         last_noise = None
+        # R2 lattice state: rotations keyed once per render (constant across
+        # chunks), sample0 advances so chunk i continues the lattice
+        strat_seed = jax.random.randint(base_key, (), 0, 2 ** 31 - 1,
+                                        dtype=jnp.int32)
         for i in range(start_chunk, n_chunks):
             k_i = jax.random.fold_in(base_key, i)
+            s0 = jnp.int32(i * chunk)
             L2 = None
             if pallas_mode == "solid":
                 out_c = _render_chunk_pallas(k_i, data, cam, static,
                                              settings, W, H, chunk,
-                                             pallas_interp, with_variance)
+                                             pallas_interp, with_variance,
+                                             strat_seed=strat_seed,
+                                             sample0=s0)
             elif pallas_mode == "record":
                 out_c = _render_chunk_record(k_i, data, cam, static,
                                              settings, W, H, chunk,
-                                             pallas_interp, with_variance)
+                                             pallas_interp, with_variance,
+                                             strat_seed=strat_seed,
+                                             sample0=s0)
             elif n_bands == 1:
                 out_c = _render_chunk(k_i, data, cam, static, settings,
-                                      W, H, chunk, with_sq=with_variance)
+                                      W, H, chunk, with_sq=with_variance,
+                                      strat_seed=strat_seed, sample0=s0)
             else:
                 parts, parts2, stats = [], [], {}
                 for b in range(n_bands):
@@ -396,7 +428,8 @@ class Scene:
                     ob = _render_chunk(jax.random.fold_in(k_i, b), data,
                                        cam, static, settings, W, H,
                                        chunk, row0=float(r0), rows=rb,
-                                       with_sq=with_variance)
+                                       with_sq=with_variance,
+                                       strat_seed=strat_seed, sample0=s0)
                     if with_variance:
                         Lb, L2b, sb = ob
                         parts2.append(L2b)

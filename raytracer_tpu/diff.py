@@ -98,10 +98,14 @@ def differentiable_render(scene, samples_per_pixel, seed=0):
     total = n_chunks * chunk
     key = jax.random.PRNGKey(seed)
 
+    # R2 lattice state, continued across chunks exactly as Scene.render does
+    strat_seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+
     if n_chunks == 1:
         def render_fn(d):
             L, _ = _render_chunk(key, d, cam, static, settings,
-                                 width, height, chunk)
+                                 width, height, chunk,
+                                 strat_seed=strat_seed, sample0=jnp.int32(0))
             return (L / total).reshape(height, width, 3)
     else:
         # accumulate chunks under lax.scan with a rematerialized body: the
@@ -113,7 +117,9 @@ def differentiable_render(scene, samples_per_pixel, seed=0):
             def _body(acc, i):
                 k_i = jax.random.fold_in(key, i)
                 L, _ = _render_chunk(k_i, d, cam, static, settings,
-                                     width, height, chunk)
+                                     width, height, chunk,
+                                     strat_seed=strat_seed,
+                                     sample0=i.astype(jnp.int32) * chunk)
                 return acc + L, None
 
             acc0 = jnp.zeros((height * width, 3), jnp.float32)

@@ -39,9 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
                               MAT_REFRACTIVE, MAT_THINFILM)
 from ..utils.constants import MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM
-from .pallas_trace import (FARAWAY, TILE_ROWS, _ISECT, _TileRng, _cabs2,
-                           _cdiv, _cmul, _csqrt, _normal_for, _normalize3,
-                           _orthobasis, _pad_rows)
+from ..core import lds
+from .pallas_trace import (FARAWAY, TILE_ROWS, _INV_2_24, _ISECT, _TileRng,
+                           _cabs2, _cdiv, _cmul, _csqrt, _normal_for,
+                           _normalize3, _orthobasis, _pad_rows)
 
 
 def _shading_groups(static):
@@ -131,7 +132,7 @@ def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
 
 
 def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
-                        lam=WAVELENGTHS_NM):
+                        lam=WAVELENGTHS_NM, sampler="iid"):
     records = static.obj_records
     groups, order = _shading_groups(static)
     shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
@@ -159,7 +160,18 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
         upx, upy, upz = cam(9), cam(10), cam(11)
         cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
 
-        u1, u2, u3, u4 = (rng.uniform() for _ in range(4))
+        if sampler == "r2":
+            # same R2 lattice as the jnp wavefront / trace kernel (lds.py)
+            su = (idx // n_pix + seed_ref[2]).astype(jnp.uint32)
+            pixu = pix.astype(jnp.uint32)
+            to_f = lambda b: pltpu.bitcast(
+                b >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
+            u1 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 0))
+            u2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 1))
+            u3 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 2))
+            u4 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 3))
+        else:
+            u1, u2, u3, u4 = (rng.uniform() for _ in range(4))
         x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
         y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
         r_d = jnp.sqrt(u3)
@@ -760,7 +772,7 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
 
 
 def _record_call(seed, data, cam_vec, static, width, height, spp,
-                 max_bounces, interpret=False, split_k=0):
+                 max_bounces, interpret=False, split_k=0, sampler="iid"):
     """Run the Pallas record kernel; returns raw (rec_g, rec_f, cnt)."""
     n_pix = width * height
     n = spp * n_pix
@@ -790,7 +802,7 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
     kernel = _make_record_kernel(static, width, height, max_bounces, n_pix,
-                                 split_k)
+                                 split_k, sampler=sampler)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -818,17 +830,24 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )
-    return call(seed.reshape(1), cam_vec[None, :], data.pallas_geom, dif,
+    seed = jnp.atleast_1d(seed)
+    if seed.shape[0] < 3:      # scalar-seed callers: zero lattice state
+        seed = jnp.concatenate([seed, jnp.zeros(3 - seed.shape[0],
+                                                seed.dtype)])
+    return call(seed, cam_vec[None, :], data.pallas_geom, dif,
                 glo, refr, emi, lights, is_tab, consts)
 
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
-                                             "split_k"))
+                                             "split_k", "sampler"))
 def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
-                        max_bounces, interpret=False, split_k=0):
+                        max_bounces, interpret=False, split_k=0,
+                        sampler="iid"):
     """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
 
+    seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
+    first-sample index] when sampler="r2" (core/lds.py).
     split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
     spp must then be a multiple of 2^split_k.
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
@@ -836,7 +855,7 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
     n = spp * width * height
     rec_g, rec_f, cnt = _record_call(seed, data, cam_vec, static, width,
                                      height, spp, max_bounces, interpret,
-                                     split_k)
+                                     split_k, sampler)
     rec_g = rec_g.reshape(max_bounces, -1)[:, :n]
     rec_f = rec_f.reshape(max_bounces, 12, -1)[:, :, :n]
     L = _replay(rec_g, rec_f, data, static, max_bounces, n)

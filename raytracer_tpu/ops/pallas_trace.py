@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import lds
 from ..materials.base import MAT_DIFFUSE, MAT_EMISSIVE, MAT_GLOSSY, MAT_REFRACTIVE
 from ..utils.constants import (MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM)
 
@@ -249,7 +250,7 @@ def _normal_for(rec, g, px, py, pz):
 
 
 def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
-                 lam=WAVELENGTHS_NM):
+                 lam=WAVELENGTHS_NM, sampler="iid"):
     records = static.obj_records
     # shading groups: objects sharing (material, depth-cap, mc) shade together
     groups = {}
@@ -278,10 +279,24 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
         upx, upy, upz = cam(9), cam(10), cam(11)
         cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
 
-        u1 = rng.uniform()
-        u2 = rng.uniform()
-        u3 = rng.uniform()
-        u4 = rng.uniform()
+        if sampler == "r2":
+            # Cranley-Patterson-rotated R2 lattice (core/lds.py): the SAME
+            # bit math as the jnp wavefront, so both paths see the identical
+            # camera sample set; Mosaic needs the int32 bitcast for the
+            # bits->float step (no uint32->f32 cast)
+            su = (idx // n_pix + seed_ref[2]).astype(jnp.uint32)
+            pixu = pix.astype(jnp.uint32)
+            to_f = lambda b: pltpu.bitcast(
+                b >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
+            u1 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 0))
+            u2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 1))
+            u3 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 2))
+            u4 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 3))
+        else:
+            u1 = rng.uniform()
+            u2 = rng.uniform()
+            u3 = rng.uniform()
+            u4 = rng.uniform()
         x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
         y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
         r_d = jnp.sqrt(u3)
@@ -669,12 +684,15 @@ def _pad_rows(a, min_rows=1):
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
-                                             "split_k"))
+                                             "split_k", "sampler"))
 def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
-                       max_bounces, interpret=False, split_k=0):
+                       max_bounces, interpret=False, split_k=0,
+                       sampler="iid"):
     """Trace one spp-chunk with the mega-kernel.
 
-    seed: int32 scalar array; cam_vec: (16,) f32.
+    seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
+    index of the chunk's first sample] when sampler="r2" (core/lds.py);
+    cam_vec: (16,) f32.
     split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
     spp must then be a multiple of 2^split_k.
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
@@ -709,14 +727,14 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
     kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
-                          split_k)
+                          split_k, sampler=sampler)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed (3,)
             rep(1, 16),                                      # cam
             rep(*data.pallas_geom.shape),                    # geom
             rep(*dif.shape), rep(*glo.shape), rep(*refr.shape), rep(*emi.shape),
@@ -738,7 +756,11 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
         # test suite; plain interpret=True lacks the TPU primitives
         interpret=(pltpu.InterpretParams() if interpret else False),
     )
-    L, cnt = call(seed.reshape(1), cam_vec[None, :], data.pallas_geom, dif,
+    seed = jnp.atleast_1d(seed)
+    if seed.shape[0] < 3:      # scalar-seed callers: zero lattice state
+        seed = jnp.concatenate([seed, jnp.zeros(3 - seed.shape[0],
+                                                seed.dtype)])
+    L, cnt = call(seed, cam_vec[None, :], data.pallas_geom, dif,
                   glo, refr, emi, lights, is_tab, consts)
     L = L.reshape(3, G * TILE_ROWS * 128)[:, :n].T
     return L, cnt[:, 0, 0].sum()

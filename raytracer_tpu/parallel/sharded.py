@@ -79,22 +79,31 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
         s_idx = jax.lax.axis_index("sample")
         p_idx = jax.lax.axis_index("pixel")
         k = jax.random.fold_in(jax.random.fold_in(key, s_idx), p_idx)
+        # R2 lattice state (core/lds.py): rotations keyed by the UNFOLDED key
+        # (identical on every device), each sample shard continues the one
+        # global lattice at its own offset — the sharded render draws the
+        # same stratified sample set a single chip would
+        strat_seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
+                                        dtype=jnp.int32)
+        sample0 = s_idx.astype(jnp.int32) * spp_per_device
         if use_pallas:
             from ..ops.pallas_trace import pallas_trace_chunk
 
             seed = jax.random.randint(k, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+            seed_vec = jnp.stack([seed, strat_seed, sample0])
             cam_vec = jnp.concatenate([
                 cam.origin, cam.fwd, cam.right, cam.up,
                 jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
-            L, _ = pallas_trace_chunk(seed, data, cam_vec, static, width,
+            L, _ = pallas_trace_chunk(seed_vec, data, cam_vec, static, width,
                                       height, spp_per_device,
                                       settings.max_bounces, False,
-                                      settings.split_k)
+                                      settings.split_k, settings.sampler)
         else:
             k_ray, k_trace = jax.random.split(k)
             O, D = generate_rays(k_ray, cam, width, height, spp_per_device,
                                  row0=(p_idx * rows).astype(jnp.float32),
-                                 rows=rows)
+                                 rows=rows, sampler=settings.sampler,
+                                 strat_seed=strat_seed, sample0=sample0)
             n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
             n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
             pattern = None
@@ -139,7 +148,8 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
     # must trace identical path lengths with the same estimator
     split_k = derive_split_k(static)
     settings = RenderSettings(max_bounces=derive_max_bounces(static),
-                              split_k=split_k)
+                              split_k=split_k,
+                              sampler=scene.settings.sampler)
     spp_per_device = plan_spp_per_device(samples_per_pixel,
                                          scene._diffuse_fan(), split_k,
                                          n_sample)

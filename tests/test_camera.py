@@ -44,8 +44,10 @@ def test_sample_ordering(key):
     O, D = generate_rays(key, cam.params(), 4, 3, 2)
     assert D.shape == (2 * 4 * 3, 3)
     D = np.asarray(D).reshape(2, 12, 3)
-    # both sample frames look at the same pixels (within jitter)
-    assert np.allclose(D[0], D[1], atol=0.3)
+    # both sample frames look at the same pixels: directions agree to within
+    # one pixel of AA jitter (pixel pitch ~0.5 direction units at this fov),
+    # far below the ~2.0 separation of distant pixels
+    assert np.allclose(D[0], D[1], atol=0.45)
 
 
 def test_camera_params_traced_no_recompile(key):

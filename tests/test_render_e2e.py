@@ -163,10 +163,12 @@ def test_deterministic_given_seed():
                   screen_width=8, screen_height=8)
     sc.add(Sphere(material=Emissive(color=rgb(1, 0.5, 0.2)),
                   center=vec3(0, 0, -3), radius=1.0))
-    a = linear_render(sc, spp=2, seed=7)
-    b = linear_render(sc, spp=2, seed=7)
-    c = linear_render(sc, spp=2, seed=8)
+    a = linear_render(sc, spp=16, seed=7)
+    b = linear_render(sc, spp=16, seed=7)
+    c = linear_render(sc, spp=16, seed=8)
     assert np.array_equal(a, b)
+    # (16 spp: at 2 spp the R2 sampler's silhouette hit counts can coincide
+    # across seeds — stratification makes per-pixel counts stable by design)
     assert not np.array_equal(a, c)
 
 
