@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from .core import lds
 from .core.camera import generate_rays
 from .core.compile import compile_scene_cached, derive_max_bounces, derive_split_k
 from .core.integrator import RenderSettings, trace
@@ -86,8 +87,12 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
             if settings.split_k > 0:
                 pattern = (jnp.arange(spp * n_pix, dtype=jnp.int32) // n_pix) \
                     % (1 << settings.split_k)
+            strat_u = None
+            if settings.sampler == "r2":
+                strat_u = lds.first_bounce_uniforms(
+                    width, n_pix, spp, 0.0, strat[0], strat[1])
             L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings,
-                         pattern=pattern)
+                         pattern=pattern, strat_u=strat_u)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
         # linear radiance SUM over this chunk's spp (host accumulates chunks)
         return L.reshape(spp, n_pix, 3).sum(axis=0)[None]

@@ -104,6 +104,9 @@ class ShadeCtx:
     pattern: Any = None    # (N,) int32 branch pattern, bit j = j-th split
     split_cnt: Any = None  # (N,) int32 deterministic splits consumed so far
     split_k: int = 0
+    # stratified first-diffuse-bounce draws (core/lds.py dims 6, 4, 5):
+    # (u_mix, u_phi, u_r2) per ray, or None for fully key-driven sampling
+    strat_u: Any = None
     wavelengths: Any = WAVELENGTHS_NM
 
 
@@ -133,13 +136,16 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
 
 
 def trace(key, origin, direction, n_re, n_im, data, static, settings,
-          pattern=None):
+          pattern=None, strat_u=None):
     """Trace a wavefront of rays to completion.
 
     origin/direction: (N, 3); n_re/n_im: (N, 3) starting medium IoR.
     pattern: (N,) int32 deterministic branch patterns (required when
     settings.split_k > 0; Scene.render derives it from the sample index so
     every block of 2^split_k samples enumerates all branch combinations).
+    strat_u: optional (u_mix, u_phi, u_r2) per-ray stratified uniforms for
+    the FIRST diffuse bounce (core/lds.py; each path scatters diffusely at
+    most once per dimension set, so one 2D+1D draw per ray covers it).
     Returns (radiance (N, 3), stats dict of scalar counters).
     """
     n = origin.shape[0]
@@ -209,7 +215,7 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
                 mat_slot=mat_slot, obj_max_depth=obj_max_depth,
                 obj_mc=obj_mc, eps=eps,
                 pattern=pattern, split_cnt=split_cnt,
-                split_k=settings.split_k,
+                split_k=settings.split_k, strat_u=strat_u,
             )
             out = shader_fn(ctx)
             m3 = m[..., None]

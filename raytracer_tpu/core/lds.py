@@ -26,19 +26,33 @@ differs per side (Mosaic needs a bitcast, `to_float` / the kernels'
 Draw-dimension registry (keep kernel and wavefront in sync):
   0, 1: camera AA jitter (x, y)
   2, 3: thin-lens aperture (r, phi)
+  4, 5: first diffuse bounce direction (phi, r2/cap-z)
+  6:    first diffuse bounce mixture choice (cosine vs light cap)
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-# plastic constant g: the unique real root of x^3 = x + 1
-_G = 1.32471795724474602596
-# R2 generator in 32-bit fixed point (exact frac via uint32 wraparound)
-ALPHA = (int((1.0 / _G) * 2 ** 32) & 0xFFFFFFFF,
-         int((1.0 / _G ** 2) * 2 ** 32) & 0xFFFFFFFF)
+# generalized golden ratios g_d: the unique real root of x^(d+1) = x + 1.
+# Dimension PAIRS use one constant's first two powers (an R2-family lattice
+# with good 2D projection); different pairs use DIFFERENT constants, so any
+# cross-pair 2D projection is itself a non-degenerate rank-1 lattice rather
+# than two translates of one sequence (same-alpha dims would be perfectly
+# correlated within a pixel).
+_G2 = 1.32471795724474602596   # plastic constant (R2)
+_G3 = 1.22074408460575947536
+_G4 = 1.16730397826141868426
+_fx = lambda a: int(a * 2 ** 32) & 0xFFFFFFFF
+# per-dimension generators in 32-bit fixed point (exact frac via uint32
+# wraparound); see the draw-dimension registry above
+ALPHA = (_fx(1 / _G2), _fx(1 / _G2 ** 2),          # 0,1: camera AA
+         _fx(1 / _G3), _fx(1 / _G3 ** 2),          # 2,3: thin lens
+         _fx(1 / _G4), _fx(1 / _G4 ** 2),          # 4,5: first diffuse dir
+         _fx(1 / _G4 ** 3), _fx(1 / _G3 ** 3))     # 6: mixture choice; 7: spare
 # per-dimension rotation salts (arbitrary odd constants)
-_DIM_SALT = (0x3C6EF372, 0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D)
+_DIM_SALT = (0x3C6EF372, 0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D,
+             0x27220A95, 0x6180339B, 0xB5297A4D, 0x68E31DA5)
 
 INV_2_24 = 1.0 / (1 << 24)
 
@@ -60,10 +74,25 @@ def r2_bits(pix, s, seed, dim):
     dim: python-static draw dimension (see registry above).
     """
     rot = mix32(pix * jnp.uint32(0x9E3779B1)
-                ^ (seed.astype(jnp.uint32) + jnp.uint32(_DIM_SALT[dim % 4])))
-    return rot + s * jnp.uint32(ALPHA[dim % 2])
+                ^ (seed.astype(jnp.uint32) + jnp.uint32(_DIM_SALT[dim])))
+    return rot + s * jnp.uint32(ALPHA[dim])
 
 
 def to_float(bits):
     """uint32 bits -> f32 in [0, 1) (jnp side; kernels bitcast instead)."""
     return (bits >> 8).astype(jnp.float32) * INV_2_24
+
+
+def first_bounce_uniforms(width, n_pix, spp, row0, strat_seed, sample0):
+    """(u_mix, u_phi, u_r2) stratified draws for the first diffuse bounce.
+
+    One draw set per ray of a [sample, pixel]-ordered wavefront (dims 6, 4,
+    5) — the jnp-path twin of the kernels' in-raygen computation.  row0 /
+    strat_seed / sample0 are traced scalars (see generate_rays).
+    """
+    idx = jnp.arange(spp * n_pix, dtype=jnp.uint32)
+    gpix = (idx % jnp.uint32(n_pix)
+            + jnp.asarray(row0, jnp.float32).astype(jnp.uint32)
+            * jnp.uint32(width))
+    s = idx // jnp.uint32(n_pix) + jnp.asarray(sample0).astype(jnp.uint32)
+    return tuple(to_float(r2_bits(gpix, s, strat_seed, d)) for d in (6, 4, 5))

@@ -66,16 +66,23 @@ def _orthonormal_basis(w):
 # ---------------------------------------------------------------------------
 
 
-def cosine_sample(key, normal):
+def cosine_sample(key, normal, uniforms=None):
     """Cosine-weighted directions about `normal` (..., 3).
 
     Reference: cosine_pdf.generate, random.py:62-74.
+    uniforms: optional explicit (u_phi, u_r2) in [0,1) (each batch-shaped) —
+    the injection point for stratified draws (core/lds.py); `key` is unused
+    when given.
     """
     ax_u, ax_v = _orthonormal_basis(normal)
-    k1, k2 = jax.random.split(key)
     batch = normal.shape[:-1]
-    phi = jax.random.uniform(k1, batch) * (2.0 * jnp.pi)
-    r2 = jax.random.uniform(k2, batch)
+    if uniforms is None:
+        k1, k2 = jax.random.split(key)
+        u_phi = jax.random.uniform(k1, batch)
+        r2 = jax.random.uniform(k2, batch)
+    else:
+        u_phi, r2 = uniforms
+    phi = u_phi * (2.0 * jnp.pi)
     z = jnp.sqrt(1.0 - r2)
     x = jnp.cos(phi) * jnp.sqrt(r2)
     y = jnp.sin(phi) * jnp.sqrt(r2)
@@ -122,10 +129,12 @@ def caps_geometry(origin, targets_center, targets_radius):
     return ax_w, cos_max
 
 
-def caps_sample(key, origin, targets_center, targets_radius):
+def caps_sample(key, origin, targets_center, targets_radius, uniforms=None):
     """Sample a direction in the union-of-caps mixture (uniform over targets).
 
     Reference: spherical_caps_pdf.generate, random.py:98-151.
+    uniforms: optional explicit (u_phi, u_r2) for the in-cap draw (the target
+    pick stays key-driven — a discrete choice gains nothing from the lattice).
     """
     k_pick, k_phi, k_r2 = jax.random.split(key, 3)
     batch = origin.shape[:-1]
@@ -137,8 +146,12 @@ def caps_sample(key, origin, targets_center, targets_radius):
     cos_sel = jnp.take_along_axis(cos_max, pick[..., None], axis=-1)[..., 0]
 
     ax_u, ax_v = _orthonormal_basis(ax_w_sel)
-    phi = jax.random.uniform(k_phi, batch) * (2.0 * jnp.pi)
-    r2 = jax.random.uniform(k_r2, batch)
+    if uniforms is None:
+        u_phi = jax.random.uniform(k_phi, batch)
+        r2 = jax.random.uniform(k_r2, batch)
+    else:
+        u_phi, r2 = uniforms
+    phi = u_phi * (2.0 * jnp.pi)
     z = 1.0 + r2 * (cos_sel - 1.0)
     s = safe_sqrt(1.0 - z * z)
     return ax_u * (jnp.cos(phi) * s)[..., None] + ax_v * (jnp.sin(phi) * s)[..., None] + ax_w_sel * z[..., None]
@@ -174,19 +187,28 @@ def spherical_cap_sample(key, cos_max, normal):
 
 
 def mixed_cosine_caps_sample(key, normal, origin, targets_center, targets_radius,
-                             cosine_weight):
+                             cosine_weight, uniforms=None):
     """Sample the Diffuse importance mixture and return (direction, pdf).
 
     With probability `cosine_weight` draw from the cosine lobe about the
     normal, otherwise from the union-of-caps toward the importance-sampled
     targets; the returned pdf is the full mixture density (reference
     mixed_pdf, random.py:153-174, as used by diffuse.py:49-61).
+
+    uniforms: optional explicit (u_mix, u_phi, u_r2) — the (phi, r2) pair
+    feeds whichever branch is selected (each branch is a proper map of the
+    unit square, and only one survives the select).
     """
     k_mix, k_cos, k_caps = jax.random.split(key, 3)
     batch = normal.shape[:-1]
-    use_cos = jax.random.uniform(k_mix, batch) < cosine_weight
-    d_cos = cosine_sample(k_cos, normal)
-    d_caps = caps_sample(k_caps, origin, targets_center, targets_radius)
+    if uniforms is None:
+        u_mix, dir_u = jax.random.uniform(k_mix, batch), None
+    else:
+        u_mix, dir_u = uniforms[0], (uniforms[1], uniforms[2])
+    use_cos = u_mix < cosine_weight
+    d_cos = cosine_sample(k_cos, normal, uniforms=dir_u)
+    d_caps = caps_sample(k_caps, origin, targets_center, targets_radius,
+                         uniforms=dir_u)
     d = jnp.where(use_cos[..., None], d_cos, d_caps)
     pdf = (cosine_weight * cosine_pdf_value(d, normal)
            + (1.0 - cosine_weight) * caps_pdf_value(d, origin, targets_center, targets_radius))

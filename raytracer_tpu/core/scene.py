@@ -30,6 +30,7 @@ from .. import lights as lights_mod
 from ..backgrounds.environment import Panorama, SkyBox
 from ..utils.colour import srgb_linear_to_srgb
 from ..utils.image_io import array_to_pil
+from . import lds
 from .camera import Camera, generate_rays
 from .compile import compile_scene_cached, derive_max_bounces, derive_split_k
 from .integrator import RenderSettings, trace, trace_distances
@@ -65,8 +66,13 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp,
         n_pix = width * rows
         pattern = (jnp.arange(spp * n_pix, dtype=jnp.int32) // n_pix) \
             % (1 << settings.split_k)
+    strat_u = None
+    if settings.sampler == "r2" and strat_seed is not None \
+            and sample0 is not None:
+        strat_u = lds.first_bounce_uniforms(width, rows * width, spp,
+                                            row0, strat_seed, sample0)
     L, stats = trace(k_trace, O, D, n_re, n_im, data, static, settings,
-                     pattern=pattern)
+                     pattern=pattern, strat_u=strat_u)
     # scrub rare non-finite samples (grazing-angle degeneracies in f32) so a
     # one-in-10^7 ray cannot blacken a pixel; surfaced via stats
     finite = jnp.isfinite(L)

@@ -291,12 +291,25 @@ def shade_diffuse(ctx):
                              static.diffuse_tex, data.textures)
     nudged = ctx.P + N * ctx.eps[..., None]
 
+    # draws: key-driven uniforms, overridden by the per-ray stratified
+    # lattice values at the FIRST diffuse bounce (core/lds.py dims 6,4,5 —
+    # a path scatters diffusely at most twice, and only the first bounce
+    # carries enough energy variance to be worth stratifying)
+    batch = ctx.t.shape
+    k_mix, k_phi, k_r2 = jax.random.split(ctx.key, 3)
+    u = (jax.random.uniform(k_mix, batch), jax.random.uniform(k_phi, batch),
+         jax.random.uniform(k_r2, batch))
+    if ctx.strat_u is not None:
+        first = ctx.diffuse_reflections == 0
+        u = tuple(jnp.where(first, s, i) for s, i in zip(ctx.strat_u, u))
+
     if static.n_is_targets > 0:
         w = _g1(mats.diffuse_ambient_weight, ctx.mat_slot)
         d, pdf = rng.mixed_cosine_caps_sample(
-            ctx.key, N, nudged, data.is_center, data.is_radius, w)
+            ctx.key, N, nudged, data.is_center, data.is_radius, w,
+            uniforms=u)
     else:
-        d = rng.cosine_sample(ctx.key, N)
+        d = rng.cosine_sample(ctx.key, N, uniforms=(u[1], u[2]))
         pdf = rng.cosine_pdf_value(d, N)
 
     NdotL = jnp.clip(jnp.sum(d * N, axis=-1), 0.0, 1.0)

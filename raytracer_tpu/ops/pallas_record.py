@@ -170,8 +170,13 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
             u2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 1))
             u3 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 2))
             u4 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 3))
+            # stratified first-diffuse-bounce draws (dims 6, 4, 5)
+            sb_mix = to_f(lds.r2_bits(pixu, su, seed_ref[1], 6))
+            sb_phi = to_f(lds.r2_bits(pixu, su, seed_ref[1], 4))
+            sb_r2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 5))
         else:
             u1, u2, u3, u4 = (rng.uniform() for _ in range(4))
+            sb_mix = sb_phi = sb_r2 = None
         x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
         y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
         r_d = jnp.sqrt(u3)
@@ -294,8 +299,20 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                     has_img = (mt, slot) in image_slots
                     nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
                     ax_u, ax_v = _orthobasis(nx, ny, nz)
-                    phi = ru[0] * (2.0 * math.pi)
-                    r2 = ru[1]
+                    # stratified lattice draws at the FIRST diffuse bounce
+                    # (same construction as ops/pallas_trace.py)
+                    u_phi1, u_r21 = ru[0], ru[1]
+                    u_phi2, u_r22 = ru[3], ru[4]
+                    u_mixv = ru[5]
+                    if sb_mix is not None:
+                        fd = dcnt == 0
+                        u_phi1 = jnp.where(fd, sb_phi, u_phi1)
+                        u_r21 = jnp.where(fd, sb_r2, u_r21)
+                        u_phi2 = jnp.where(fd, sb_phi, u_phi2)
+                        u_r22 = jnp.where(fd, sb_r2, u_r22)
+                        u_mixv = jnp.where(fd, sb_mix, u_mixv)
+                    phi = u_phi1 * (2.0 * math.pi)
+                    r2 = u_r21
                     zc = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
                     xc = jnp.cos(phi) * jnp.sqrt(r2)
                     yc = jnp.sin(phi) * jnp.sqrt(r2)
@@ -323,13 +340,13 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                             swz = jnp.where(m, wxs[kk][2], swz)
                             scm = jnp.where(m, cms[kk], scm)
                         cu, cv = _orthobasis(swx, swy, swz)
-                        phi2 = ru[3] * (2.0 * math.pi)
-                        zq = 1.0 + ru[4] * (scm - 1.0)
+                        phi2 = u_phi2 * (2.0 * math.pi)
+                        zq = 1.0 + u_r22 * (scm - 1.0)
                         sq = jnp.sqrt(jnp.maximum(1.0 - zq * zq, 0.0))
                         qdx = cu[0] * (jnp.cos(phi2) * sq) + cv[0] * (jnp.sin(phi2) * sq) + swx * zq
                         qdy = cu[1] * (jnp.cos(phi2) * sq) + cv[1] * (jnp.sin(phi2) * sq) + swy * zq
                         qdz = cu[2] * (jnp.cos(phi2) * sq) + cv[2] * (jnp.sin(phi2) * sq) + swz * zq
-                        use_cos = ru[5] < aw
+                        use_cos = u_mixv < aw
                         sdx = jnp.where(use_cos, cdx, qdx)
                         sdy = jnp.where(use_cos, cdy, qdy)
                         sdz = jnp.where(use_cos, cdz, qdz)

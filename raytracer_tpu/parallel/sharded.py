@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..core import lds
 from ..core.camera import generate_rays
 from ..core.integrator import RenderSettings, trace
 from ..utils.colour import srgb_linear_to_srgb
@@ -112,8 +113,13 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
                 pattern = (jnp.arange(spp_per_device * n_band,
                                       dtype=jnp.int32)
                            // n_band) % (1 << settings.split_k)
+            strat_u = None
+            if settings.sampler == "r2":
+                strat_u = lds.first_bounce_uniforms(
+                    width, rows * width, spp_per_device,
+                    (p_idx * rows).astype(jnp.float32), strat_seed, sample0)
             L, _ = trace(k_trace, O, D, n_re, n_im, data, static, settings,
-                         pattern=pattern)
+                         pattern=pattern, strat_u=strat_u)
         band = L.reshape(spp_per_device, rows * width, 3).sum(axis=0)
         # all-reduce over the sample axis: each pixel shard ends up with the
         # full sample sum for its band (the Pool '+=' loop, as one collective)
