@@ -111,13 +111,14 @@ def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
         gpix = band_pix + jnp.asarray(row0, jnp.float32).astype(
             jnp.uint32) * jnp.uint32(width)
         s = idx // jnp.uint32(n_pix) + jnp.asarray(sample0).astype(jnp.uint32)
-        u1 = lds.to_float(lds.r2_bits(gpix, s, strat_seed, 0))
-        u2 = lds.to_float(lds.r2_bits(gpix, s, strat_seed, 1))
+        to_f = lambda b: lds.to_float(b).astype(dtype)
+        u1 = to_f(lds.r2_bits(gpix, s, strat_seed, 0))
+        u2 = to_f(lds.r2_bits(gpix, s, strat_seed, 1))
         x = gx + (u1 - 0.5) * (params.cam_w / width)
         y = gy + (u2 - 0.5) * (params.cam_h / height)
         # thin-lens disk: same (sqrt(r), 2*pi*phi) mapping as the kernels
-        u3 = lds.to_float(lds.r2_bits(gpix, s, strat_seed, 2))
-        u4 = lds.to_float(lds.r2_bits(gpix, s, strat_seed, 3))
+        u3 = to_f(lds.r2_bits(gpix, s, strat_seed, 2))
+        u4 = to_f(lds.r2_bits(gpix, s, strat_seed, 3))
         r_d = jnp.sqrt(u3)
         phi = u4 * (2.0 * jnp.pi)
         rx = r_d * jnp.cos(phi)

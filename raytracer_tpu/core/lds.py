@@ -83,6 +83,15 @@ def to_float(bits):
     return (bits >> 8).astype(jnp.float32) * INV_2_24
 
 
+def raygen_draws(pixu, su, seed, to_f):
+    """The kernels' raygen draw set: camera AA (u1, u2), thin lens (u3, u4),
+    and the first-diffuse-bounce (mix, phi, r2) — dims 0-6 in one place so
+    the two Pallas kernels cannot drift apart.  `to_f` converts uint32 bits
+    to f32 in [0,1) (pltpu.bitcast idiom in-kernel, `to_float` in jnp)."""
+    u = [to_f(r2_bits(pixu, su, seed, d)) for d in range(7)]
+    return u[0], u[1], u[2], u[3], u[6], u[4], u[5]
+
+
 def first_bounce_uniforms(width, n_pix, spp, row0, strat_seed, sample0):
     """(u_mix, u_phi, u_r2) stratified draws for the first diffuse bounce.
 

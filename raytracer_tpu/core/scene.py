@@ -96,8 +96,8 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
 
     seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
     if strat_seed is None:
-        strat_seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
-                                        dtype=jnp.int32)
+        strat_seed = jax.random.randint(jax.random.fold_in(key, 1), (),
+                                        0, 2 ** 31 - 1, dtype=jnp.int32)
     if sample0 is None:
         sample0 = jnp.int32(0)
     seed_vec = jnp.stack([seed, jnp.asarray(strat_seed, jnp.int32),
@@ -130,8 +130,8 @@ def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
 
     seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
     if strat_seed is None:
-        strat_seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
-                                        dtype=jnp.int32)
+        strat_seed = jax.random.randint(jax.random.fold_in(key, 1), (),
+                                        0, 2 ** 31 - 1, dtype=jnp.int32)
     if sample0 is None:
         sample0 = jnp.int32(0)
     seed_vec = jnp.stack([seed, jnp.asarray(strat_seed, jnp.int32),
@@ -277,7 +277,13 @@ class Scene:
         with_variance (requires output="linear"): also return the per-pixel
         variance OF THE MEAN, estimated from the sample population — the
         confidence signal the variance-guided denoiser consumes.  Return
-        order becomes (linear, variance[, stats]).
+        order becomes (linear, variance[, stats]).  Under the default
+        stratified sampler this is the i.i.d.-equivalent variance, an UPPER
+        BOUND on the true error of the stratified mean (stratified samples
+        converge faster than their population scatter suggests); exact for
+        sampler="iid".  Conservative is the right direction for its
+        consumers (the SVGF weight filters converged pixels a bit more than
+        strictly needed, never less).
 
         samples_per_pixel follows reference semantics: camera samples, each
         of which fans into the scene's `diffuse_rays` paths when a Diffuse

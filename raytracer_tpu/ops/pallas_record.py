@@ -166,14 +166,9 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
             pixu = pix.astype(jnp.uint32)
             to_f = lambda b: pltpu.bitcast(
                 b >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
-            u1 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 0))
-            u2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 1))
-            u3 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 2))
-            u4 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 3))
-            # stratified first-diffuse-bounce draws (dims 6, 4, 5)
-            sb_mix = to_f(lds.r2_bits(pixu, su, seed_ref[1], 6))
-            sb_phi = to_f(lds.r2_bits(pixu, su, seed_ref[1], 4))
-            sb_r2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 5))
+            # shared draw-set definition — see lds.raygen_draws
+            u1, u2, u3, u4, sb_mix, sb_phi, sb_r2 = lds.raygen_draws(
+                pixu, su, seed_ref[1], to_f)
         else:
             u1, u2, u3, u4 = (rng.uniform() for _ in range(4))
             sb_mix = sb_phi = sb_r2 = None

@@ -42,7 +42,7 @@ from ..utils.constants import (MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM)
 
 FARAWAY = 1.0e30
 TILE_ROWS = 128            # rays per program = TILE_ROWS * 128
-_INV_2_24 = 1.0 / (1 << 24)
+_INV_2_24 = lds.INV_2_24
 
 
 # ---------------------------------------------------------------------------
@@ -67,11 +67,7 @@ class _TileRng:
         self.counter += 1
         x = self.idx * jnp.uint32(0x9E3779B1)
         x = x ^ (self.seed + jnp.uint32((self.counter * 0x85EBCA6B) & 0xFFFFFFFF))
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x7FEB352D)
-        x = x ^ (x >> 15)
-        x = x * jnp.uint32(0x846CA68B)
-        x = x ^ (x >> 16)
+        x = lds.mix32(x)
         # >>8 leaves 24 bits, so the int32 reinterpretation is non-negative
         # (Mosaic has no uint32->f32 cast)
         return pltpu.bitcast(x >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
@@ -288,15 +284,10 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             pixu = pix.astype(jnp.uint32)
             to_f = lambda b: pltpu.bitcast(
                 b >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
-            u1 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 0))
-            u2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 1))
-            u3 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 2))
-            u4 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 3))
-            # stratified first-diffuse-bounce draws (dims 6, 4, 5) — one set
-            # per ray; consumed at the path's first diffuse scatter
-            sb_mix = to_f(lds.r2_bits(pixu, su, seed_ref[1], 6))
-            sb_phi = to_f(lds.r2_bits(pixu, su, seed_ref[1], 4))
-            sb_r2 = to_f(lds.r2_bits(pixu, su, seed_ref[1], 5))
+            # camera AA / lens / first-diffuse-bounce draws, one shared
+            # definition (lds.raygen_draws) so kernels and wavefront agree
+            u1, u2, u3, u4, sb_mix, sb_phi, sb_r2 = lds.raygen_draws(
+                pixu, su, seed_ref[1], to_f)
         else:
             u1 = rng.uniform()
             u2 = rng.uniform()
