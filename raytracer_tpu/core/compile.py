@@ -258,6 +258,7 @@ class MaterialTables:
     glossy_diff: Any
     refr_n_re: Any
     refr_n_im: Any
+    refr_dispersive: Any
     tf_thickness: Any
     tf_noise: Any
     emissive_color: Any
@@ -368,6 +369,9 @@ class SceneStatic:
     # plain-python shader parameter forces a retrace (not a stale render).
     custom_mats: Tuple[Any, ...] = ()
     custom_fp: Tuple[str, ...] = ()
+    # any Refractive(dispersion=True) in the scene: hero-wavelength Snell
+    # runs in shade_refractive; such scenes stay on the jnp wavefront
+    has_dispersion: bool = False
 
 
 def _bvh_depth(left, right, count):
@@ -460,7 +464,7 @@ def _fp_material(h, m, up):
             up(str(id(t.img)).encode())
             up(np.float64(t.repeat).tobytes())
     for f in ("ambient_weight", "roughness", "spec_coeff", "diff_coeff",
-              "thickness", "noise_factor", "light_intensity"):
+              "thickness", "noise_factor", "light_intensity", "dispersion"):
         v = getattr(m, f, None)
         if v is not None:
             up(np.float64(v).tobytes())
@@ -847,6 +851,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         glossy_diff=_arr1([m.diff_coeff for m in glo]),
         refr_n_re=_stack3([np.real(m.n) for m in ref]),
         refr_n_im=_stack3([np.imag(m.n) for m in ref]),
+        refr_dispersive=_arr1([float(getattr(m, "dispersion", False))
+                               for m in ref]),
         tf_thickness=_arr1([m.thickness for m in tfi]),
         tf_noise=_arr1([m.noise_factor for m in tfi]),
         emissive_color=_stack3([solid_of(m, "texture_color") for m in emi]),
@@ -923,10 +929,12 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}
     n_groups = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
                     for r in obj_records})
+    has_dispersion = any(getattr(m, "dispersion", False) for m in ref)
     _common_ok = (0 < len(rows) <= PALLAS_MAX_OBJECTS
                   and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
-                  and tri_bvh is None)
+                  and tri_bvh is None
+                  and not has_dispersion)
     pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)
     # path-recording variant: image textures / env maps / thin-film LUTs are
     # applied in a jnp pass over the recorded path vertices; normal maps
@@ -961,6 +969,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         use_tri_bvh=tri_bvh_stack,
         custom_mats=tuple(b.mat_rows[MAT_CUSTOM]),
         custom_fp=tuple(_custom_param_fp(m) for m in b.mat_rows[MAT_CUSTOM]),
+        has_dispersion=has_dispersion,
     )
 
     data = SceneData(

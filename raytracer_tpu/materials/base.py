@@ -135,13 +135,24 @@ class Diffuse(Material):
 
 class Refractive(Material):
     """Complex-IoR Fresnel dielectric with Beer-Lambert absorption
-    (reference refractive.py:10-123)."""
+    (reference refractive.py:10-123).
+
+    dispersion=True enables spectral dispersion — per-channel Snell
+    refraction via hero-wavelength sampling (each transmitted path refracts
+    at ONE randomly-chosen channel's IoR with 3x single-channel throughput;
+    unbiased per channel).  The reference explicitly does not implement
+    this (refractive.py:76 "Spectrum dispersion is not implemented", it
+    averages the channel IoRs); give n a per-channel spread (e.g. BK7
+    (1.527, 1.531, 1.539)) to see chromatic fringes.  Dispersive scenes
+    render on the jnp wavefront path.
+    """
 
     mat_type = MAT_REFRACTIVE
 
-    def __init__(self, n, **kwargs):
+    def __init__(self, n, dispersion=False, **kwargs):
         super().__init__(**kwargs)
         self.n = as_complex3(n, "n")
+        self.dispersion = bool(dispersion)
 
 
 class ThinFilmInterference(Material):

@@ -370,8 +370,25 @@ def shade_refractive(ctx):
     T = 1.0 - F
 
     # refraction direction from channel-averaged real ratio (refractive.py:76-82)
-    ratio_avg = jnp.mean(ctx.n_re / jnp.maximum(n2_re, 1e-9), axis=-1)
+    ratio_ch = ctx.n_re / jnp.maximum(n2_re, 1e-9)            # (N, 3)
+    ratio_avg = jnp.mean(ratio_ch, axis=-1)
     cos_i1 = cos_i[..., 0]
+    hero_w = None
+    if ctx.static.has_dispersion:
+        # spectral dispersion (hero-wavelength): transmitted paths of a
+        # dispersion=True material refract at ONE uniformly-chosen channel's
+        # IoR and carry 3x that channel's throughput — per-channel Snell,
+        # unbiased per channel.  The reference averages the IoRs instead
+        # ("Spectrum dispersion is not implemented", refractive.py:76).
+        disp = _g1(mats.refr_dispersive, ctx.mat_slot) > 0.5
+        hero = jax.random.randint(jax.random.fold_in(ctx.key, 77),
+                                  cos_i1.shape, 0, 3)
+        ratio_h = jnp.take_along_axis(ratio_ch, hero[..., None],
+                                      axis=-1)[..., 0]
+        ratio_avg = jnp.where(disp, ratio_h, ratio_avg)
+        hero_w = jnp.where(disp[..., None],
+                           3.0 * jax.nn.one_hot(hero, 3, dtype=ctx.P.dtype),
+                           1.0)
     sin2_t = ratio_avg ** 2 * (1.0 - cos_i1 ** 2)
     non_tir = sin2_t <= 1.0
     refr_dir = (ctx.D * ratio_avg[..., None]
@@ -405,6 +422,11 @@ def shade_refractive(ctx):
 
     out.add = jnp.zeros_like(F)
     out.beta_mult = absorb * w
+    if hero_w is not None:
+        # hero-channel selection applies to TRANSMITTED paths only (the
+        # mirror reflection direction is channel-independent)
+        out.beta_mult = out.beta_mult * jnp.where(take_refr[..., None],
+                                                  hero_w, 1.0)
     out.new_dir = jnp.where(take_refr[..., None], refr_dir, refl_dir)
     out.new_origin = jnp.where(take_refr[..., None],
                                ctx.P - N * ctx.eps[..., None],
