@@ -409,7 +409,13 @@ class Scene:
         chunks_done = start_chunk
         last_noise = None
         # R2 lattice state: rotations keyed once per render (constant across
-        # chunks), sample0 advances so chunk i continues the lattice
+        # chunks), sample0 advances so chunk i continues the lattice.
+        # Under ADAPTIVE sampling the continued lattice correlates chunk
+        # means through the shared rotation, so the chunk-scatter noise
+        # estimate is conservative (stops at-or-below the target, never
+        # above); re-rotating per chunk would make the estimate exact but
+        # break the fixed-spp bit-identity invariant and give up cross-chunk
+        # stratification — measured not worth it.
         strat_seed = jax.random.randint(base_key, (), 0, 2 ** 31 - 1,
                                         dtype=jnp.int32)
         for i in range(start_chunk, n_chunks):
