@@ -44,7 +44,7 @@ MAX_RAYS_PER_CHUNK = 1 << 22
                                    "spp", "rows", "with_sq"))
 def _render_chunk(key, data, cam, static, settings, width, height, spp,
                   row0=0.0, rows=None, with_sq=False, strat_seed=None,
-                  sample0=None):
+                  sample0=None, clamp=None):
     """One spp-chunk via the jnp wavefront.  row0/rows select a horizontal
     row band of the frame (large-frame chunking); default is the full frame.
     with_sq additionally returns the per-pixel sum of squared samples (the
@@ -79,6 +79,8 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp,
     if settings.collect_stats:
         stats["nonfinite_samples"] = jnp.sum(~finite) // 3
     L = jnp.where(finite, L, 0.0)
+    if clamp is not None:
+        L = jnp.minimum(L, clamp)   # per-sample firefly ceiling
     L = L.reshape(spp, rows * width, 3)
     if with_sq:
         return L.sum(axis=0), (L * L).sum(axis=0), stats
@@ -89,7 +91,7 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp,
                                    "spp", "interpret", "with_sq"))
 def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
                          interpret=False, with_sq=False, strat_seed=None,
-                         sample0=None):
+                         sample0=None, clamp=None):
     """Chunk via the fused Pallas mega-kernel: camera ray generation and all
     bounces run inside one TPU kernel (ops/pallas_trace.py)."""
     from ..ops.pallas_trace import pallas_trace_chunk
@@ -113,6 +115,8 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
     if settings.collect_stats:
         stats = {"rays_traced": rays, "nonfinite_samples": jnp.sum(~finite) // 3}
     L = jnp.where(finite, L, 0.0)
+    if clamp is not None:
+        L = jnp.minimum(L, clamp)   # per-sample firefly ceiling
     L = L.reshape(spp, height * width, 3)
     if with_sq:
         return L.sum(axis=0), (L * L).sum(axis=0), stats
@@ -123,7 +127,7 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
                                    "spp", "interpret", "with_sq"))
 def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
                          interpret=False, with_sq=False, strat_seed=None,
-                         sample0=None):
+                         sample0=None, clamp=None):
     """Chunk via the path-recording kernel + texture replay
     (ops/pallas_record.py) — textured scenes."""
     from ..ops.pallas_record import pallas_record_chunk
@@ -148,6 +152,8 @@ def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
     if settings.collect_stats:
         stats = {"rays_traced": rays, "nonfinite_samples": jnp.sum(~finite) // 3}
     L = jnp.where(finite, L, 0.0)
+    if clamp is not None:
+        L = jnp.minimum(L, clamp)   # per-sample firefly ceiling
     L = L.reshape(spp, height * width, 3)
     if with_sq:
         return L.sum(axis=0), (L * L).sum(axis=0), stats
@@ -267,7 +273,8 @@ class Scene:
     def render(self, samples_per_pixel, progress_bar=False, batch_size=None,
                seed=0, return_stats=False, checkpoint_path=None,
                checkpoint_every=4, profile_dir=None, target_noise=None,
-               noise_check_every=4, output="pil", with_variance=False):
+               noise_check_every=4, output="pil", with_variance=False,
+               clamp=None):
         """Render and return a PIL image (reference scene.py:71-140).
 
         output: "pil" (default, tonemapped PIL image) or "linear" (the raw
@@ -284,6 +291,14 @@ class Scene:
         sampler="iid".  Conservative is the right direction for its
         consumers (the SVGF weight filters converged pixels a bit more than
         strictly needed, never less).
+
+        clamp: optional per-sample linear-radiance ceiling (firefly
+        suppression).  Each SAMPLE is clamped channelwise before
+        accumulation, so a one-in-a-million caustic spike cannot blow out a
+        pixel that the denoiser would then smear.  Introduces the standard
+        downward bias where it engages — pick a value well above the
+        brightest legitimate surface (lights are exempt de facto: their
+        radiance is per-sample exact).  Traced: retuning never recompiles.
 
         samples_per_pixel follows reference semantics: camera samples, each
         of which fans into the scene's `diffuse_rays` paths when a Diffuse
@@ -314,7 +329,8 @@ class Scene:
                 return self.render(samples_per_pixel, progress_bar, batch_size,
                                    seed, return_stats, checkpoint_path,
                                    checkpoint_every, None, target_noise,
-                                   noise_check_every, output, with_variance)
+                                   noise_check_every, output, with_variance,
+                                   clamp)
         if output not in ("pil", "linear"):
             raise ValueError(f"output must be 'pil' or 'linear', got {output!r}")
         if with_variance and output != "linear":
@@ -418,6 +434,7 @@ class Scene:
         # stratification — measured not worth it.
         strat_seed = jax.random.randint(base_key, (), 0, 2 ** 31 - 1,
                                         dtype=jnp.int32)
+        clampv = None if clamp is None else jnp.float32(clamp)
         for i in range(start_chunk, n_chunks):
             k_i = jax.random.fold_in(base_key, i)
             s0 = jnp.int32(i * chunk)
@@ -427,17 +444,18 @@ class Scene:
                                              settings, W, H, chunk,
                                              pallas_interp, with_variance,
                                              strat_seed=strat_seed,
-                                             sample0=s0)
+                                             sample0=s0, clamp=clampv)
             elif pallas_mode == "record":
                 out_c = _render_chunk_record(k_i, data, cam, static,
                                              settings, W, H, chunk,
                                              pallas_interp, with_variance,
                                              strat_seed=strat_seed,
-                                             sample0=s0)
+                                             sample0=s0, clamp=clampv)
             elif n_bands == 1:
                 out_c = _render_chunk(k_i, data, cam, static, settings,
                                       W, H, chunk, with_sq=with_variance,
-                                      strat_seed=strat_seed, sample0=s0)
+                                      strat_seed=strat_seed, sample0=s0,
+                                      clamp=clampv)
             else:
                 parts, parts2, stats = [], [], {}
                 for b in range(n_bands):
@@ -447,7 +465,8 @@ class Scene:
                                        cam, static, settings, W, H,
                                        chunk, row0=float(r0), rows=rb,
                                        with_sq=with_variance,
-                                       strat_seed=strat_seed, sample0=s0)
+                                       strat_seed=strat_seed, sample0=s0,
+                                       clamp=clampv)
                     if with_variance:
                         Lb, L2b, sb = ob
                         parts2.append(L2b)
