@@ -194,7 +194,10 @@ def test_sharded_cornell_mean_and_variance():
     se = (sh.mean((1, 2, 3)).std() + sg.mean((1, 2, 3)).std()) / np.sqrt(len(seeds))
     assert abs(mean_sh.mean() - mean_sg.mean()) < max(4 * se, 0.02), (
         mean_sh.mean(), mean_sg.mean(), se)
-    # matching noise level: per-pixel std across seeds, pooled over pixels
+    # matching noise level: per-pixel std across seeds, pooled over pixels.
+    # Tight enough to catch the sharded path losing the stratified sampler
+    # (i.i.d. noise std would be ~2.2x, the 4.8x MSE factor of lds.py);
+    # measured ratio 1.11 with both paths stratified.
     var_sh = sh.std(0).mean()
     var_sg = sg.std(0).mean()
-    assert 0.5 < (var_sh + 1e-4) / (var_sg + 1e-4) < 2.0, (var_sh, var_sg)
+    assert 0.6 < (var_sh + 1e-4) / (var_sg + 1e-4) < 1.6, (var_sh, var_sg)
