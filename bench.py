@@ -79,8 +79,32 @@ def bench_mesh_scene():
     return {"wall_s": round(time.time() - t0, 3), "tris": 5120, "spp": 4}
 
 
+def _wait_for_backend(attempts=6, probe_timeout=240, sleep_s=300):
+    """The axon TPU relay has outages (observed: worker down for hours with
+    jax.devices() hanging or raising 'Unable to initialize backend').  Probe
+    device init in a SUBPROCESS (a hang cannot be interrupted in-process)
+    and retry with backoff so a bench launched mid-outage still succeeds."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            print(f"# TPU backend unavailable (attempt {i + 1}/{attempts}); "
+                  f"retrying in {sleep_s}s", file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+
+
 def main():
     from examples.example_cornellbox import build_cornell
+
+    _wait_for_backend()
 
     sc = build_cornell(W, H)
 
