@@ -99,6 +99,9 @@ def _wait_for_backend(attempts=6, probe_timeout=240, sleep_s=300):
             print(f"# TPU backend unavailable (attempt {i + 1}/{attempts}); "
                   f"retrying in {sleep_s}s", file=sys.stderr, flush=True)
             time.sleep(sleep_s)
+    # proceeding would hang forever in-process; fail loud instead
+    raise SystemExit(
+        f"TPU backend unavailable after {attempts} probe attempts")
 
 
 def main():

@@ -400,7 +400,7 @@ class Scene:
 
         if checkpoint_path is not None:
             loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed,
-                                      with_acc2=adaptive)
+                                      with_acc2=adaptive, clamp=clamp)
             if loaded is not None:
                 acc, start_chunk, loaded_acc2 = loaded
                 if adaptive:
@@ -501,7 +501,7 @@ class Scene:
                     (i + 1) % checkpoint_every == 0 or i + 1 == n_chunks):
                 # each save is a device->host sync; amortize over N chunks
                 _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed,
-                                 acc2=acc2)
+                                 acc2=acc2, clamp=clamp)
             chunks_done = i + 1
             if adaptive and chunks_done >= 2 and (
                     chunks_done % noise_check_every == 0
@@ -560,7 +560,8 @@ class Scene:
         return render_aovs(self, samples_per_pixel, seed)
 
     def render_denoised(self, samples_per_pixel, seed=0, aov_samples=None,
-                        output="pil", variance_guided=True, **denoise_kwargs):
+                        output="pil", variance_guided=True, clamp=None,
+                        **denoise_kwargs):
         """Render at low spp, then reconstruct with the à-trous denoiser
         (raytracer_tpu.denoise) guided by this scene's AOV feature planes.
 
@@ -572,6 +573,8 @@ class Scene:
         and use the SVGF-style luminance weight (denoise.py) — converged
         pixels keep detail, noisy ones filter hard.  Needs >= 2 samples;
         falls back to the fixed-sigma weight at spp*fan == 1.
+        clamp: forwarded to render() — firefly suppression before the
+        filter ever sees the samples (see render()).
         """
         from ..denoise import denoise
 
@@ -579,9 +582,10 @@ class Scene:
         if variance_guided and samples_per_pixel * self._diffuse_fan() > 1:
             linear, variance = self.render(samples_per_pixel, seed=seed,
                                            output="linear",
-                                           with_variance=True)
+                                           with_variance=True, clamp=clamp)
         else:
-            linear = self.render(samples_per_pixel, seed=seed, output="linear")
+            linear = self.render(samples_per_pixel, seed=seed,
+                                 output="linear", clamp=clamp)
         aovs = self.render_aovs(
             aov_samples or min(16, max(4, samples_per_pixel)), seed=seed + 1)
         out = denoise(linear, aovs, variance=variance, **denoise_kwargs)
@@ -609,20 +613,31 @@ def _ckpt_path(path):
     return p if p.endswith(".npz") else p + ".npz"
 
 
-def _save_checkpoint(path, acc, chunks_done, chunk, seed, acc2=None):
+def _save_checkpoint(path, acc, chunks_done, chunk, seed, acc2=None,
+                     clamp=None):
     extra = {} if acc2 is None else {"acc2": np.asarray(acc2)}
     with open(_ckpt_path(path), "wb") as f:
         np.savez(f, acc=np.asarray(acc), chunks_done=chunks_done,
-                 chunk=chunk, seed=seed, **extra)
+                 chunk=chunk, seed=seed,
+                 clamp=np.float64(np.nan if clamp is None else clamp),
+                 **extra)
 
 
-def _load_checkpoint(path, n_pix, chunk, seed, with_acc2=False):
+def _load_checkpoint(path, n_pix, chunk, seed, with_acc2=False, clamp=None):
     import os
     path = _ckpt_path(path)
     if not os.path.exists(path):
         return None
     z = np.load(path)
     if int(z["chunk"]) != chunk or int(z["seed"]) != seed or z["acc"].shape[0] != n_pix:
+        return None
+    # a resume under a different clamp would mix two estimators in one
+    # accumulator; restart instead (pre-clamp checkpoints lack the field —
+    # treat them as clamp=None)
+    old_clamp = float(z["clamp"]) if "clamp" in z.files else float("nan")
+    new_clamp = float("nan") if clamp is None else float(clamp)
+    if not (old_clamp == new_clamp or (np.isnan(old_clamp)
+                                       and np.isnan(new_clamp))):
         return None
     if with_acc2 and "acc2" not in z.files:
         return None     # adaptive resume needs the second moment

@@ -44,12 +44,15 @@ def test_clamp_above_everything_is_identity():
 
 
 def test_clamp_retune_no_structural_change():
-    # clamp is traced: two values produce valid (different) images
+    # clamp is traced: two values produce valid, DIFFERENT images
     sc = firefly_scene()
     a = sc.render(4, seed=1, output="linear", clamp=1.0)
     b = sc.render(4, seed=1, output="linear", clamp=0.5)
-    assert float(b.max()) <= 0.5 + 1e-6 <= float(a.max()) + 1.0
+    assert float(b.max()) <= 0.5 + 1e-6
     assert (b <= a + 1e-6).all()
+    # the traced value is consumed: some SAMPLE lies in (0.5, 1.0], so the
+    # two ceilings must produce different pixel means somewhere
+    assert (a != b).any()
 
 
 def test_clamp_works_with_variance():
@@ -58,3 +61,23 @@ def test_clamp_works_with_variance():
                          clamp=2.0)
     assert float(lin.max()) <= 2.0 + 1e-6
     assert np.isfinite(var).all() and (var >= 0).all()
+
+
+def test_clamp_checkpoint_mismatch_restarts(tmp_path):
+    # resuming under a DIFFERENT clamp would mix two estimators in one
+    # accumulator; the checkpoint records the clamp and mismatches restart
+    sc = firefly_scene()
+    ck = str(tmp_path / "c.npz")
+    sc.render(8, seed=3, batch_size=2, checkpoint_path=ck, checkpoint_every=1)
+    from raytracer_tpu.core.scene import _load_checkpoint
+    n_pix = 24 * 18
+    assert _load_checkpoint(ck, n_pix, 2, 3, clamp=None) is not None
+    assert _load_checkpoint(ck, n_pix, 2, 3, clamp=2.0) is None
+    # and a clamped render's checkpoint resumes only under the same clamp
+    ck2 = str(tmp_path / "c2.npz")
+    a = sc.render(8, seed=3, batch_size=2, checkpoint_path=ck2,
+                  checkpoint_every=1, clamp=2.0, output="linear")
+    b = sc.render(8, seed=3, batch_size=2, checkpoint_path=ck2,
+                  checkpoint_every=1, clamp=2.0, output="linear")
+    assert np.array_equal(a, b)
+    assert _load_checkpoint(ck2, n_pix, 2, 3, clamp=None) is None
