@@ -39,6 +39,16 @@ def main():
           f"({st['samples']} paths/px, {st['mrays_per_s']:.0f} Mrays/s)",
           flush=True)
 
+    from example_dispersion import build_scene
+
+    sc = build_scene(400, 300)
+    sc.render(samples_per_pixel=1)
+    t0 = time.time()
+    img = sc.render(samples_per_pixel=256, seed=3)
+    wall = time.time() - t0
+    img.save(str(OUT / "dispersion_quick_cpu.png"))
+    print(f"dispersion 400x300 @256spp: {wall:.2f}s", flush=True)
+
 
 if __name__ == "__main__":
     main()
