@@ -46,7 +46,7 @@ def main():
     t0 = time.time()
     img = sc.render(samples_per_pixel=256, seed=3)
     wall = time.time() - t0
-    img.save(str(OUT / "dispersion_quick_cpu.png"))
+    img.save(str(OUT / "dispersion.png"))
     print(f"dispersion 400x300 @256spp: {wall:.2f}s", flush=True)
 
 
