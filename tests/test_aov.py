@@ -76,3 +76,56 @@ def test_aov_antialias_spp():
     assert cov[0, 0] == 0.0
     frac = (cov > 0.0) & (cov < 1.0)
     assert frac.sum() > 0  # silhouette pixels are partially covered
+
+
+def _mesh_scene(mat=None):
+    # icosphere as raw Triangle primitives (the bench_mesh construction),
+    # >= the 1024-triangle clustered-sweep threshold is NOT needed — the
+    # point is routing AOVs through the triangle tables
+    import sys
+    from pathlib import Path
+
+    from raytracer_tpu import Triangle
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_mesh import icosphere
+
+    sc = Scene(ambient_color=rgb(0, 0, 0))
+    sc.add_Camera(look_from=vec3(0, 0, 4), look_at=vec3(0, 0, 0),
+                  screen_width=24, screen_height=24, field_of_view=35)
+    mat = mat or Diffuse(diff_color=rgb(0.5, 0.6, 0.7))
+    for p1, p2, p3 in icosphere(2):        # 320 triangles
+        sc.add(Triangle(material=mat, center=vec3(0, 0, 0),
+                        p1=vec3(*p1), p2=vec3(*p2), p3=vec3(*p3)))
+    return sc
+
+
+def test_aov_mesh_scene():
+    # AOVs over a triangle-soup scene: the first-hit pass must route through
+    # the same triangle intersection the integrator uses, and the planes
+    # must be geometrically sane (depth finite at hits, unit normals,
+    # obj ids within range, coverage matching the silhouette)
+    sc = _mesh_scene()
+    aovs = sc.render_aovs(2, seed=1)
+    cov = aovs["coverage"]
+    hit = cov > 0.5
+    assert hit[10:14, 10:14].all()         # sphere covers the center
+    assert not hit[0, 0] and not hit[-1, -1]
+    d = aovs["depth"][hit]
+    assert np.isfinite(d).all() and (2.0 < d).all() and (d < 4.5).all()
+    n = aovs["normal"][hit]
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=2e-2)
+    # center normal faces the camera (+z)
+    assert aovs["normal"][12, 12, 2] > 0.9
+    assert (aovs["obj_id"][hit] >= 0).all()
+
+
+def test_denoise_mesh_scene():
+    # the denoiser consumes mesh-scene AOVs end-to-end
+    sc = _mesh_scene()
+    sc.add(Sphere(material=Emissive(color=rgb(1.5, 1.5, 1.5)),
+                  center=vec3(0, 0, 0), radius=20.0, shadow=False))
+    img = sc.render_denoised(2, seed=4)
+    arr = np.asarray(img)
+    assert arr.shape == (24, 24, 3) and arr.dtype == np.uint8
+    assert arr.mean() > 10          # lit scene, nothing blacked out
