@@ -683,20 +683,24 @@ PALLAS_MAX_GROUPS = 36
 # Measured on TPU v5e: the data-parallel flat intersection sweep beats the
 # divergent per-ray stack traversal by >10x at 5k triangles (the while-loop
 # serializes all rays to the worst traversal depth and scatters stack
-# entries), so the traversal only engages for very large meshes where the
-# O(rays x tris) sweep's arithmetic finally dominates.  The native SAH
-# builder runs regardless of this threshold and is the substrate for an
-# in-kernel traversal later.
-BVH_THRESHOLD = 200_000
+# entries).  The BVH is now OPT-IN only: bisection on hardware (2026-08-18,
+# scripts/repro_200k_crash.py) isolated the >=200k-triangle TPU-worker
+# crashes to the BVH traversal — bvh nearest at 327k tris x 480k rays
+# reliably kills the worker ("kernel fault"), while the clustered sweep at
+# the SAME scale passes nearest AND occlusion and was validated to 1.31M
+# triangles (sublinear: 2.9 s @ 327k, 3.6 s @ 655k, 3.9 s @ 1.31M per
+# 480k-ray nearest sweep).  Lower this (e.g. monkeypatch in tests) to force
+# the BVH path; do not re-enable it as a default without re-running the
+# repro matrix on hardware.
+BVH_THRESHOLD = 10 ** 9
 
 # Triangle count at which the compiler switches the jnp sweep to the
 # two-level clustered form (geometry/intersect.py): triangles permuted into
 # SAH leaf order, one inflated AABB per TRI_CLUSTER_SIZE run, ray-tile x
 # cluster scan with lax.cond skipping pairs whose tile misses the AABB.
-# Below this the flat blocked sweep wins (a single cluster can't skip);
-# above BVH_THRESHOLD the BVH traversal takes over (forcing clusters at
-# 327k tris / 640 clusters crashed the TPU worker — do not raise the cap
-# without re-testing that regime).
+# Below this the flat blocked sweep wins (a single cluster can't skip).
+# The clustered sweep is the production path for ALL large meshes
+# (hardware-validated to 1.31M triangles; see BVH_THRESHOLD note).
 TRI_CLUSTER_THRESHOLD = 1024
 
 

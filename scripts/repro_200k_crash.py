@@ -19,8 +19,11 @@ driver loop below just prints the planned commands.
 
 Usage:
   python scripts/repro_200k_crash.py plan            # print the bisection plan
-  python scripts/repro_200k_crash.py probe T [path]  # one intersect at T tris
+  python scripts/repro_200k_crash.py probe T [path] [rays] [op]
                                                      # path: bvh|clustered|flat
+                                                     # rays: ray count (default
+                                                     #   16384 = 64x64x4)
+                                                     # op: nearest|occl
 """
 
 import sys
@@ -44,7 +47,7 @@ def plan():
             print(f"timeout 900 python scripts/repro_200k_crash.py probe {t} {path}")
 
 
-def probe(T, path="clustered"):
+def probe(T, path="clustered", rays=16384, op="nearest"):
     import dataclasses
 
     import jax
@@ -88,19 +91,40 @@ def probe(T, path="clustered"):
         static, data = compile_scene(sc)
     finally:
         C.BVH_THRESHOLD, C.TRI_CLUSTER_THRESHOLD = old
+    spp = max(1, rays // (64 * 64))
     O, D = generate_rays(jax.random.PRNGKey(0), sc.camera.params(),
-                         64, 64, 4)[:2]
-    print(f"T={n_added} path={path} rays={O.shape[0]} "
+                         64, 64, spp)[:2]
+    print(f"T={n_added} path={path} rays={O.shape[0]} op={op} "
           f"bvh={static.use_tri_bvh} clusters={data.geom.tri_cl_lo.shape[0]}",
           flush=True)
-    t, o, i = jax.jit(lambda O, D: I.nearest_hit(
-        O, D, data.geom, static.use_tri_bvh))(O, D)
-    print("min t:", float(np.asarray(t).min()), "OK", flush=True)
+    import time
+
+    if op == "occl":
+        mask = jnp.ones((len(sc.scene_primitives),), bool)
+        fn = jax.jit(lambda O, D: I.occluded(
+            O, D, data.geom, mask,
+            jnp.full(O.shape[0], 1e3, jnp.float32),
+            static.use_tri_bvh))
+        hit = fn(O, D)
+        print("occluded frac:", float(np.asarray(hit).mean()), flush=True)
+        t0 = time.time()
+        np.asarray(fn(O, D))
+        print(f"second-run wall {time.time() - t0:.3f}s OK", flush=True)
+    else:
+        fn = jax.jit(lambda O, D: I.nearest_hit(
+            O, D, data.geom, static.use_tri_bvh))
+        t, o, i = fn(O, D)
+        print("min t:", float(np.asarray(t).min()), flush=True)
+        t0 = time.time()
+        np.asarray(fn(O, D)[0])
+        print(f"second-run wall {time.time() - t0:.3f}s OK", flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "probe":
         probe(int(sys.argv[2]),
-              sys.argv[3] if len(sys.argv) > 3 else "clustered")
+              sys.argv[3] if len(sys.argv) > 3 else "clustered",
+              int(sys.argv[4]) if len(sys.argv) > 4 else 16384,
+              sys.argv[5] if len(sys.argv) > 5 else "nearest")
     else:
         plan()
