@@ -75,7 +75,8 @@ Sc.add_Camera(look_from=vec3(0, 0.4, 3), look_at=vec3(0, 0, 0),
               screen_width=400, screen_height=300, field_of_view=30)
 Sc.add_DirectionalLight(Ldir=vec3(0.5, 0.8, 0.3), color=rgb(0.6, 0.6, 0.6))
 mesh = TriangleMesh(obj_path, center=vec3(0, 0, 0), material=copper,
-                    max_ray_depth=2)
+                    max_ray_depth=2, smooth=True)  # area-weighted vertex
+#                   normals, interpolated at the hit (no vn in the file)
 mesh.rotate(θ=20, u=vec3(0, 1, 0))
 Sc.add(mesh)
 Sc.add(Plane(material=floor, center=vec3(0, -1.2, 0), width=40.0, height=40.0,

@@ -226,6 +226,18 @@ class GeometryTables:
     tri_cl_lo: Any = None
     tri_cl_hi: Any = None
     tri_cl_start: Any = None
+    # per-corner vertex attributes (smooth shading normals / mesh texture
+    # coordinates), empty (0, …) unless some TriangleMesh carries them.
+    # Rows are permuted into leaf order alongside the vertex tables; flat
+    # triangles hold the face normal at every corner and the barycentric
+    # identity uvs (0,0)/(1,0)/(0,1), so interpolation reproduces the
+    # non-interpolated result exactly for them.
+    tri_vn1: Any = None
+    tri_vn2: Any = None
+    tri_vn3: Any = None
+    tri_uv1: Any = None
+    tri_uv2: Any = None
+    tri_uv3: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -372,6 +384,10 @@ class SceneStatic:
     # any Refractive(dispersion=True) in the scene: hero-wavelength Snell
     # runs in shade_refractive; such scenes stay on the jnp wavefront
     has_dispersion: bool = False
+    # any TriangleMesh with vertex normals / texture coordinates: triangle
+    # attrs interpolate the per-corner tables barycentrically (jnp wavefront
+    # only — the Pallas kernels shade flat triangles)
+    tri_interp: bool = False
 
 
 def _bvh_depth(left, right, count):
@@ -520,6 +536,12 @@ def scene_fingerprint(scene) -> bytes:
         elif isinstance(prim, TriangleMesh):
             arr(prim.vertices)
             up(np.ascontiguousarray(prim.faces).tobytes())
+            up(bytes([prim.corner_normals is not None,
+                      prim.corner_uvs is not None]))
+            if prim.corner_normals is not None:
+                arr(prim.corner_normals)
+            if prim.corner_uvs is not None:
+                arr(prim.corner_uvs)
         elif isinstance(prim, Triangle):
             arr(prim.p1)
             arr(prim.p2)
@@ -556,6 +578,9 @@ class _Builder:
         self.planes = []           # (center, u, v, w2, h2, shift)
         self.boxes = []            # (basis, center, whl, lb_local, rt_local)
         self.tris = []             # (p1, p2, p3)
+        # (start_row, count, corner_normals|None, corner_uvs|None) runs of
+        # mesh vertex attributes, parallel to self.tris
+        self.tri_attr_blocks = []
         # per-type object property rows (merged in type order at the end)
         self.props = {k: [] for k in ("sphere", "plane", "box", "tri")}
         self.textures = []
@@ -651,9 +676,15 @@ class _Builder:
             else:
                 register_normalmap("box", "box", local)
         elif isinstance(prim, TriangleMesh):
+            start = len(self.tris)
             for tri in prim.triangles:
                 self.tris.append((tri[0], tri[1], tri[2]))
                 self.props["tri"].append(dict(row))
+            if (prim.corner_normals is not None
+                    or prim.corner_uvs is not None):
+                self.tri_attr_blocks.append(
+                    (start, len(prim.faces),
+                     prim.corner_normals, prim.corner_uvs))
         elif isinstance(prim, Triangle):
             self.tris.append((prim.p1, prim.p2, prim.p3))
             self.props["tri"].append(row)
@@ -735,7 +766,26 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     TV = (np.asarray(b.tris, dtype=F32) if b.tris
           else np.zeros((0, 3, 3), F32))
 
+    # ---- per-corner vertex attributes (smooth normals / mesh uvs) --------
+    # Built parallel to TV BEFORE any leaf-order permutation; defaults make
+    # interpolation exact for plain triangles (face normal at every corner,
+    # barycentric-identity uvs).
+    CVN = CUV = None
+    if b.tri_attr_blocks and TV.shape[0]:
+        _fn0 = np.cross(TV[:, 1] - TV[:, 0], TV[:, 2] - TV[:, 0])
+        _fn0 = _fn0 / np.maximum(
+            np.linalg.norm(_fn0, axis=-1, keepdims=True), 1e-20)
+        CVN = np.repeat(_fn0[:, None, :], 3, axis=1).astype(np.float64)
+        CUV = np.tile(np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+                      (TV.shape[0], 1, 1))
+        for a_start, a_count, a_vn, a_uv in b.tri_attr_blocks:
+            if a_vn is not None:
+                CVN[a_start:a_start + a_count] = a_vn
+            if a_uv is not None:
+                CUV[a_start:a_start + a_count] = a_uv
+
     # ---- triangle BVH (built natively; tables permuted to leaf order) -----
+    perm = None
     tri_bvh = None
     tri_bvh_stack = 0
     tri_cl_lo = np.zeros((0, 3), F32)
@@ -765,6 +815,10 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_cl_lo = _f(lo - pad)
         tri_cl_hi = _f(hi + pad)
         tri_cl_start = _i(starts)
+
+    if perm is not None and CVN is not None:
+        CVN = CVN[perm]
+        CUV = CUV[perm]
 
     # ---- triangle derived tables (vectorized over TV) --------------------
     P1, P2, P3 = TV[:, 0], TV[:, 1], TV[:, 2]
@@ -812,6 +866,12 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_cl_lo=tri_cl_lo,
         tri_cl_hi=tri_cl_hi,
         tri_cl_start=tri_cl_start,
+        tri_vn1=_f(CVN[:, 0]) if CVN is not None else np.zeros((0, 3), F32),
+        tri_vn2=_f(CVN[:, 1]) if CVN is not None else np.zeros((0, 3), F32),
+        tri_vn3=_f(CVN[:, 2]) if CVN is not None else np.zeros((0, 3), F32),
+        tri_uv1=_f(CUV[:, 0]) if CUV is not None else np.zeros((0, 2), F32),
+        tri_uv2=_f(CUV[:, 1]) if CUV is not None else np.zeros((0, 2), F32),
+        tri_uv3=_f(CUV[:, 2]) if CUV is not None else np.zeros((0, 2), F32),
     )
 
     # ---- object tables in global id order --------------------------------
@@ -938,7 +998,9 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                   and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
                   and tri_bvh is None
-                  and not has_dispersion)
+                  and not has_dispersion
+                  and CVN is None)   # vertex-attr meshes shade on the
+                                     # jnp wavefront (interp in attrs.py)
     pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)
     # path-recording variant: image textures / env maps / thin-film LUTs are
     # applied in a jnp pass over the recorded path vertices; normal maps
@@ -974,6 +1036,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         custom_mats=tuple(b.mat_rows[MAT_CUSTOM]),
         custom_fp=tuple(_custom_param_fp(m) for m in b.mat_rows[MAT_CUSTOM]),
         has_dispersion=has_dispersion,
+        tri_interp=CVN is not None,
     )
 
     data = SceneData(

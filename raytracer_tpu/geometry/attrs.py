@@ -121,14 +121,20 @@ def box_attrs(P, local_id, geom, need_uv):
 
 
 def triangle_attrs(P, local_id, geom, need_uv):
-    """Constant normal + barycentric uv.
+    """Triangle normal + uv from barycentric coordinates.
 
-    The reference's Triangle_Collider.get_uv is broken (refs undefined
-    attributes, triangle.py:79-83); we return proper barycentric coordinates
-    (u, v) = weights of p2, p3 instead.
+    Flat triangles return the constant face normal and (u, v) = barycentric
+    weights of p2, p3 (the reference's Triangle_Collider.get_uv is broken —
+    refs undefined attributes, triangle.py:79-83 — so this defines the
+    contract).  When the scene carries per-corner vertex attributes
+    (TriangleMesh with vn/vt records or smooth=True; tri_vn*/tri_uv* tables
+    non-empty), the normal is the barycentric blend of the corner normals
+    (smooth shading) and uv the blend of the corner uvs; the compiler fills
+    flat triangles' corners so the blend reproduces the flat result exactly.
     """
     N = _gather(geom.tri_normal, local_id)
-    if not need_uv:
+    interp = geom.tri_vn1.shape[0] > 0   # static shape: trace-time branch
+    if not (need_uv or interp):
         return N, None
     p1 = _gather(geom.tri_p1, local_id)
     p2 = _gather(geom.tri_p2, local_id)
@@ -144,7 +150,24 @@ def triangle_attrs(P, local_id, geom, need_uv):
     det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
     u = (d22 * dp1 - d12 * dp2) / det
     v = (d11 * dp2 - d12 * dp1) / det
-    return N, jnp.stack([u, v], axis=-1)
+    if not interp:
+        return N, jnp.stack([u, v], axis=-1)
+
+    from ..core.safemath import safe_norm
+
+    w1 = (1.0 - u - v)[..., None]
+    w2 = u[..., None]
+    w3 = v[..., None]
+    Ns = (w1 * _gather(geom.tri_vn1, local_id)
+          + w2 * _gather(geom.tri_vn2, local_id)
+          + w3 * _gather(geom.tri_vn3, local_id))
+    N = Ns / safe_norm(Ns, keepdims=True)
+    if not need_uv:
+        return N, None
+    uv = (w1 * _gather(geom.tri_uv1, local_id)
+          + w2 * _gather(geom.tri_uv2, local_id)
+          + w3 * _gather(geom.tri_uv3, local_id))
+    return N, uv
 
 
 def hit_attributes(P, obj_id, geom, static, force_uv=False):

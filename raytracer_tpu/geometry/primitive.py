@@ -153,26 +153,57 @@ class Triangle(Primitive):
 
 
 class TriangleMesh(Primitive):
-    """Triangle soup loaded from a Wavefront .obj (v/f records).
+    """Triangle mesh loaded from a Wavefront .obj (v/vt/vn/f records).
 
     The reference's TriangleMesh (triangle_mesh.py:12-43) is dead code — it
-    references an undefined module and would raise NameError.  This one works:
-    it parses v/f lines (triangulating polygon faces as fans) and lowers every
-    face into the shared triangle table.
+    references an undefined module and would raise NameError, and its parser
+    reads only v/f lines.  This one works and goes further: texture
+    coordinates (vt) drive material textures, and vertex normals give smooth
+    shading via barycentric interpolation at the hit.
+
+    smooth: None (default) honors the file's vn records when present (flat
+    otherwise); True forces smooth shading (computing area-weighted vertex
+    normals when the file has none); False forces flat shading.
     """
 
     def __init__(self, filename, center, material, scale=1.0,
-                 max_ray_depth=5, shadow=True, mc=False):
+                 max_ray_depth=5, shadow=True, mc=False, smooth=None):
         super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
-        from ..native import parse_obj  # C++ fast path, Python fallback
-        verts, faces = parse_obj(filename)
+        from ..native import parse_obj_full  # C++ fast path, Python fallback
+        verts, uvs, norms, faces, face_uv, face_n = parse_obj_full(filename)
         self.vertices = self.center + np.asarray(verts, dtype=np.float64) * scale
         self.faces = np.asarray(faces, dtype=np.int64)
         d = np.linalg.norm(self.vertices - self.center, axis=1)
         self.bounded_sphere_radius = float(d.max()) if len(d) else 0.0
 
+        # (F, 3, 2) per-corner texture coordinates, honored whenever the file
+        # has vt records (corners without a vt index read uv (0, 0))
+        self.corner_uvs = None
+        if len(uvs) and (face_uv >= 0).any():
+            cu = np.asarray(uvs, np.float64)[np.clip(face_uv, 0, len(uvs) - 1)]
+            cu[face_uv < 0] = 0.0
+            self.corner_uvs = cu
+
+        # (F, 3, 3) per-corner unit normals for smooth shading
+        self.corner_normals = None
+        has_vn = len(norms) and (face_n >= 0).any()
+        if has_vn if smooth is None else smooth:
+            if has_vn:
+                cn = np.asarray(norms, np.float64)[
+                    np.clip(face_n, 0, len(norms) - 1)]
+                if (face_n < 0).any():    # mixed files: fill missing corners
+                    vn = _vertex_normals(self.vertices, self.faces)
+                    cn[face_n < 0] = vn[self.faces[face_n < 0]]
+            else:
+                vn = _vertex_normals(self.vertices, self.faces)
+                cn = vn[self.faces]
+            n = np.linalg.norm(cn, axis=-1, keepdims=True)
+            self.corner_normals = cn / np.maximum(n, 1e-20)
+
     def _apply_rotation(self, M):
         self.vertices = self.center + (self.vertices - self.center) @ M.T
+        if self.corner_normals is not None:
+            self.corner_normals = self.corner_normals @ M.T
 
     @property
     def triangles(self):
@@ -201,3 +232,64 @@ def _parse_obj(filename):
                 for k in range(1, len(idx) - 1):   # fan-triangulate
                     faces.append([idx[0], idx[k], idx[k + 1]])
     return verts, faces
+
+
+def _vertex_normals(verts, faces):
+    """Area-weighted per-vertex normals (unnormalized face crosses summed at
+    shared vertices — the standard smooth-shading default)."""
+    v = np.asarray(verts, np.float64)
+    fn = np.cross(v[faces[:, 1]] - v[faces[:, 0]],
+                  v[faces[:, 2]] - v[faces[:, 0]])
+    vn = np.zeros_like(v)
+    for j in range(3):
+        np.add.at(vn, faces[:, j], fn)
+    n = np.linalg.norm(vn, axis=1, keepdims=True)
+    return vn / np.maximum(n, 1e-20)
+
+
+def _parse_obj_full(filename):
+    """Python fallback for native.parse_obj_full: v/vt/vn/f records.
+
+    Returns (verts (V,3) f32, uvs (VT,2) f32, norms (VN,3) f32,
+    faces/face_uv/face_n (F,3) i64; -1 marks a corner without vt/vn).
+    """
+    verts, uvs, norms = [], [], []
+    faces, face_uv, face_n = [], [], []
+
+    def corner(tok):
+        fields = tok.split("/")
+        v = int(fields[0])
+        v = v - 1 if v > 0 else len(verts) + v
+        t = n = -1
+        if len(fields) > 1 and fields[1]:
+            t = int(fields[1])
+            t = t - 1 if t > 0 else len(uvs) + t
+        if len(fields) > 2 and fields[2]:
+            n = int(fields[2])
+            n = n - 1 if n > 0 else len(norms) + n
+        return v, t, n
+
+    with open(filename) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif parts[0] == "vt":
+                uvs.append([float(parts[1]), float(parts[2])])
+            elif parts[0] == "vn":
+                norms.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif parts[0] == "f":
+                cs = [corner(p) for p in parts[1:]]
+                for k in range(1, len(cs) - 1):   # fan-triangulate
+                    tri = (cs[0], cs[k], cs[k + 1])
+                    faces.append([c[0] for c in tri])
+                    face_uv.append([c[1] for c in tri])
+                    face_n.append([c[2] for c in tri])
+    return (np.asarray(verts, np.float32).reshape(-1, 3),
+            np.asarray(uvs, np.float32).reshape(-1, 2),
+            np.asarray(norms, np.float32).reshape(-1, 3),
+            np.asarray(faces, np.int64).reshape(-1, 3),
+            np.asarray(face_uv, np.int64).reshape(-1, 3),
+            np.asarray(face_n, np.int64).reshape(-1, 3))

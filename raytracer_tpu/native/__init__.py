@@ -42,6 +42,20 @@ def _load():
         lib.obj_parse.argtypes = [ctypes.c_char_p,
                                   np.ctypeslib.ndpointer(np.float32),
                                   np.ctypeslib.ndpointer(np.int64)]
+        lib.obj_count_full.restype = ctypes.c_int32
+        lib.obj_count_full.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.POINTER(ctypes.c_int64)]
+        lib.obj_parse_full.restype = ctypes.c_int32
+        lib.obj_parse_full.argtypes = [ctypes.c_char_p,
+                                       np.ctypeslib.ndpointer(np.float32),
+                                       np.ctypeslib.ndpointer(np.float32),
+                                       np.ctypeslib.ndpointer(np.float32),
+                                       np.ctypeslib.ndpointer(np.int64),
+                                       np.ctypeslib.ndpointer(np.int64),
+                                       np.ctypeslib.ndpointer(np.int64)]
         lib.bvh_build.restype = ctypes.c_int32
         lib.bvh_build.argtypes = [np.ctypeslib.ndpointer(np.float32),
                                   ctypes.c_int64,
@@ -82,6 +96,39 @@ def parse_obj(path):
     if lib.obj_parse(str(path).encode(), verts, faces) != 0:
         raise IOError(f"failed to parse {path}")
     return verts, faces[:nt.value]
+
+
+def parse_obj_full(path):
+    """Parse v/vt/vn/f records of an OBJ file.
+
+    Returns (verts (V,3) f32, uvs (VT,2) f32, norms (VN,3) f32,
+    faces (F,3) i64, face_uv (F,3) i64, face_n (F,3) i64); face_uv/face_n
+    hold -1 where a face corner carries no vt/vn index.  Native fast path
+    with a pure-Python fallback (geometry/primitive.py).
+    """
+    lib = _load()
+    if lib is None:
+        from ..geometry.primitive import _parse_obj_full
+        return _parse_obj_full(path)
+    nv = ctypes.c_int64()
+    nvt = ctypes.c_int64()
+    nvn = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    if lib.obj_count_full(str(path).encode(), ctypes.byref(nv),
+                          ctypes.byref(nvt), ctypes.byref(nvn),
+                          ctypes.byref(nt)) != 0:
+        raise FileNotFoundError(path)
+    verts = np.empty((nv.value, 3), np.float32)
+    uvs = np.empty((max(nvt.value, 1), 2), np.float32)
+    norms = np.empty((max(nvn.value, 1), 3), np.float32)
+    faces = np.empty((max(nt.value, 1), 3), np.int64)
+    face_uv = np.empty((max(nt.value, 1), 3), np.int64)
+    face_n = np.empty((max(nt.value, 1), 3), np.int64)
+    if lib.obj_parse_full(str(path).encode(), verts, uvs, norms, faces,
+                          face_uv, face_n) != 0:
+        raise IOError(f"failed to parse {path}")
+    return (verts, uvs[:nvt.value], norms[:nvn.value], faces[:nt.value],
+            face_uv[:nt.value], face_n[:nt.value])
 
 
 def build_bvh(tri_verts):

@@ -191,6 +191,133 @@ int32_t obj_count(const char *path, int64_t *n_verts, int64_t *n_tris) {
   return 0;
 }
 
+// Full OBJ parse: v/vt/vn records plus per-corner vt/vn indices for every
+// fan-triangulated face (-1 where a corner carries no vt/vn).  Sizing pass:
+int32_t obj_count_full(const char *path, int64_t *n_verts, int64_t *n_uvs,
+                       int64_t *n_norms, int64_t *n_tris) {
+  FILE *f = fopen(path, "r");
+  if (!f) return -1;
+  char line[1024];
+  int64_t nv = 0, nvt = 0, nvn = 0, nt = 0;
+  while (fgets(line, sizeof line, f)) {
+    if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+      nv++;
+    } else if (line[0] == 'v' && line[1] == 't' &&
+               (line[2] == ' ' || line[2] == '\t')) {
+      nvt++;
+    } else if (line[0] == 'v' && line[1] == 'n' &&
+               (line[2] == ' ' || line[2] == '\t')) {
+      nvn++;
+    } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+      int verts = 0;
+      char *p = line + 1;
+      while (*p) {
+        while (*p == ' ' || *p == '\t') p++;
+        if (*p == '\0' || *p == '\n' || *p == '\r') break;
+        verts++;
+        while (*p && *p != ' ' && *p != '\t' && *p != '\n') p++;
+      }
+      if (verts >= 3) nt += verts - 2;
+    }
+  }
+  fclose(f);
+  *n_verts = nv;
+  *n_uvs = nvt;
+  *n_norms = nvn;
+  *n_tris = nt;
+  return 0;
+}
+
+namespace {
+struct Corner {
+  int64_t v, t, n;
+};
+
+// Parse one `v[/vt][/vn]` face corner; negative OBJ indices are relative to
+// the running counts.  Missing vt/vn become -1.
+static inline Corner parse_corner(char **pp, int64_t nv, int64_t nvt,
+                                  int64_t nvn) {
+  char *p = *pp;
+  Corner c{-1, -1, -1};
+  long v = strtol(p, &p, 10);
+  c.v = (v < 0) ? nv + v : v - 1;
+  if (*p == '/') {
+    p++;
+    if (*p != '/') {
+      long t = strtol(p, &p, 10);
+      c.t = (t < 0) ? nvt + t : t - 1;
+    }
+    if (*p == '/') {
+      p++;
+      long n = strtol(p, &p, 10);
+      c.n = (n < 0) ? nvn + n : n - 1;
+    }
+  }
+  *pp = p;
+  return c;
+}
+}  // namespace
+
+// Fill pass matching obj_count_full.  uvs is (n_uvs,2); norms (n_norms,3);
+// face_uv / face_n are (n_tris,3) i64 with -1 where a corner has no index.
+int32_t obj_parse_full(const char *path, float *verts, float *uvs,
+                       float *norms, int64_t *faces, int64_t *face_uv,
+                       int64_t *face_n) {
+  FILE *f = fopen(path, "r");
+  if (!f) return -1;
+  char line[1024];
+  int64_t vi = 0, vti = 0, vni = 0, ti = 0;
+  std::vector<Corner> poly;
+  while (fgets(line, sizeof line, f)) {
+    if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+      double x, y, z;
+      if (sscanf(line + 1, "%lf %lf %lf", &x, &y, &z) == 3) {
+        verts[vi * 3 + 0] = (float)x;
+        verts[vi * 3 + 1] = (float)y;
+        verts[vi * 3 + 2] = (float)z;
+        vi++;
+      }
+    } else if (line[0] == 'v' && line[1] == 't' &&
+               (line[2] == ' ' || line[2] == '\t')) {
+      double u, v;
+      if (sscanf(line + 2, "%lf %lf", &u, &v) == 2) {
+        uvs[vti * 2 + 0] = (float)u;
+        uvs[vti * 2 + 1] = (float)v;
+        vti++;
+      }
+    } else if (line[0] == 'v' && line[1] == 'n' &&
+               (line[2] == ' ' || line[2] == '\t')) {
+      double x, y, z;
+      if (sscanf(line + 2, "%lf %lf %lf", &x, &y, &z) == 3) {
+        norms[vni * 3 + 0] = (float)x;
+        norms[vni * 3 + 1] = (float)y;
+        norms[vni * 3 + 2] = (float)z;
+        vni++;
+      }
+    } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+      poly.clear();
+      char *p = line + 1;
+      while (*p) {
+        while (*p == ' ' || *p == '\t') p++;
+        if (*p == '\0' || *p == '\n' || *p == '\r') break;
+        poly.push_back(parse_corner(&p, vi, vti, vni));
+        while (*p && *p != ' ' && *p != '\t' && *p != '\n') p++;
+      }
+      for (size_t k = 1; k + 1 < poly.size(); ++k) {
+        const Corner cs[3] = {poly[0], poly[k], poly[k + 1]};
+        for (int j = 0; j < 3; ++j) {
+          faces[ti * 3 + j] = cs[j].v;
+          face_uv[ti * 3 + j] = cs[j].t;
+          face_n[ti * 3 + j] = cs[j].n;
+        }
+        ti++;
+      }
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
 int32_t obj_parse(const char *path, float *verts /* (n_verts,3) */,
                   int64_t *faces /* (n_tris,3) */) {
   FILE *f = fopen(path, "r");
