@@ -57,8 +57,9 @@ from .materials.shade import ShadeOut, default_shade_out
 from .textures.texture import image, solid_color, texture
 from .backgrounds.blur import blur_skybox, blur_skybox_array
 from .utils.colour import srgb_linear_to_srgb, srgb_to_srgb_linear
-from .utils.image_io import (add_asset_root, load_image,
-                             load_image_as_linear_srgb, load_image_with_blur)
+from .utils.image_io import (add_asset_root, load_hdr, load_image,
+                             load_image_as_linear_srgb, load_image_with_blur,
+                             save_hdr)
 
 # the reference star-exports these exact (camelCase) names
 # (sightpy/utils/colour_functions.py, image_functions.py, and
@@ -85,6 +86,7 @@ __all__ = [
     "create_animation", "create_animation_using_opencv",
     "RenderSettings", "add_asset_root",
     "load_image", "load_image_as_linear_srgb", "load_image_with_blur",
+    "save_hdr", "load_hdr",
     "srgb_linear_to_srgb", "srgb_to_srgb_linear",
     "sRGB_linear_to_sRGB", "sRGB_to_sRGB_linear", "load_image_as_linear_sRGB",
     "blur_skybox", "blur_skybox_array",

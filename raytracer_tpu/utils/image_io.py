@@ -88,3 +88,58 @@ def array_to_pil(array):
 
     a = np.clip(np.asarray(array), 0.0, 1.0)
     return Image.fromarray((a * 255).astype(np.uint8), "RGB")
+
+
+def save_hdr(array, path):
+    """Save a (H, W, 3) LINEAR float array as a Radiance .hdr (RGBE) file.
+
+    HDR export for `render(output="linear")` — the reference can only emit
+    8-bit PNGs (scene.py:125-140).  Plain (uncompressed) RGBE scanlines:
+    shared-exponent u8 quadruples, readable by every HDR tool.
+    """
+    a = np.asarray(array, np.float64)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) linear radiance, got {a.shape}")
+    a = np.maximum(a, 0.0)
+    h, w, _ = a.shape
+    m = a.max(axis=2)
+    # frexp: m = frac * 2**exp with frac in [0.5, 1); RGBE stores
+    # channel * 256/2**exp rounded, exponent biased by 128
+    frac, exp = np.frexp(m)
+    scale = np.where(m > 1e-38, np.ldexp(256.0, -exp), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.minimum(a * scale[..., None], 255.0).astype(np.uint8)
+    rgbe[..., 3] = np.where(m > 1e-38, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def load_hdr(path):
+    """Load a plain (uncompressed) Radiance .hdr written by save_hdr.
+
+    Returns (H, W, 3) float32 linear radiance.  Supports only the
+    non-RLE scanline layout save_hdr emits (round-trip testing / reuse of
+    our own HDR outputs as light maps).
+    """
+    with open(path, "rb") as f:
+        if f.readline().rstrip() not in (b"#?RADIANCE", b"#?RGBE"):
+            raise ValueError(f"{path}: not a Radiance file")
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: truncated header")
+            if line.strip() == b"":
+                break
+        dims = f.readline().split()
+        if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+            raise ValueError(f"{path}: unsupported orientation {dims}")
+        h, w = int(dims[1]), int(dims[3])
+        raw = np.frombuffer(f.read(h * w * 4), np.uint8)
+    if raw.size != h * w * 4:
+        raise ValueError(f"{path}: truncated pixel data")
+    rgbe = raw.reshape(h, w, 4).astype(np.float64)
+    exp = rgbe[..., 3]
+    scale = np.where(exp > 0, np.ldexp(1.0, (exp - 136).astype(np.int32)), 0.0)
+    return ((rgbe[..., :3] + 0.5) * scale[..., None]).astype(np.float32)

@@ -191,3 +191,22 @@ def test_triangle_mesh_rotation(tmp_path):
     v0 = mesh.vertices.copy()
     mesh.rotate(θ=360, u=vec3(0, 1, 0))
     assert np.allclose(mesh.vertices, v0, atol=1e-6)
+
+
+def test_hdr_round_trip(tmp_path):
+    """save_hdr/load_hdr preserve linear radiance to RGBE precision
+    (~0.4% relative), including values far above 1.0."""
+    import numpy as np
+
+    from raytracer_tpu import load_hdr, save_hdr
+
+    rng = np.random.default_rng(7)
+    a = (rng.uniform(0, 1, (16, 24, 3)) ** 2) * rng.choice(
+        [0.01, 1.0, 37.5], (16, 24, 1))
+    p = tmp_path / "t.hdr"
+    save_hdr(a, p)
+    b = load_hdr(p)
+    m = a.max(axis=2, keepdims=True)
+    assert np.abs(b - a).max() <= 0.004 * max(a.max(), 1.0) + 1e-6
+    # per-pixel shared-exponent error bound: half an RGBE step
+    assert (np.abs(b - a) <= m / 256.0 + 1e-7).all()
