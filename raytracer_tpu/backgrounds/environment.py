@@ -23,15 +23,29 @@ class EnvironmentMaterial(Material):
 
     def __init__(self, img, light_intensity=0.0, blur=0.0):
         super().__init__()
+        is_hdr = (not isinstance(img, np.ndarray)
+                  and str(img).lower().endswith((".hdr", ".rgbe")))
+        # HDR environments keep full f32 range only on the jnp wavefront;
+        # the record path's 10-bit packed atlas normalizes by the texture
+        # max, which would band dim sky regions next to a bright sun peak
+        # (core/compile.py gates pallas_tex_ok on this flag)
+        self.is_hdr = is_hdr
         if isinstance(img, np.ndarray):
             raw = np.asarray(img, dtype=np.float32)
+            self.texture = srgb_to_srgb_linear(raw).astype(np.float32)
+        elif is_hdr:
+            # Radiance RGBE environments are LINEAR radiance already (and
+            # unbounded) — no EOTF, no [0,1] clip anywhere downstream
+            from ..utils.image_io import load_hdr, resolve_asset
+            raw = load_hdr(resolve_asset(img, subdir_hint="backgrounds"))
+            self.texture = raw
         else:
             raw = load_image(img, subdir_hint="backgrounds")
-        self.texture = srgb_to_srgb_linear(raw).astype(np.float32)
+            self.texture = srgb_to_srgb_linear(raw).astype(np.float32)
         self.light_intensity = float(light_intensity)
         self.lightmap = None
         if light_intensity != 0.0:
-            if isinstance(img, str):
+            if isinstance(img, str) and not is_hdr:
                 try:
                     self.lightmap = load_image(img, subdir_hint="backgrounds/lightmaps")
                 except FileNotFoundError:
@@ -39,10 +53,31 @@ class EnvironmentMaterial(Material):
                     self.lightmap = raw
             else:
                 self.lightmap = raw
-        if blur != 0.0:
-            self.blur_texture = blur_skybox_array(raw, blur)
-        else:
+        if blur == 0.0:
             self.blur_texture = None
+        elif is_hdr:
+            self.blur_texture = _gaussian_blur_linear(raw, blur)
+        else:
+            self.blur_texture = blur_skybox_array(raw, blur)
+
+
+def _gaussian_blur_linear(arr, radius):
+    """Separable Gaussian blur of an UNBOUNDED linear-radiance image
+    (numpy; wraps horizontally — correct for equirect panoramas, harmless
+    for cubemap crosses).  blur_skybox_array's PIL path quantizes to 8-bit
+    [0,1], which would destroy HDR highlights."""
+    sigma = max(float(radius), 1e-3)
+    r = int(np.ceil(3 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    a = np.asarray(arr, np.float64)
+    # horizontal: periodic (equirect seam); vertical: edge-clamped
+    ah = np.concatenate([a[:, -r:], a, a[:, :r]], axis=1)
+    ah = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 1, ah)[:, r:-r]
+    av = np.concatenate([ah[:1].repeat(r, 0), ah, ah[-1:].repeat(r, 0)], axis=0)
+    av = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 0, av)[r:-r]
+    return av.astype(np.float32)
 
 
 class SkyBox(Cuboid):

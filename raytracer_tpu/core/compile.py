@@ -581,6 +581,9 @@ class _Builder:
         # (start_row, count, corner_normals|None, corner_uvs|None) runs of
         # mesh vertex attributes, parallel to self.tris
         self.tri_attr_blocks = []
+        # any EnvironmentMaterial loaded from a Radiance .hdr: unbounded
+        # linear radiance, excluded from the 10-bit packed-atlas record path
+        self.has_hdr_env = False
         # per-type object property rows (merged in type order at the end)
         self.props = {k: [] for k in ("sphere", "plane", "box", "tri")}
         self.textures = []
@@ -634,6 +637,7 @@ class _Builder:
         elif t == MAT_ENV:
             tex = mat.blur_texture if mat.blur_texture is not None else mat.texture
             lm = self.add_texture(mat.lightmap) if mat.lightmap is not None else None
+            self.has_hdr_env |= bool(getattr(mat, "is_hdr", False))
             # kind is patched by the caller (depends on the carrier geometry)
             self.env_slots.append(EnvSlot(slot, "box", self.add_texture(tex), lm))
         return (t, slot)
@@ -1006,6 +1010,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     # applied in a jnp pass over the recorded path vertices; normal maps
     # perturb sampling directions and cannot be deferred
     pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
+                     and not b.has_hdr_env
                      and set(present) <= _PALLAS_TEX_TYPES)
 
     atlas, tex_scale, tex_shapes, tex_offsets = _texture_atlas(tuple(b.textures))

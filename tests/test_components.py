@@ -210,3 +210,28 @@ def test_hdr_round_trip(tmp_path):
     assert np.abs(b - a).max() <= 0.004 * max(a.max(), 1.0) + 1e-6
     # per-pixel shared-exponent error bound: half an RGBE step
     assert (np.abs(b - a) <= m / 256.0 + 1e-7).all()
+
+
+def test_hdr_environment_is_linear_and_gated(tmp_path):
+    """A Radiance .hdr Panorama is consumed as LINEAR radiance (no EOTF,
+    values above 1 preserved) and such scenes skip the 10-bit packed-atlas
+    record path."""
+    import numpy as np
+
+    from raytracer_tpu import Panorama, Scene, save_hdr, vec3
+    from raytracer_tpu.core.compile import compile_scene
+
+    env = np.full((8, 16, 3), 5.0, np.float32)
+    env[:, :, 1] = 2.0
+    p = tmp_path / "env.hdr"
+    save_hdr(env, p)
+
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 0), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8)
+    sc.add(Panorama(str(p)))
+    static, _ = compile_scene(sc)
+    assert not static.pallas_tex_ok and not static.pallas_ok
+    lin = np.asarray(sc.render(samples_per_pixel=1, seed=0, output="linear"))
+    assert np.allclose(lin[..., 0], 5.0, rtol=0.02)
+    assert np.allclose(lin[..., 1], 2.0, rtol=0.02)
