@@ -238,6 +238,12 @@ class GeometryTables:
     tri_uv1: Any = None
     tri_uv2: Any = None
     tri_uv3: Any = None
+    # normal-mapped meshes: per-triangle uv-aligned tangent (from the uv
+    # derivative of the corner uvs) and the owning normal map's 'tri'-ref
+    # slot (-1 = face not normal-mapped); empty unless some mesh registers
+    # a normal map
+    tri_tan: Any = None
+    tri_nm_slot: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -581,6 +587,9 @@ class _Builder:
         # (start_row, count, corner_normals|None, corner_uvs|None) runs of
         # mesh vertex attributes, parallel to self.tris
         self.tri_attr_blocks = []
+        # (start_row, count, tri_ref_index) runs of normal-mapped mesh faces;
+        # tri_ref_index numbers the 'tri'-kind entries of self.normal_maps
+        self.tri_nm_blocks = []
         # any EnvironmentMaterial loaded from a Radiance .hdr: unbounded
         # linear radiance, excluded from the 10-bit packed-atlas record path
         self.has_hdr_env = False
@@ -663,7 +672,8 @@ class _Builder:
                 self._patch_env_kind(slot, "sphere")
             elif prim.material.normalmap is not None:
                 raise ValueError("normal maps require a (u,v,n) basis; "
-                                 "supported on Plane and Cuboid only")
+                                 "supported on Plane, Cuboid and "
+                                 "TriangleMesh (with vt) only")
         elif isinstance(prim, Plane):
             local = len(self.planes)
             self.planes.append((prim.center, prim.u_axis, prim.v_axis,
@@ -689,7 +699,22 @@ class _Builder:
                 self.tri_attr_blocks.append(
                     (start, len(prim.faces),
                      prim.corner_normals, prim.corner_uvs))
+            if prim.material.normalmap is not None:
+                if prim.corner_uvs is None:
+                    raise ValueError(
+                        "a normal-mapped TriangleMesh needs vt texture "
+                        "coordinates in the OBJ (the tangent basis comes "
+                        "from the uv layout)")
+                ref = len(self.tri_nm_blocks)
+                self.normal_maps.append(
+                    ("tri", ref, self.add_texture(prim.material.normalmap),
+                     prim.material.normalmap_repeat, "tri"))
+                self.tri_nm_blocks.append((start, len(prim.faces), ref))
         elif isinstance(prim, Triangle):
+            if prim.material.normalmap is not None:
+                raise ValueError("normal maps require a (u,v,n) basis; "
+                                 "supported on Plane, Cuboid and "
+                                 "TriangleMesh (with vt) only")
             self.tris.append((prim.p1, prim.p2, prim.p3))
             self.props["tri"].append(row)
         else:
@@ -788,6 +813,13 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
             if a_uv is not None:
                 CUV[a_start:a_start + a_count] = a_uv
 
+    # normal-mapped mesh faces: per-face 'tri'-ref slot, -1 elsewhere
+    TNM = None
+    if b.tri_nm_blocks and TV.shape[0]:
+        TNM = np.full((TV.shape[0],), -1, I32)
+        for a_start, a_count, a_ref in b.tri_nm_blocks:
+            TNM[a_start:a_start + a_count] = a_ref
+
     # ---- triangle BVH (built natively; tables permuted to leaf order) -----
     perm = None
     tri_bvh = None
@@ -823,9 +855,32 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     if perm is not None and CVN is not None:
         CVN = CVN[perm]
         CUV = CUV[perm]
+    if perm is not None and TNM is not None:
+        TNM = TNM[perm]
 
     # ---- triangle derived tables (vectorized over TV) --------------------
     P1, P2, P3 = TV[:, 0], TV[:, 1], TV[:, 2]
+
+    # uv-aligned tangents for normal-mapped meshes: T = dP/du from the
+    # corner-uv derivative; orthonormalized against the shading normal at
+    # the hit (integrator._apply_normal_maps)
+    TTAN = None
+    if TNM is not None:
+        e1 = (P2 - P1).astype(np.float64)
+        e2 = (P3 - P1).astype(np.float64)
+        duv1 = CUV[:, 1] - CUV[:, 0]
+        duv2 = CUV[:, 2] - CUV[:, 0]
+        det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        inv = 1.0 / np.where(np.abs(det) < 1e-12,
+                             np.where(det < 0, -1e-12, 1e-12), det)
+        tan = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * inv[:, None]
+        nrm = np.linalg.norm(tan, axis=1, keepdims=True)
+        # degenerate uv layout: any face-perpendicular fallback works
+        tan = np.where(nrm > 1e-12, tan / np.maximum(nrm, 1e-12),
+                       (P2 - P1) / np.maximum(
+                           np.linalg.norm(P2 - P1, axis=1, keepdims=True),
+                           1e-12))
+        TTAN = tan
     _nr = np.cross(P2 - P1, P3 - P1)
     _nr_u = _nr / np.maximum(np.linalg.norm(_nr, axis=-1, keepdims=True), 1e-20)
     tri_normal = _f(_nr_u)
@@ -876,6 +931,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_uv1=_f(CUV[:, 0]) if CUV is not None else np.zeros((0, 2), F32),
         tri_uv2=_f(CUV[:, 1]) if CUV is not None else np.zeros((0, 2), F32),
         tri_uv3=_f(CUV[:, 2]) if CUV is not None else np.zeros((0, 2), F32),
+        tri_tan=_f(TTAN) if TTAN is not None else np.zeros((0, 3), F32),
+        tri_nm_slot=(TNM if TNM is not None else np.zeros((0,), I32)),
     )
 
     # ---- object tables in global id order --------------------------------
@@ -941,8 +998,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     S, Pn, B = len(b.spheres), len(b.planes), len(b.boxes)
     offsets = {"sphere": 0, "plane": S, "box": S + Pn, "tri": S + Pn + B}
     nmaps = tuple(
-        NormalMapRef(obj=offsets[type_key] + local, tex=tex, repeat=rep,
-                     basis_kind=kind, local_id=local)
+        NormalMapRef(obj=(-1 if kind == "tri" else offsets[type_key] + local),
+                     tex=tex, repeat=rep, basis_kind=kind, local_id=local)
         for (type_key, local, tex, rep, kind) in b.normal_maps
     )
 

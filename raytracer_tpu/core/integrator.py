@@ -119,9 +119,28 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
     if not static.normal_maps:
         return N_geo
     N = N_geo
+    tri_off = static.n_spheres + static.n_planes + static.n_boxes
     for ref in static.normal_maps:
         tex = data.textures[ref.tex]
         m = shade.fetch_texture(tex, uv, ref.repeat) - 0.5
+        if ref.basis_kind == "tri":
+            # mesh faces: per-ray tangent frame — the compile-time
+            # uv-aligned tangent orthonormalized against the (possibly
+            # vertex-interpolated) shading normal
+            row = jnp.clip(obj_id - tri_off, 0,
+                           max(data.geom.tri_tan.shape[0] - 1, 0))
+            mask = ((obj_id >= tri_off)
+                    & (jnp.take(data.geom.tri_nm_slot, row, mode="clip")
+                       == ref.local_id))
+            T = jnp.take(data.geom.tri_tan, row, axis=0, mode="clip")
+            T = T - N_geo * jnp.sum(T * N_geo, axis=-1, keepdims=True)
+            T = T / jnp.maximum(safe_norm(T, keepdims=True), 1e-20)
+            B = jnp.cross(N_geo, T)
+            Nm = 2.0 * (m[..., 0:1] * T + m[..., 1:2] * B
+                        + m[..., 2:3] * N_geo)
+            Nm = Nm / jnp.maximum(safe_norm(Nm, keepdims=True), 1e-20)
+            N = jnp.where(mask[..., None], Nm, N)
+            continue
         if ref.basis_kind == "plane":
             u_ax = data.geom.plane_u_axis[ref.local_id]
             v_ax = data.geom.plane_v_axis[ref.local_id]

@@ -198,3 +198,57 @@ f -4 -3 -1
     for a, b in zip(nat, py):
         assert np.allclose(np.asarray(a, np.float64),
                            np.asarray(b, np.float64))
+
+
+def test_mesh_normal_mapping(tmp_path):
+    """A constant normal map on a vt-mapped quad mesh tilts the shading
+    normal by the expected angle in the uv-aligned tangent frame."""
+    from raytracer_tpu.core.integrator import _apply_normal_maps
+
+    f = tmp_path / "quad.obj"
+    f.write_text("""
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+vt 1 1
+f 1/1 2/2 4/4 3/3
+""")
+    # texel (0.75, 0.5, 0.75): m = (+0.25, 0, +0.25) -> 45 deg toward +u
+    nm = np.full((4, 4, 3), 0.5, np.float32)
+    nm[..., 0] = 0.75
+    nm[..., 2] = 0.75
+    mat = Emissive(color=rgb(1, 1, 1))
+    mat.set_normalmap(nm)
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0.5, 0.5, 2), look_at=vec3(0.5, 0.5, 0),
+                  screen_width=8, screen_height=8)
+    sc.add(TriangleMesh(str(f), center=vec3(0, 0, 0), material=mat))
+    static, data = compile_scene(sc)
+    assert any(r.basis_kind == "tri" for r in static.normal_maps)
+
+    O = jnp.asarray([[0.5, 0.5, 2.0], [0.25, 0.75, 2.0]], jnp.float32)
+    D = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32)
+    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    P = O + t[:, None] * D
+    N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
+    N = np.asarray(_apply_normal_maps(N_geo, P, uv, obj, data, static))
+    expected = np.array([1.0, 0.0, 1.0]) / np.sqrt(2.0)
+    assert np.abs(N - expected).max() < 1e-3
+
+
+def test_triangle_normalmap_rejected():
+    from raytracer_tpu import Triangle
+
+    mat = Emissive(color=rgb(1, 1, 1))
+    mat.set_normalmap(np.full((4, 4, 3), 0.5, np.float32))
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, 0),
+                  screen_width=8, screen_height=8)
+    sc.add(Triangle(material=mat, center=vec3(0, 0, 0), p1=vec3(0, 0, 0),
+                    p2=vec3(1, 0, 0), p3=vec3(0, 1, 0)))
+    with pytest.raises(ValueError, match="normal maps"):
+        compile_scene(sc)
