@@ -71,8 +71,8 @@ floor = Glossy(diff_color=rgb(0.3, 0.3, 0.35),
                roughness=0.0, spec_coeff=0.2, diff_coeff=0.8)
 
 Sc = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
-Sc.add_Camera(look_from=vec3(0, 0.4, 3), look_at=vec3(0, 0, 0),
-              screen_width=400, screen_height=300, field_of_view=30)
+Sc.add_Camera(look_from=vec3(0, 0.6, 4.6), look_at=vec3(0, -0.1, 0),
+              screen_width=400, screen_height=300, field_of_view=32)
 Sc.add_DirectionalLight(Ldir=vec3(0.5, 0.8, 0.3), color=rgb(0.6, 0.6, 0.6))
 mesh = TriangleMesh(obj_path, center=vec3(0, 0, 0), material=copper,
                     max_ray_depth=2, smooth=True)  # area-weighted vertex

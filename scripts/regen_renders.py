@@ -49,6 +49,18 @@ def main():
     img.save(str(OUT / "dispersion.png"))
     print(f"dispersion 400x300 @256spp: {wall:.2f}s", flush=True)
 
+    for name, spp, out in (("example_mesh", 64, "our_example_mesh.png"),
+                           ("example_mesh_textured", 64,
+                            "mesh_textured.png")):
+        mod = importlib.import_module(name)
+        sc = mod.Sc
+        sc.render(samples_per_pixel=1)
+        t0 = time.time()
+        img = sc.render(samples_per_pixel=spp, seed=3)
+        wall = time.time() - t0
+        img.save(str(OUT / out))
+        print(f"{name}: {wall:.2f}s @ {spp} spp", flush=True)
+
 
 if __name__ == "__main__":
     main()
