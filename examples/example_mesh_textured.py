@@ -25,12 +25,15 @@ from raytracer_tpu import image  # noqa: E402
 
 
 def write_uv_sphere_obj(path, n_theta=18, n_phi=36):
-    """Lat-long unit sphere with analytic vt/vn records."""
+    """Lat-long unit sphere with analytic vt/vn records.
+
+    The seam column is emitted twice (same position/normal, u=0 vs u=1) so
+    uv interpolation never runs backwards across the wrap."""
     lines = []
     for i in range(n_theta + 1):
         th = np.pi * i / n_theta
-        for j in range(n_phi):
-            ph = 2 * np.pi * j / n_phi
+        for j in range(n_phi + 1):
+            ph = 2 * np.pi * (j % n_phi) / n_phi
             x, y, z = (np.sin(th) * np.cos(ph), np.cos(th),
                        np.sin(th) * np.sin(ph))
             lines.append(f"v {x:.6f} {y:.6f} {z:.6f}")
@@ -38,7 +41,7 @@ def write_uv_sphere_obj(path, n_theta=18, n_phi=36):
             lines.append(f"vt {j / n_phi:.6f} {1 - i / n_theta:.6f}")
 
     def c(i, j):
-        v = i * n_phi + (j % n_phi) + 1
+        v = i * (n_phi + 1) + j + 1
         return f"{v}/{v}/{v}"
 
     faces = 0

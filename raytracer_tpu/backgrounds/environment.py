@@ -21,7 +21,7 @@ from .blur import blur_skybox_array
 class EnvironmentMaterial(Material):
     mat_type = MAT_ENV
 
-    def __init__(self, img, light_intensity=0.0, blur=0.0):
+    def __init__(self, img, light_intensity=0.0, blur=0.0, layout="cross"):
         super().__init__()
         is_hdr = (not isinstance(img, np.ndarray)
                   and str(img).lower().endswith((".hdr", ".rgbe")))
@@ -56,27 +56,43 @@ class EnvironmentMaterial(Material):
         if blur == 0.0:
             self.blur_texture = None
         elif is_hdr:
-            self.blur_texture = _gaussian_blur_linear(raw, blur)
+            src = raw
+            if layout == "cross":
+                # replicate face edges into the empty cross cells so the
+                # blur cannot bleed black across face borders (the same
+                # prefill blur_skybox_array does for LDR crosses)
+                from .blur import _fill_empty_cells
+                src = _fill_empty_cells(np.asarray(raw, np.float32))
+            self.blur_texture = _gaussian_blur_linear(
+                src, blur, wrap_x=(layout == "equirect"))
         else:
             self.blur_texture = blur_skybox_array(raw, blur)
 
 
-def _gaussian_blur_linear(arr, radius):
+def _gaussian_blur_linear(arr, radius, wrap_x=False):
     """Separable Gaussian blur of an UNBOUNDED linear-radiance image
-    (numpy; wraps horizontally — correct for equirect panoramas, harmless
-    for cubemap crosses).  blur_skybox_array's PIL path quantizes to 8-bit
-    [0,1], which would destroy HDR highlights."""
+    (numpy).  wrap_x pads the x axis periodically (equirect seam);
+    otherwise both axes are edge-clamped.  blur_skybox_array's PIL path
+    quantizes to 8-bit [0,1], which would destroy HDR highlights."""
+    a = np.asarray(arr, np.float64)
     sigma = max(float(radius), 1e-3)
-    r = int(np.ceil(3 * sigma))
+    # clamp the kernel to the image extent: the pad slices below supply at
+    # most one full image of context, and a blur wider than the image has
+    # no meaningful content beyond that anyway
+    r = min(int(np.ceil(3 * sigma)), a.shape[0] - 1, a.shape[1] - 1)
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     k /= k.sum()
-    a = np.asarray(arr, np.float64)
-    # horizontal: periodic (equirect seam); vertical: edge-clamped
-    ah = np.concatenate([a[:, -r:], a, a[:, :r]], axis=1)
-    ah = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 1, ah)[:, r:-r]
+    if wrap_x:
+        ah = np.concatenate([a[:, a.shape[1] - r:], a, a[:, :r]], axis=1)
+    else:
+        ah = np.concatenate([a[:, :1].repeat(r, 1), a,
+                             a[:, -1:].repeat(r, 1)], axis=1)
+    ah = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 1, ah)
+    ah = ah[:, r:ah.shape[1] - r]
     av = np.concatenate([ah[:1].repeat(r, 0), ah, ah[-1:].repeat(r, 0)], axis=0)
-    av = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 0, av)[r:-r]
+    av = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 0, av)
+    av = av[r:av.shape[0] - r]
     return av.astype(np.float32)
 
 
@@ -84,7 +100,8 @@ class SkyBox(Cuboid):
     """Cubemap on a giant cube (reference skybox.py:9-32)."""
 
     def __init__(self, cubemap, center=(0.0, 0.0, 0.0), light_intensity=0.0, blur=0.0):
-        material = EnvironmentMaterial(cubemap, light_intensity, blur)
+        material = EnvironmentMaterial(cubemap, light_intensity, blur,
+                                       layout="cross")
         l = SKYBOX_DISTANCE
         super().__init__(center=center, material=material,
                          width=2 * l, height=2 * l, length=2 * l,
@@ -96,7 +113,8 @@ class Panorama(Sphere):
     """Equirect panorama on a giant sphere (reference panorama.py:10-26)."""
 
     def __init__(self, panorama, center=(0.0, 0.0, 0.0), light_intensity=0.0, blur=0.0):
-        material = EnvironmentMaterial(panorama, light_intensity, blur)
+        material = EnvironmentMaterial(panorama, light_intensity, blur,
+                                       layout="equirect")
         super().__init__(center=center, material=material,
                          radius=SKYBOX_DISTANCE, max_ray_depth=9999, shadow=False)
         self.light_intensity = light_intensity

@@ -239,10 +239,12 @@ class GeometryTables:
     tri_uv2: Any = None
     tri_uv3: Any = None
     # normal-mapped meshes: per-triangle uv-aligned tangent (from the uv
-    # derivative of the corner uvs) and the owning normal map's 'tri'-ref
-    # slot (-1 = face not normal-mapped); empty unless some mesh registers
-    # a normal map
+    # derivative of the corner uvs), the uv-handedness sign (+1/-1 —
+    # mirrored uv islands need B = sign * cross(N, T) or the map's green
+    # channel inverts) and the owning normal map's 'tri'-ref slot (-1 =
+    # face not normal-mapped); empty unless some mesh registers a normal map
     tri_tan: Any = None
+    tri_tan_sign: Any = None
     tri_nm_slot: Any = None
 
 
@@ -863,8 +865,9 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
 
     # uv-aligned tangents for normal-mapped meshes: T = dP/du from the
     # corner-uv derivative; orthonormalized against the shading normal at
-    # the hit (integrator._apply_normal_maps)
-    TTAN = None
+    # the hit (integrator._apply_normal_maps).  sign(det) records the uv
+    # handedness so mirrored islands keep a right-handed (T, B, N) frame.
+    TTAN = TSGN = None
     if TNM is not None:
         e1 = (P2 - P1).astype(np.float64)
         e2 = (P3 - P1).astype(np.float64)
@@ -881,6 +884,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                            np.linalg.norm(P2 - P1, axis=1, keepdims=True),
                            1e-12))
         TTAN = tan
+        TSGN = np.where(det < 0, -1.0, 1.0)
     _nr = np.cross(P2 - P1, P3 - P1)
     _nr_u = _nr / np.maximum(np.linalg.norm(_nr, axis=-1, keepdims=True), 1e-20)
     tri_normal = _f(_nr_u)
@@ -932,6 +936,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_uv2=_f(CUV[:, 1]) if CUV is not None else np.zeros((0, 2), F32),
         tri_uv3=_f(CUV[:, 2]) if CUV is not None else np.zeros((0, 2), F32),
         tri_tan=_f(TTAN) if TTAN is not None else np.zeros((0, 3), F32),
+        tri_tan_sign=_f(TSGN) if TSGN is not None else np.zeros((0,), F32),
         tri_nm_slot=(TNM if TNM is not None else np.zeros((0,), I32)),
     )
 

@@ -135,7 +135,8 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
             T = jnp.take(data.geom.tri_tan, row, axis=0, mode="clip")
             T = T - N_geo * jnp.sum(T * N_geo, axis=-1, keepdims=True)
             T = T / jnp.maximum(safe_norm(T, keepdims=True), 1e-20)
-            B = jnp.cross(N_geo, T)
+            sgn = jnp.take(data.geom.tri_tan_sign, row, mode="clip")
+            B = sgn[..., None] * jnp.cross(N_geo, T)
             Nm = 2.0 * (m[..., 0:1] * T + m[..., 1:2] * B
                         + m[..., 2:3] * N_geo)
             Nm = Nm / jnp.maximum(safe_norm(Nm, keepdims=True), 1e-20)

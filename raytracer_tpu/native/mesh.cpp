@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -167,9 +168,10 @@ extern "C" {
 int32_t obj_count(const char *path, int64_t *n_verts, int64_t *n_tris) {
   FILE *f = fopen(path, "r");
   if (!f) return -1;
-  char line[1024];
+  char *line = nullptr;
+  size_t line_cap = 0;
   int64_t nv = 0, nt = 0;
-  while (fgets(line, sizeof line, f)) {
+  while (getline(&line, &line_cap, f) != -1) {
     if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
       nv++;
     } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
@@ -185,6 +187,7 @@ int32_t obj_count(const char *path, int64_t *n_verts, int64_t *n_tris) {
       if (verts >= 3) nt += verts - 2;
     }
   }
+  free(line);
   fclose(f);
   *n_verts = nv;
   *n_tris = nt;
@@ -197,9 +200,10 @@ int32_t obj_count_full(const char *path, int64_t *n_verts, int64_t *n_uvs,
                        int64_t *n_norms, int64_t *n_tris) {
   FILE *f = fopen(path, "r");
   if (!f) return -1;
-  char line[1024];
+  char *line = nullptr;
+  size_t line_cap = 0;
   int64_t nv = 0, nvt = 0, nvn = 0, nt = 0;
-  while (fgets(line, sizeof line, f)) {
+  while (getline(&line, &line_cap, f) != -1) {
     if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
       nv++;
     } else if (line[0] == 'v' && line[1] == 't' &&
@@ -220,6 +224,7 @@ int32_t obj_count_full(const char *path, int64_t *n_verts, int64_t *n_uvs,
       if (verts >= 3) nt += verts - 2;
     }
   }
+  free(line);
   fclose(f);
   *n_verts = nv;
   *n_uvs = nvt;
@@ -265,10 +270,11 @@ int32_t obj_parse_full(const char *path, float *verts, float *uvs,
                        int64_t *face_n) {
   FILE *f = fopen(path, "r");
   if (!f) return -1;
-  char line[1024];
+  char *line = nullptr;
+  size_t line_cap = 0;
   int64_t vi = 0, vti = 0, vni = 0, ti = 0;
   std::vector<Corner> poly;
-  while (fgets(line, sizeof line, f)) {
+  while (getline(&line, &line_cap, f) != -1) {
     if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
       double x, y, z;
       if (sscanf(line + 1, "%lf %lf %lf", &x, &y, &z) == 3) {
@@ -314,6 +320,7 @@ int32_t obj_parse_full(const char *path, float *verts, float *uvs,
       }
     }
   }
+  free(line);
   fclose(f);
   return 0;
 }
@@ -322,10 +329,11 @@ int32_t obj_parse(const char *path, float *verts /* (n_verts,3) */,
                   int64_t *faces /* (n_tris,3) */) {
   FILE *f = fopen(path, "r");
   if (!f) return -1;
-  char line[1024];
+  char *line = nullptr;
+  size_t line_cap = 0;
   int64_t vi = 0, ti = 0;
   std::vector<int64_t> poly;
-  while (fgets(line, sizeof line, f)) {
+  while (getline(&line, &line_cap, f) != -1) {
     if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
       double x, y, z;
       if (sscanf(line + 1, "%lf %lf %lf", &x, &y, &z) == 3) {
@@ -353,6 +361,7 @@ int32_t obj_parse(const char *path, float *verts /* (n_verts,3) */,
       }
     }
   }
+  free(line);
   fclose(f);
   return 0;
 }

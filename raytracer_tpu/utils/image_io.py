@@ -117,11 +117,11 @@ def save_hdr(array, path):
 
 
 def load_hdr(path):
-    """Load a plain (uncompressed) Radiance .hdr written by save_hdr.
+    """Load a Radiance .hdr/.rgbe file (plain OR new-RLE scanlines).
 
-    Returns (H, W, 3) float32 linear radiance.  Supports only the
-    non-RLE scanline layout save_hdr emits (round-trip testing / reuse of
-    our own HDR outputs as light maps).
+    Returns (H, W, 3) float32 linear radiance.  Handles both the
+    uncompressed layout save_hdr emits and the adaptive-RLE scanlines
+    (0x02 0x02 marker) that virtually every distributed .hdr uses.
     """
     with open(path, "rb") as f:
         if f.readline().rstrip() not in (b"#?RADIANCE", b"#?RGBE"):
@@ -136,10 +136,39 @@ def load_hdr(path):
         if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
             raise ValueError(f"{path}: unsupported orientation {dims}")
         h, w = int(dims[1]), int(dims[3])
-        raw = np.frombuffer(f.read(h * w * 4), np.uint8)
-    if raw.size != h * w * 4:
-        raise ValueError(f"{path}: truncated pixel data")
-    rgbe = raw.reshape(h, w, 4).astype(np.float64)
-    exp = rgbe[..., 3]
-    scale = np.where(exp > 0, np.ldexp(1.0, (exp - 136).astype(np.int32)), 0.0)
-    return ((rgbe[..., :3] + 0.5) * scale[..., None]).astype(np.float32)
+        raw = f.read()
+
+    rgbe = np.empty((h, w, 4), np.uint8)
+    if not (8 <= w < 32768) or len(raw) < 4 or raw[0] != 2 or raw[1] != 2:
+        # plain (uncompressed) RGBE quadruples
+        if len(raw) < h * w * 4:
+            raise ValueError(f"{path}: truncated pixel data")
+        rgbe[:] = np.frombuffer(raw[:h * w * 4], np.uint8).reshape(h, w, 4)
+    else:
+        pos = 0
+        for y in range(h):
+            if raw[pos] != 2 or raw[pos + 1] != 2 or \
+                    (raw[pos + 2] << 8 | raw[pos + 3]) != w:
+                raise ValueError(f"{path}: bad RLE scanline header at row {y}")
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = raw[pos]
+                    pos += 1
+                    if n > 128:                       # run of one value
+                        rgbe[y, x:x + n - 128, c] = raw[pos]
+                        pos += 1
+                        x += n - 128
+                    else:                             # literal span
+                        rgbe[y, x:x + n, c] = np.frombuffer(
+                            raw[pos:pos + n], np.uint8)
+                        pos += n
+                        x += n
+                if x != w:
+                    raise ValueError(f"{path}: RLE overrun at row {y}")
+
+    e = rgbe[..., 3].astype(np.float64)
+    scale = np.where(e > 0, np.ldexp(1.0, (e - 136).astype(np.int32)), 0.0)
+    return ((rgbe[..., :3].astype(np.float64) + 0.5)
+            * scale[..., None]).astype(np.float32)

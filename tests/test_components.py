@@ -235,3 +235,68 @@ def test_hdr_environment_is_linear_and_gated(tmp_path):
     lin = np.asarray(sc.render(samples_per_pixel=1, seed=0, output="linear"))
     assert np.allclose(lin[..., 0], 5.0, rtol=0.02)
     assert np.allclose(lin[..., 1], 2.0, rtol=0.02)
+
+
+def test_hdr_rle_load(tmp_path):
+    """load_hdr decodes new-RLE scanlines (the layout real .hdr assets use),
+    matching the plain-scanline decode of the same image."""
+    import numpy as np
+
+    from raytracer_tpu import load_hdr, save_hdr
+
+    rng = np.random.default_rng(3)
+    h, w = 12, 32
+    # piecewise-constant rows -> genuine runs, plus a literal-heavy row
+    a = np.repeat(rng.uniform(0, 20, (h, 4, 3)), w // 4, axis=1)
+    a[5] = rng.uniform(0, 20, (w, 3))
+    plain = tmp_path / "p.hdr"
+    save_hdr(a, plain)
+    ref = load_hdr(plain)
+
+    # re-encode the same RGBE quadruples with new-RLE scanlines
+    raw = plain.read_bytes()
+    head_end = raw.index(b"\n\n") + 2
+    head = raw[:head_end] + f"-Y {h} +X {w}\n".encode()
+    dims_end = raw.index(b"\n", head_end) + 1
+    rgbe = np.frombuffer(raw[dims_end:], np.uint8).reshape(h, w, 4)
+    out = bytearray(head)
+    for y in range(h):
+        out += bytes([2, 2, w >> 8, w & 0xFF])
+        for c in range(4):
+            row = rgbe[y, :, c]
+            x = 0
+            while x < w:
+                # find a run
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 127:
+                    run += 1
+                if run >= 3:
+                    out += bytes([128 + run, int(row[x])])
+                    x += run
+                else:
+                    lit = min(2, w - x)
+                    out += bytes([lit]) + row[x:x + lit].tobytes()
+                    x += lit
+    rle = tmp_path / "r.hdr"
+    rle.write_bytes(bytes(out))
+    got = load_hdr(rle)
+    assert np.array_equal(got, ref)
+
+
+def test_hdr_env_blur_wide_kernel(tmp_path):
+    """An HDR env blur whose kernel exceeds the texture extent keeps the
+    texture shape (regression: r >= width used to slice the image away)."""
+    import numpy as np
+
+    from raytracer_tpu import Panorama, save_hdr
+
+    env = np.zeros((8, 16, 3), np.float32)
+    env[4, 8] = 500.0   # single bright texel
+    p = tmp_path / "e.hdr"
+    save_hdr(env, p)
+    pan = Panorama(str(p), blur=6.0)
+    bt = pan.material.blur_texture
+    assert bt.shape == (8, 16, 3)
+    assert np.isfinite(bt).all() and bt.max() > 0.0
+    # energy spread, not clipped: HDR blur must keep values above 1
+    assert bt.max() > 1.0

@@ -18,13 +18,16 @@ from raytracer_tpu.geometry.intersect import nearest_hit
 
 
 def _sphere_obj(path, n_theta=12, n_phi=24, with_vn=True, with_vt=False):
-    """Lat-long unit sphere OBJ with analytic vertex normals / uvs."""
+    """Lat-long unit sphere OBJ with analytic vertex normals / uvs.
+
+    The seam column is duplicated (u=0 vs u=1) so uv interpolation never
+    runs backwards across the wrap."""
     lines = []
     vid = {}
     for i in range(n_theta + 1):
         th = np.pi * i / n_theta
-        for j in range(n_phi):
-            ph = 2 * np.pi * j / n_phi
+        for j in range(n_phi + 1):
+            ph = 2 * np.pi * (j % n_phi) / n_phi
             x = np.sin(th) * np.cos(ph)
             y = np.cos(th)
             z = np.sin(th) * np.sin(ph)
@@ -36,7 +39,7 @@ def _sphere_obj(path, n_theta=12, n_phi=24, with_vn=True, with_vt=False):
                 lines.append(f"vt {j / n_phi} {1 - i / n_theta}")
 
     def corner(i, j):
-        v = vid[(i, j % n_phi)]
+        v = vid[(i, j)]
         if with_vn and with_vt:
             return f"{v}/{v}/{v}"
         if with_vn:
@@ -252,3 +255,69 @@ def test_triangle_normalmap_rejected():
                     p2=vec3(1, 0, 0), p3=vec3(0, 1, 0)))
     with pytest.raises(ValueError, match="normal maps"):
         compile_scene(sc)
+
+
+def test_mesh_normalmap_uv_handedness(tmp_path):
+    """Mirrored-uv faces keep a consistent tangent frame: a green-channel
+    (+v) perturbation tilts the normal toward +dP/dv on BOTH a straight and
+    a u-mirrored quad (regression: B = cross(N, T) alone flips the map's
+    green channel on mirrored islands)."""
+    from raytracer_tpu.core.integrator import _apply_normal_maps
+
+    nm = np.full((4, 4, 3), 0.5, np.float32)
+    nm[..., 1] = 0.75   # +0.25 in tangent-space y
+    nm[..., 2] = 0.75
+    expected = np.array([0.0, 1.0, 1.0]) / np.sqrt(2.0)
+
+    for mirror in (False, True):
+        u0, u1 = (1, 0) if mirror else (0, 1)
+        f = tmp_path / f"q{mirror}.obj"
+        f.write_text(f"""
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vt {u0} 0
+vt {u1} 0
+vt {u0} 1
+vt {u1} 1
+f 1/1 2/2 4/4 3/3
+""")
+        mat = Emissive(color=rgb(1, 1, 1))
+        mat.set_normalmap(nm)
+        sc = Scene()
+        sc.add_Camera(look_from=vec3(0.5, 0.5, 2), look_at=vec3(0.5, 0.5, 0),
+                      screen_width=8, screen_height=8)
+        sc.add(TriangleMesh(str(f), center=vec3(0, 0, 0), material=mat))
+        static, data = compile_scene(sc)
+        O = jnp.asarray([[0.5, 0.5, 2.0]], jnp.float32)
+        D = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+        P = O + t[:, None] * D
+        N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
+        N = np.asarray(_apply_normal_maps(N_geo, P, uv, obj, data, static))
+        assert np.abs(N - expected).max() < 1e-3, (mirror, N)
+
+
+def test_parser_long_face_line(tmp_path):
+    """Native parser handles face lines longer than any fixed buffer
+    (regression: 1024-byte fgets silently dropped corners)."""
+    from raytracer_tpu.geometry.primitive import _parse_obj_full
+    from raytracer_tpu.native import available, parse_obj_full
+
+    n = 200
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    lines = [f"v {np.cos(a):.9f} {np.sin(a):.9f} 0.000000000" for a in ang]
+    lines.append("f " + " ".join(str(i + 1) for i in range(n)))  # ~800B
+    lines.append("f " + " ".join(f"{i + 1}/{i + 1}/{i + 1}"
+                                 for i in range(n)))             # ~2.4kB
+    f = tmp_path / "poly.obj"
+    f.write_text("\n".join(lines) + "\nvt 0 0\n" * 0)
+    py = _parse_obj_full(f)
+    assert py[3].shape == (2 * (n - 2), 3)
+    if not available():
+        pytest.skip("native library unavailable")
+    nat = parse_obj_full(f)
+    for a, b in zip(nat, py):
+        assert np.array_equal(np.asarray(a, np.float64),
+                              np.asarray(b, np.float64))
