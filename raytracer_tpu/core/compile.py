@@ -318,6 +318,7 @@ class TexRef:
     slot: int
     tex: int
     repeat: float
+    bilinear: bool = False
 
 
 @dataclass(frozen=True)
@@ -326,8 +327,9 @@ class NormalMapRef:
     obj: int
     tex: int
     repeat: float
-    basis_kind: str    # 'plane' or 'box'
+    basis_kind: str    # 'sphere', 'plane', 'box' or 'tri'
     local_id: int      # index into the type's geometry table
+    bilinear: bool = False
 
 
 @dataclass(frozen=True)
@@ -487,6 +489,7 @@ def _fp_material(h, m, up):
         elif isinstance(t, image_texture):
             up(str(id(t.img)).encode())
             up(np.float64(t.repeat).tobytes())
+            up(bytes([getattr(t, "bilinear", False)]))
     for f in ("ambient_weight", "roughness", "spec_coeff", "diff_coeff",
               "thickness", "noise_factor", "light_intensity", "dispersion"):
         v = getattr(m, f, None)
@@ -634,7 +637,8 @@ class _Builder:
         def tex_of(texture_obj, out_list):
             if isinstance(texture_obj, image_texture):
                 out_list.append(TexRef(slot, self.add_texture(texture_obj.img),
-                                       texture_obj.repeat))
+                                       texture_obj.repeat,
+                                       getattr(texture_obj, "bilinear", False)))
 
         if t == MAT_DIFFUSE:
             tex_of(mat.diff_texture, self.diffuse_tex)
@@ -664,7 +668,8 @@ class _Builder:
             if m.normalmap is not None:
                 self.normal_maps.append(
                     (type_key, local_id, self.add_texture(m.normalmap),
-                     m.normalmap_repeat, kind))
+                     m.normalmap_repeat, kind,
+                     getattr(m, "normalmap_bilinear", False)))
 
         if isinstance(prim, (Sphere, Panorama)):
             local = len(self.spheres)
@@ -672,10 +677,8 @@ class _Builder:
             self.props["sphere"].append(row)
             if isinstance(prim, Panorama):
                 self._patch_env_kind(slot, "sphere")
-            elif prim.material.normalmap is not None:
-                raise ValueError("normal maps require a (u,v,n) basis; "
-                                 "supported on Plane, Cuboid and "
-                                 "TriangleMesh (with vt) only")
+            else:
+                register_normalmap("sphere", "sphere", local)
         elif isinstance(prim, Plane):
             local = len(self.planes)
             self.planes.append((prim.center, prim.u_axis, prim.v_axis,
@@ -710,7 +713,8 @@ class _Builder:
                 ref = len(self.tri_nm_blocks)
                 self.normal_maps.append(
                     ("tri", ref, self.add_texture(prim.material.normalmap),
-                     prim.material.normalmap_repeat, "tri"))
+                     prim.material.normalmap_repeat, "tri",
+                     getattr(prim.material, "normalmap_bilinear", False)))
                 self.tri_nm_blocks.append((start, len(prim.faces), ref))
         elif isinstance(prim, Triangle):
             if prim.material.normalmap is not None:
@@ -1004,8 +1008,9 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     offsets = {"sphere": 0, "plane": S, "box": S + Pn, "tri": S + Pn + B}
     nmaps = tuple(
         NormalMapRef(obj=(-1 if kind == "tri" else offsets[type_key] + local),
-                     tex=tex, repeat=rep, basis_kind=kind, local_id=local)
-        for (type_key, local, tex, rep, kind) in b.normal_maps
+                     tex=tex, repeat=rep, basis_kind=kind, local_id=local,
+                     bilinear=bl)
+        for (type_key, local, tex, rep, kind, bl) in b.normal_maps
     )
 
     present = tuple(sorted({int(r["mat_type"]) for r in rows}))
@@ -1071,8 +1076,10 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     # path-recording variant: image textures / env maps / thin-film LUTs are
     # applied in a jnp pass over the recorded path vertices; normal maps
     # perturb sampling directions and cannot be deferred
+    any_bilinear = any(r.bilinear for r in (b.diffuse_tex + b.glossy_tex
+                                            + b.emissive_tex))
     pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
-                     and not b.has_hdr_env
+                     and not b.has_hdr_env and not any_bilinear
                      and set(present) <= _PALLAS_TEX_TYPES)
 
     atlas, tex_scale, tex_shapes, tex_offsets = _texture_atlas(tuple(b.textures))

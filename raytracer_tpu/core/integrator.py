@@ -122,7 +122,22 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
     tri_off = static.n_spheres + static.n_planes + static.n_boxes
     for ref in static.normal_maps:
         tex = data.textures[ref.tex]
-        m = shade.fetch_texture(tex, uv, ref.repeat) - 0.5
+        m = shade.fetch_texture(tex, uv, ref.repeat,
+                                getattr(ref, "bilinear", False)) - 0.5
+        if ref.basis_kind == "sphere":
+            # per-ray tangent frame from the spherical parameterization:
+            # T = dP/du (longitude), B = dP/dv (latitude) = cross(T, N).
+            # N_geo IS the sphere normal on the rays this ref masks.
+            s = jnp.sqrt(jnp.maximum(
+                N_geo[..., 0] ** 2 + N_geo[..., 2] ** 2, 1e-12))
+            T = jnp.stack([-N_geo[..., 2] / s, jnp.zeros_like(s),
+                           N_geo[..., 0] / s], axis=-1)
+            B = jnp.cross(T, N_geo)
+            Nm = 2.0 * (m[..., 0:1] * T + m[..., 1:2] * B
+                        + m[..., 2:3] * N_geo)
+            Nm = Nm / jnp.maximum(safe_norm(Nm, keepdims=True), 1e-20)
+            N = jnp.where((obj_id == ref.obj)[..., None], Nm, N)
+            continue
         if ref.basis_kind == "tri":
             # mesh faces: per-ray tangent frame — the compile-time
             # uv-aligned tangent orthonormalized against the (possibly

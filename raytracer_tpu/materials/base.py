@@ -38,16 +38,20 @@ class Material:
     def __init__(self, normalmap=None):
         self.normalmap = None
         self.normalmap_repeat = 1.0
+        self.normalmap_bilinear = False
         if normalmap is not None:
             self.set_normalmap(normalmap)
         self.assigned_primitive = None
 
-    def set_normalmap(self, normalmap, repeat=1.0):
+    def set_normalmap(self, normalmap, repeat=1.0, filter="nearest"):
         if isinstance(normalmap, np.ndarray):
             self.normalmap = np.asarray(normalmap, dtype=np.float32)
         else:
             self.normalmap = load_image(normalmap, subdir_hint="normalmaps")
         self.normalmap_repeat = float(repeat)
+        if filter not in ("nearest", "bilinear"):
+            raise ValueError(f"filter must be 'nearest' or 'bilinear', got {filter!r}")
+        self.normalmap_bilinear = filter == "bilinear"
 
 
 class CustomMaterial(Material):

@@ -91,24 +91,48 @@ def _split_branch(ctx, cont):
 # ---------------------------------------------------------------------------
 
 
-def fetch_texture(tex, uv, repeat=1.0):
-    """Wrap-around nearest-neighbour fetch, replicating reference indexing
+def fetch_texture(tex, uv, repeat=1.0, bilinear=False):
+    """Texture fetch in the reference's wrap-around indexing convention
     (sightpy/textures/texture.py:32-39): row index is the *negated* scaled v
     (python negative indexing), column is scaled u, both modulo the size.
+
+    bilinear=False is the reference-exact nearest fetch; bilinear=True
+    wrap-interpolates the four neighbours in the same convention (a
+    constant texture fetches identically either way).
     """
     H, W = tex.shape[0], tex.shape[1]
-    iu = jnp.mod((uv[..., 0] * (W * repeat)).astype(jnp.int32), W)
-    iv = jnp.mod((uv[..., 1] * (H * repeat)).astype(jnp.int32), H)
-    row = jnp.mod(-iv, H)
-    flat = row * W + iu
-    return jnp.take(tex.reshape(-1, tex.shape[-1]), flat, axis=0)
+    flat_tex = tex.reshape(-1, tex.shape[-1])
+
+    def tap(iu, iv):
+        col = jnp.mod(iu, W)
+        row = jnp.mod(-iv, H)
+        return jnp.take(flat_tex, row * W + col, axis=0)
+
+    if not bilinear:
+        iu = (uv[..., 0] * (W * repeat)).astype(jnp.int32)
+        iv = (uv[..., 1] * (H * repeat)).astype(jnp.int32)
+        return tap(iu, iv)
+
+    x = uv[..., 0] * (W * repeat) - 0.5
+    y = uv[..., 1] * (H * repeat) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+    return ((1 - fx) * (1 - fy) * tap(ix, iy)
+            + fx * (1 - fy) * tap(ix + 1, iy)
+            + (1 - fx) * fy * tap(ix, iy + 1)
+            + fx * fy * tap(ix + 1, iy + 1))
 
 
 def _slot_color(solid_table, slot, uv, tex_refs, textures):
     """Per-ray color: solid color table overridden by per-slot image textures."""
     color = jnp.take(solid_table, slot, axis=0, mode="clip")
     for ref in tex_refs:
-        c = fetch_texture(textures[ref.tex], uv, ref.repeat)
+        c = fetch_texture(textures[ref.tex], uv, ref.repeat,
+                          getattr(ref, "bilinear", False))
         color = jnp.where((slot == ref.slot)[..., None], c, color)
     return color
 

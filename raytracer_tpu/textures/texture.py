@@ -25,12 +25,19 @@ class solid_color(texture):
 
 
 class image(texture):
-    def __init__(self, img, repeat=1.0):
+    """Image texture.  filter="nearest" replicates the reference's fetch
+    (texture.py:32-39); "bilinear" wrap-interpolates the four neighbours
+    (beyond the reference; such scenes render on the jnp wavefront)."""
+
+    def __init__(self, img, repeat=1.0, filter="nearest"):
         if isinstance(img, np.ndarray):
             self.img = np.asarray(img, dtype=np.float32)
         else:
             self.img = load_image_as_linear_srgb(img, subdir_hint="textures")
         self.repeat = float(repeat)
+        if filter not in ("nearest", "bilinear"):
+            raise ValueError(f"filter must be 'nearest' or 'bilinear', got {filter!r}")
+        self.bilinear = filter == "bilinear"
 
 
 def as_texture(value, name="color"):

@@ -61,15 +61,18 @@ def test_normal_map_changes_shading():
     assert not np.allclose(flat, bumped)
 
 
-def test_normal_map_on_sphere_rejected():
+def test_normal_map_on_sphere_supported():
+    """Sphere normal maps are supported (analytic spherical tangent frame;
+    closed-form direction check in test_texture_filter.py).  A neutral map
+    renders finite."""
     sc = Scene()
     sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, -1),
                   screen_width=4, screen_height=4)
     mat = Diffuse(diff_color=rgb(0.5, 0.5, 0.5))
-    mat.set_normalmap(np.zeros((4, 4, 3), np.float32))
+    mat.set_normalmap(np.full((4, 4, 3), 0.5, np.float32))
     sc.add(Sphere(material=mat, center=vec3(0, 0, -1), radius=0.5))
-    with pytest.raises(ValueError, match="normal maps"):
-        sc.render(samples_per_pixel=1)
+    img = sc.render(samples_per_pixel=1, seed=0, output="linear")
+    assert np.isfinite(np.asarray(img)).all()
 
 
 def test_skybox_and_panorama_backgrounds():
