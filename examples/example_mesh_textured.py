@@ -79,7 +79,7 @@ def beach_ball_texture(w=512, h=256, stripes=6):
 obj_path = os.path.join(tempfile.gettempdir(), "beachball.obj")
 n_faces = write_uv_sphere_obj(obj_path)
 
-ball = Glossy(diff_color=image(beach_ball_texture()),
+ball = Glossy(diff_color=image(beach_ball_texture(), filter="bilinear"),
               n=vec3(1.3 + 0j, 1.3 + 0j, 1.3 + 0j),
               roughness=0.15, spec_coeff=0.25, diff_coeff=0.9)
 floor = Glossy(diff_color=rgb(0.35, 0.32, 0.28),
