@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..backgrounds.environment import Panorama, SkyBox
-from ..geometry.primitive import Cuboid, Plane, Primitive, Sphere, Triangle, TriangleMesh
+from ..geometry.primitive import (Cuboid, MeshInstances, Plane, Primitive,
+                                  Sphere, Triangle, TriangleMesh)
 from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
                               MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)
 from ..textures.texture import image as image_texture
@@ -246,6 +247,20 @@ class GeometryTables:
     tri_tan: Any = None
     tri_tan_sign: Any = None
     tri_nm_slot: Any = None
+    # mesh instancing (MeshInstances): triangle tables above hold ONE
+    # object-space copy per mesh; each instance is a rigid + uniform-scale
+    # transform world = R @ (s x) + t.  Cluster records carry the OWNING
+    # instance (tri_cl_inst) and the cluster's first VIRTUAL object id
+    # (tri_cl_virt; == tri_cl_start when no instances).  Virtual triangle
+    # object ids map back to (physical row, instance) via tri_virt_row /
+    # tri_virt_inst (empty when the scene has no MeshInstances).
+    tri_cl_inst: Any = None
+    tri_cl_virt: Any = None
+    tri_virt_row: Any = None
+    tri_virt_inst: Any = None
+    inst_rot: Any = None        # (I, 3, 3) object -> world rotation
+    inst_trans: Any = None      # (I, 3)
+    inst_inv_scale: Any = None  # (I,) 1 / uniform scale
 
 
 @jax.tree_util.register_dataclass
@@ -557,6 +572,22 @@ def scene_fingerprint(scene) -> bytes:
             arr(prim.p1)
             arr(prim.p2)
             arr(prim.p3)
+        elif isinstance(prim, MeshInstances):
+            mesh = prim.mesh
+            arr(mesh.vertices)
+            up(np.ascontiguousarray(mesh.faces).tobytes())
+            up(bytes([mesh.corner_normals is not None,
+                      mesh.corner_uvs is not None]))
+            if mesh.corner_normals is not None:
+                arr(mesh.corner_normals)
+            if mesh.corner_uvs is not None:
+                arr(mesh.corner_uvs)
+            for (R, t, s, mat) in prim.instances:
+                arr(R)
+                arr(t)
+                arr((s,))
+                if mat is not None:
+                    _fp_material(h, mat, up)
     for light in scene.Light_list:
         up(type(light).__name__.encode())
         arr(getattr(light, "Ldir", getattr(light, "pos", (0, 0, 0))))
@@ -595,6 +626,11 @@ class _Builder:
         # (start_row, count, tri_ref_index) runs of normal-mapped mesh faces;
         # tri_ref_index numbers the 'tri'-kind entries of self.normal_maps
         self.tri_nm_blocks = []
+        self._tri_nm_refs = 0
+        # MeshInstances groups: (mesh, [instance dict], nm_ref or None).
+        # Their triangles are NOT in self.tris — compile_scene lays each
+        # group out as its own object-space region (see _layout_instanced).
+        self.mesh_groups = []
         # any EnvironmentMaterial loaded from a Radiance .hdr: unbounded
         # linear radiance, excluded from the 10-bit packed-atlas record path
         self.has_hdr_env = False
@@ -658,7 +694,51 @@ class _Builder:
         return (t, slot)
 
     # -- primitives --------------------------------------------------------
+    def add_mesh_instances(self, prim: MeshInstances):
+        """Register a MeshInstances group (object-space tables shared by all
+        of its transforms; laid out as one region in _layout_instanced)."""
+        if not prim.instances:
+            raise ValueError("MeshInstances has no instances; call .add()")
+        mesh = prim.mesh
+        insts = []
+        eff_mats = []
+        for (R, tr, s, mat) in prim.instances:
+            m = mat if mat is not None else prim.material
+            eff_mats.append(m)
+            mt, slot = self.material_slot(m)
+            insts.append(dict(
+                R=np.asarray(R, np.float64), t=np.asarray(tr, np.float64),
+                s=float(s),
+                row=dict(mat_type=mt, mat_slot=slot,
+                         max_depth=min(prim.max_ray_depth, 10 ** 6),
+                         mc=prim.mc, shadow=prim.shadow)))
+        # normal maps: the per-face slot table is per PHYSICAL row, shared by
+        # every instance — so all instances must agree on the map
+        nm_ref = None
+        nmaps = {id(m.normalmap) for m in eff_mats if m.normalmap is not None}
+        if nmaps:
+            if len(nmaps) > 1 or any(m.normalmap is None for m in eff_mats):
+                raise ValueError(
+                    "all instances of a MeshInstances group must share one "
+                    "normal map (the tangent/slot tables are per mesh face)")
+            if mesh.corner_uvs is None:
+                raise ValueError(
+                    "a normal-mapped MeshInstances mesh needs vt texture "
+                    "coordinates in the OBJ (the tangent basis comes from "
+                    "the uv layout)")
+            m0 = eff_mats[0]
+            nm_ref = self._tri_nm_refs
+            self._tri_nm_refs += 1
+            self.normal_maps.append(
+                ("tri", nm_ref, self.add_texture(m0.normalmap),
+                 m0.normalmap_repeat, "tri",
+                 getattr(m0, "normalmap_bilinear", False)))
+        self.mesh_groups.append((mesh, insts, nm_ref))
+
     def add_primitive(self, prim: Primitive):
+        if isinstance(prim, MeshInstances):
+            self.add_mesh_instances(prim)
+            return
         t, slot = self.material_slot(prim.material)
         row = dict(mat_type=t, mat_slot=slot, max_depth=min(prim.max_ray_depth, 10 ** 6),
                    mc=prim.mc, shadow=prim.shadow)
@@ -710,7 +790,8 @@ class _Builder:
                         "a normal-mapped TriangleMesh needs vt texture "
                         "coordinates in the OBJ (the tangent basis comes "
                         "from the uv layout)")
-                ref = len(self.tri_nm_blocks)
+                ref = self._tri_nm_refs
+                self._tri_nm_refs += 1
                 self.normal_maps.append(
                     ("tri", ref, self.add_texture(prim.material.normalmap),
                      prim.material.normalmap_repeat, "tri",
@@ -789,6 +870,148 @@ def _cluster_runs(TV, B):
     return starts, np.nanmin(v64, axis=1), np.nanmax(v64, axis=1)
 
 
+def _inflate(lo, hi):
+    """Conservative f32 inflation of cluster AABBs: the box is only a
+    prefilter (the triangle test decides hits), so slab rounding must never
+    cull a genuinely hit cluster."""
+    pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
+    return _f(lo - pad), _f(hi + pad)
+
+
+def _inst_world_aabb(lo, hi, R, t, s):
+    """(C, 3) object-space boxes -> world AABBs under world = R @ (s x) + t
+    (transform all 8 corners; min/max)."""
+    corners = np.stack([np.where(np.asarray(m, bool)[None, :], hi, lo)
+                        for m in np.ndindex(2, 2, 2)], axis=1)    # (C, 8, 3)
+    w = (s * corners) @ R.T + t[None, None, :]
+    return w.min(axis=1), w.max(axis=1)
+
+
+def _layout_instanced(b, TV, CVN, CUV, TNM):
+    """Physical/virtual triangle-table layout for MeshInstances scenes.
+
+    Regions: region 0 = plain triangles (Triangle prims + non-instanced
+    meshes, identity transform), then one region per group holding ONE
+    object-space copy of the mesh shared by all of its instances — the
+    two-level "TLAS" the reference never had (its mesh support is dead code,
+    triangle_mesh.py:12-43).  Every region is SAH-leaf-ordered and padded to
+    a whole number of TRI_CLUSTER_SIZE rows with degenerate (zero) triangles
+    so a cluster's fixed-size dynamic_slice can never pick up rows owned by a
+    different instance transform.  Each (cluster, instance) pair contributes
+    one cluster record whose AABB is the object-space box pushed through the
+    instance transform; the sweep pulls ray tiles into instance space instead
+    (geometry/intersect.py) — t-parameterization is preserved by rigid +
+    uniform-scale maps, so nearest-hit compares stay in world units.
+
+    Virtual object ids: region-0 rows first (one id per row), then one id per
+    (instance, row).  tri_virt_row / tri_virt_inst map a virtual id back to
+    its physical row and owning instance for hit attributes
+    (geometry/attrs.py).
+    """
+    from ..geometry.intersect import TRI_CLUSTER_SIZE as B
+    from ..native import build_bvh
+
+    any_attrs = CVN is not None or any(
+        mesh.corner_normals is not None or mesh.corner_uvs is not None
+        for mesh, _, _ in b.mesh_groups)
+    any_nm = TNM is not None or any(ref is not None
+                                    for _, _, ref in b.mesh_groups)
+
+    def _default_cvn(tvr):
+        fn = np.cross(tvr[:, 1] - tvr[:, 0], tvr[:, 2] - tvr[:, 0])
+        fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+        return np.repeat(fn[:, None, :], 3, axis=1).astype(np.float64)
+
+    def _default_cuv(T):
+        return np.tile(np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+                       (T, 1, 1))
+
+    phys_tv, phys_cvn, phys_cuv, phys_tnm = [], [], [], []
+    cl_lo, cl_hi, cl_start, cl_virt, cl_inst = [], [], [], [], []
+    inst_R, inst_t, inst_s = [np.eye(3)], [np.zeros(3)], [1.0]
+    virt_rows, virt_insts = [], []
+    seg_props = []           # (row count, shared props row) per instance
+    state = {"phys": 0, "virt": 0}
+
+    def add_region(tvr, cvnr, cuvr, tnmr, transforms):
+        """transforms: list of (R, t, s, inst_id or None to allocate)."""
+        T = tvr.shape[0]
+        perm = (build_bvh(tvr)["order"] if T >= 2
+                else np.arange(T, dtype=np.int64))
+        tvr = tvr[perm]
+        starts, lo, hi = _cluster_runs(tvr, B)
+        C = starts.shape[0]
+        padr = C * B - T
+        phys_tv.append(np.pad(tvr, ((0, padr), (0, 0), (0, 0))))
+        if any_attrs:
+            # provided tables are pre-permutation; defaults come from the
+            # already-permuted vertices and need no reorder
+            cvnr = _default_cvn(tvr) if cvnr is None else cvnr[perm]
+            cuvr = _default_cuv(T) if cuvr is None else cuvr[perm]
+            phys_cvn.append(np.pad(cvnr, ((0, padr), (0, 0), (0, 0))))
+            phys_cuv.append(np.pad(cuvr, ((0, padr), (0, 0), (0, 0))))
+        if any_nm:
+            tnmr = (np.full((T,), -1, I32) if tnmr is None
+                    else np.asarray(tnmr)[perm])
+            phys_tnm.append(np.pad(tnmr, (0, padr), constant_values=-1))
+        for (R, tr, s, inst_id) in transforms:
+            if inst_id is None:
+                inst_id = len(inst_R)
+                inst_R.append(R)
+                inst_t.append(tr)
+                inst_s.append(s)
+            lo_w, hi_w = _inst_world_aabb(lo, hi, R, tr, s)
+            lo_w, hi_w = _inflate(lo_w, hi_w)
+            cl_lo.append(lo_w)
+            cl_hi.append(hi_w)
+            cl_start.append(state["phys"] + starts)
+            cl_virt.append(state["virt"] + starts)
+            cl_inst.append(np.full((C,), inst_id, I32))
+            virt_rows.append(state["phys"] + np.arange(T, dtype=np.int64))
+            virt_insts.append(np.full((T,), inst_id, I32))
+            state["virt"] += T
+        state["phys"] += C * B
+        return perm
+
+    perm0 = None
+    if TV.shape[0]:
+        # attr/nm permutation happens inside add_region; the caller permutes
+        # the per-row property dicts with the returned perm
+        perm0 = add_region(TV, CVN, CUV, TNM,
+                           [(np.eye(3), np.zeros(3), 1.0, 0)])
+    for mesh, insts, nm_ref in b.mesh_groups:
+        tvr = np.asarray(mesh.triangles, F32)
+        T = tvr.shape[0]
+        cvnr = cuvr = None
+        if any_attrs:
+            cvnr = (np.asarray(mesh.corner_normals, np.float64)
+                    if mesh.corner_normals is not None else None)
+            cuvr = (np.asarray(mesh.corner_uvs, np.float64)
+                    if mesh.corner_uvs is not None else None)
+        tnmr = None
+        if any_nm:
+            tnmr = np.full((T,), -1 if nm_ref is None else nm_ref, I32)
+        add_region(tvr, cvnr, cuvr, tnmr,
+                   [(i["R"], i["t"], i["s"], None) for i in insts])
+        for i in insts:
+            seg_props.append((T, i["row"]))
+
+    cat = np.concatenate
+    return dict(
+        TV=cat(phys_tv).astype(F32),
+        CVN=cat(phys_cvn) if any_attrs else None,
+        CUV=cat(phys_cuv) if any_attrs else None,
+        TNM=cat(phys_tnm) if any_nm else None,
+        cl_lo=cat(cl_lo), cl_hi=cat(cl_hi),
+        cl_start=_i(cat(cl_start)), cl_virt=_i(cat(cl_virt)),
+        cl_inst=cat(cl_inst),
+        virt_row=_i(cat(virt_rows)), virt_inst=cat(virt_insts),
+        inst_rot=_f(np.stack(inst_R)), inst_trans=_f(np.stack(inst_t)),
+        inst_inv_scale=_f(1.0 / np.asarray(inst_s)),
+        seg_props=seg_props, n_virtual=state["virt"], perm0=perm0,
+    )
+
+
 def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     b = _Builder()
     for prim in scene.scene_primitives:
@@ -833,7 +1056,18 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     tri_cl_lo = np.zeros((0, 3), F32)
     tri_cl_hi = np.zeros((0, 3), F32)
     tri_cl_start = np.zeros((0,), I32)
-    if len(b.tris) >= BVH_THRESHOLD:
+    lay = None
+    if b.mesh_groups:
+        # instanced scenes ALWAYS use the clustered sweep (the flat sweep has
+        # no per-row transform); _layout_instanced permutes/pads the attr
+        # tables itself, region 0's per-row property dicts are permuted here
+        lay = _layout_instanced(b, TV, CVN, CUV, TNM)
+        if lay["perm0"] is not None:
+            b.props["tri"] = [b.props["tri"][i] for i in lay["perm0"]]
+        TV, CVN, CUV, TNM = lay["TV"], lay["CVN"], lay["CUV"], lay["TNM"]
+        tri_cl_lo, tri_cl_hi = lay["cl_lo"], lay["cl_hi"]
+        tri_cl_start = lay["cl_start"]
+    elif len(b.tris) >= BVH_THRESHOLD:
         from ..native import build_bvh
         tri_bvh = build_bvh(TV)
         perm = tri_bvh["order"]
@@ -850,12 +1084,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         TV = TV[perm]
         b.props["tri"] = [b.props["tri"][i] for i in perm]
         starts, lo, hi = _cluster_runs(TV, TRI_CLUSTER_SIZE)
-        # inflate generously: the AABB is only a conservative prefilter (the
-        # triangle test decides hits), so f32 slab rounding must never cull a
-        # genuinely hit cluster
-        pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
-        tri_cl_lo = _f(lo - pad)
-        tri_cl_hi = _f(hi + pad)
+        tri_cl_lo, tri_cl_hi = _inflate(lo, hi)
         tri_cl_start = _i(starts)
 
     if perm is not None and CVN is not None:
@@ -942,26 +1171,46 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_tan=_f(TTAN) if TTAN is not None else np.zeros((0, 3), F32),
         tri_tan_sign=_f(TSGN) if TSGN is not None else np.zeros((0,), F32),
         tri_nm_slot=(TNM if TNM is not None else np.zeros((0,), I32)),
+        tri_cl_inst=(lay["cl_inst"] if lay else np.zeros((0,), I32)),
+        tri_cl_virt=(lay["cl_virt"] if lay else tri_cl_start),
+        tri_virt_row=(lay["virt_row"] if lay else np.zeros((0,), I32)),
+        tri_virt_inst=(lay["virt_inst"] if lay else np.zeros((0,), I32)),
+        inst_rot=(lay["inst_rot"] if lay else np.zeros((0, 3, 3), F32)),
+        inst_trans=(lay["inst_trans"] if lay else np.zeros((0, 3), F32)),
+        inst_inv_scale=(lay["inst_inv_scale"] if lay
+                        else np.zeros((0,), F32)),
     )
 
-    # ---- object tables in global id order --------------------------------
+    # ---- object tables in global (virtual) id order ------------------------
+    # dict rows cover spheres/planes/boxes/plain triangles; MeshInstances
+    # groups append one CONSTANT segment per instance (np.full, not per-face
+    # Python dicts — host compile time stays O(mesh), not O(instances*mesh))
     rows = (b.props["sphere"] + b.props["plane"] + b.props["box"] + b.props["tri"])
-    packed_rows = [
-        (r["mat_type"]
-         | (r["mat_slot"] << PACKED_SLOT_SHIFT)
-         | (min(r["max_depth"], 1023) << PACKED_DEPTH_SHIFT)
-         | (int(r["mc"]) << PACKED_MC_SHIFT)
-         | (int(r["shadow"]) << PACKED_SHADOW_SHIFT))
-        for r in rows
-    ]
-    obj = ObjectTables(
-        mat_type=_i([r["mat_type"] for r in rows]) if rows else np.zeros((0,), I32),
-        mat_slot=_i([r["mat_slot"] for r in rows]) if rows else np.zeros((0,), I32),
-        max_depth=_i([min(r["max_depth"], 1023) for r in rows]) if rows else np.zeros((0,), I32),
-        mc=np.asarray([r["mc"] for r in rows], dtype=bool) if rows else np.zeros((0,), bool),
-        shadow=np.asarray([r["shadow"] for r in rows], dtype=bool) if rows else np.zeros((0,), bool),
-        packed=_i(packed_rows) if rows else np.zeros((0,), I32),
-    )
+    segs = lay["seg_props"] if lay else []
+
+    def _col(key, dtype):
+        parts = []
+        if rows:
+            parts.append(np.asarray([r[key] for r in rows], dtype))
+        for cnt, r in segs:
+            parts.append(np.full((cnt,), r[key], dtype))
+        return np.concatenate(parts) if parts else np.zeros((0,), dtype)
+
+    mat_type_a = _col("mat_type", I32)
+    mat_slot_a = _col("mat_slot", I32)
+    depth_raw = _col("max_depth", I32)
+    depth_a = np.minimum(depth_raw, 1023)
+    mc_a = _col("mc", bool)
+    shadow_a = _col("shadow", bool)
+    packed_a = (mat_type_a
+                | (mat_slot_a << PACKED_SLOT_SHIFT)
+                | (depth_a << PACKED_DEPTH_SHIFT)
+                | (mc_a.astype(I32) << PACKED_MC_SHIFT)
+                | (shadow_a.astype(I32) << PACKED_SHADOW_SHIFT))
+    n_obj_total = int(mat_type_a.shape[0])
+    obj = ObjectTables(mat_type=mat_type_a, mat_slot=mat_slot_a,
+                       max_depth=depth_a, mc=mc_a, shadow=shadow_a,
+                       packed=_i(packed_a))
 
     # ---- material tables -------------------------------------------------
     def solid_of(m, attr):
@@ -1013,7 +1262,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         for (type_key, local, tex, rep, kind, bl) in b.normal_maps
     )
 
-    present = tuple(sorted({int(r["mat_type"]) for r in rows}))
+    present = tuple(sorted(int(x) for x in np.unique(mat_type_a)))
     # uv coordinates are only needed when something samples them; solid-color
     # scenes (e.g. the Cornell box) skip the whole uv computation per bounce
     needs_uv = bool(b.diffuse_tex or b.glossy_tex or b.emissive_tex
@@ -1048,6 +1297,12 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     for props in b.props["tri"]:
         obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+    # one record per MeshInstances instance (not per face): records feed the
+    # bounce-budget/split derivations and the Pallas group count; the Pallas
+    # paths themselves are gated off for instanced scenes
+    for _cnt, props in segs:
+        obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
     tri_rows = np.zeros((TV.shape[0], 24), F32)
     tri_rows[:, 0:3] = P1
     tri_rows[:, 3:6] = P2
@@ -1065,11 +1320,12 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     n_groups = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
                     for r in obj_records})
     has_dispersion = any(getattr(m, "dispersion", False) for m in ref)
-    _common_ok = (0 < len(rows) <= PALLAS_MAX_OBJECTS
+    _common_ok = (0 < n_obj_total <= PALLAS_MAX_OBJECTS
                   and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
                   and tri_bvh is None
                   and not has_dispersion
+                  and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
                                      # jnp wavefront (interp in attrs.py)
     pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)
@@ -1084,9 +1340,13 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
 
     atlas, tex_scale, tex_shapes, tex_offsets = _texture_atlas(tuple(b.textures))
 
+    # triangle object-id space is VIRTUAL under instancing: region-0 rows
+    # then one id per (instance, row) — see _layout_instanced
+    n_tris_virtual = lay["n_virtual"] if lay else len(b.tris)
+    _d_raw = depth_raw[depth_raw < 999]
     static = SceneStatic(
-        n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=len(b.tris),
-        n_objects=len(rows),
+        n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=n_tris_virtual,
+        n_objects=n_obj_total,
         n_dir_lights=int(lights.dir_l.shape[0]),
         n_point_lights=int(lights.point_pos.shape[0]),
         n_is_targets=int(is_center.shape[0]),
@@ -1100,8 +1360,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         normal_maps=nmaps,
         tex_shapes=tex_shapes,
         tex_offsets=tex_offsets,
-        has_shadow_objects=any(r["shadow"] for r in rows),
-        max_object_depth=max([r["max_depth"] for r in rows if r["max_depth"] < 999] or [5]),
+        has_shadow_objects=bool(shadow_a.any()),
+        max_object_depth=int(_d_raw.max()) if _d_raw.size else 5,
         needs_uv=needs_uv,
         obj_records=tuple(obj_records),
         pallas_ok=pallas_ok,

@@ -141,13 +141,24 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
         if ref.basis_kind == "tri":
             # mesh faces: per-ray tangent frame — the compile-time
             # uv-aligned tangent orthonormalized against the (possibly
-            # vertex-interpolated) shading normal
-            row = jnp.clip(obj_id - tri_off, 0,
-                           max(data.geom.tri_tan.shape[0] - 1, 0))
+            # vertex-interpolated) shading normal.  Under MeshInstances the
+            # object id is virtual: map to (physical row, instance) and
+            # rotate the object-space tangent into world first.
+            row = obj_id - tri_off
+            if data.geom.tri_virt_row.shape[0]:
+                virt = jnp.clip(row, 0, data.geom.tri_virt_row.shape[0] - 1)
+                row = jnp.take(data.geom.tri_virt_row, virt, mode="clip")
+                inst = jnp.take(data.geom.tri_virt_inst, virt, mode="clip")
+                R_i = jnp.take(data.geom.inst_rot, inst, axis=0, mode="clip")
+            else:
+                row = jnp.clip(row, 0, max(data.geom.tri_tan.shape[0] - 1, 0))
+                R_i = None
             mask = ((obj_id >= tri_off)
                     & (jnp.take(data.geom.tri_nm_slot, row, mode="clip")
                        == ref.local_id))
             T = jnp.take(data.geom.tri_tan, row, axis=0, mode="clip")
+            if R_i is not None:
+                T = jnp.einsum("nij,nj->ni", R_i, T)
             T = T - N_geo * jnp.sum(T * N_geo, axis=-1, keepdims=True)
             T = T / jnp.maximum(safe_norm(T, keepdims=True), 1e-20)
             sgn = jnp.take(data.geom.tri_tan_sign, row, mode="clip")

@@ -1,3 +1,3 @@
-from .primitive import (Cuboid, Plane, Primitive, Sphere, Triangle,
-                        TriangleMesh, rotation_matrix)
+from .primitive import (Cuboid, MeshInstances, Plane, Primitive, Sphere,
+                        Triangle, TriangleMesh, rotation_matrix)
 from . import attrs, intersect

@@ -131,14 +131,37 @@ def triangle_attrs(P, local_id, geom, need_uv):
     non-empty), the normal is the barycentric blend of the corner normals
     (smooth shading) and uv the blend of the corner uvs; the compiler fills
     flat triangles' corners so the blend reproduces the flat result exactly.
+
+    Under MeshInstances, `local_id` is a VIRTUAL triangle id: it maps to a
+    (physical row, instance) pair via tri_virt_row/tri_virt_inst.  The hit
+    point is pulled into the instance's object space for the barycentric
+    solve (all vertex tables are object-space there) and the resulting
+    normal is rotated back to world — a rotation + uniform scale preserves
+    normal directions, so no inverse-transpose is needed.
     """
-    N = _gather(geom.tri_normal, local_id)
+    instanced = geom.tri_virt_row.shape[0] > 0   # static: trace-time branch
+    R = None
+    if instanced:
+        row = _gather(geom.tri_virt_row, local_id)
+        inst = _gather(geom.tri_virt_inst, local_id)
+        R = _gather(geom.inst_rot, inst)                    # (N, 3, 3)
+        tr = _gather(geom.inst_trans, inst)
+        inv_s = _gather(geom.inst_inv_scale, inst)
+        # world -> object: x @ R == R^T x for row-vector batches
+        P = jnp.einsum("nj,nji->ni", P - tr, R) * inv_s[..., None]
+    else:
+        row = local_id
+
+    def to_world(N_obj):
+        return N_obj if R is None else jnp.einsum("nij,nj->ni", R, N_obj)
+
+    N = _gather(geom.tri_normal, row)
     interp = geom.tri_vn1.shape[0] > 0   # static shape: trace-time branch
     if not (need_uv or interp):
-        return N, None
-    p1 = _gather(geom.tri_p1, local_id)
-    p2 = _gather(geom.tri_p2, local_id)
-    p3 = _gather(geom.tri_p3, local_id)
+        return to_world(N), None
+    p1 = _gather(geom.tri_p1, row)
+    p2 = _gather(geom.tri_p2, row)
+    p3 = _gather(geom.tri_p3, row)
     e1 = p2 - p1
     e2 = p3 - p1
     d = P - p1
@@ -151,23 +174,23 @@ def triangle_attrs(P, local_id, geom, need_uv):
     u = (d22 * dp1 - d12 * dp2) / det
     v = (d11 * dp2 - d12 * dp1) / det
     if not interp:
-        return N, jnp.stack([u, v], axis=-1)
+        return to_world(N), jnp.stack([u, v], axis=-1)
 
     from ..core.safemath import safe_norm
 
     w1 = (1.0 - u - v)[..., None]
     w2 = u[..., None]
     w3 = v[..., None]
-    Ns = (w1 * _gather(geom.tri_vn1, local_id)
-          + w2 * _gather(geom.tri_vn2, local_id)
-          + w3 * _gather(geom.tri_vn3, local_id))
+    Ns = (w1 * _gather(geom.tri_vn1, row)
+          + w2 * _gather(geom.tri_vn2, row)
+          + w3 * _gather(geom.tri_vn3, row))
     N = Ns / safe_norm(Ns, keepdims=True)
     if not need_uv:
-        return N, None
-    uv = (w1 * _gather(geom.tri_uv1, local_id)
-          + w2 * _gather(geom.tri_uv2, local_id)
-          + w3 * _gather(geom.tri_uv3, local_id))
-    return N, uv
+        return to_world(N), None
+    uv = (w1 * _gather(geom.tri_uv1, row)
+          + w2 * _gather(geom.tri_uv2, row)
+          + w3 * _gather(geom.tri_uv3, row))
+    return to_world(N), uv
 
 
 def hit_attributes(P, obj_id, geom, static, force_uv=False):

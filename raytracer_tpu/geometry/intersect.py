@@ -188,6 +188,25 @@ def _safe_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) < eps, eps, d)
 
 
+def _inst_ray_tile(geom, c, O_t, D_t):
+    """Pull a ray tile into cluster `c`'s instance space (MeshInstances).
+
+    Instance maps are world = R @ (s x) + t: affine, so the object-space ray
+    (R^T (O - t) / s, R^T D / s) preserves the t-parameterization — the
+    object-space intersection distance IS the world distance, and nearest-hit
+    compares against non-instanced geometry stay valid.  No-op (identity
+    trace-time branch) when the scene has no instances."""
+    if not geom.inst_rot.shape[0]:
+        return O_t, D_t
+    ii = geom.tri_cl_inst[c]
+    R = jax.lax.dynamic_index_in_dim(geom.inst_rot, ii, 0, keepdims=False)
+    tr = jax.lax.dynamic_index_in_dim(geom.inst_trans, ii, 0, keepdims=False)
+    si = jax.lax.dynamic_index_in_dim(geom.inst_inv_scale, ii, 0,
+                                      keepdims=False)
+    # R^T x == x @ R for row-vector batches
+    return ((O_t - tr) @ R) * si, (D_t @ R) * si
+
+
 def _clustered_tri_tables(geom):
     """Flat tables padded by one cluster of degenerate rows (zero normals
     always miss), so the fixed-size dynamic_slice from any cluster start
@@ -234,9 +253,12 @@ def _clustered_nearest(O, D, geom):
                 start = geom.tri_cl_start[c]
                 blk = tuple(jax.lax.dynamic_slice(x, (start, 0), (B, 3))
                             for x in padded)
-                t, o = intersect_triangles(O_t, D_t, *blk)     # (B, R)
+                O_c, D_c = _inst_ray_tile(geom, c, O_t, D_t)
+                t, o = intersect_triangles(O_c, D_c, *blk)     # (B, R)
                 tm = jnp.min(t, axis=0)
-                code = (start * 2 + row2) + (o < 0)
+                # winner codes are VIRTUAL object ids (== physical rows when
+                # the scene has no MeshInstances)
+                code = (geom.tri_cl_virt[c] * 2 + row2) + (o < 0)
                 cm = jnp.max(jnp.where(t == tm[None, :], code, -1), axis=0)
                 better = tm < bt
                 return (jnp.where(better, tm, bt),
@@ -256,7 +278,11 @@ def _clustered_nearest(O, D, geom):
 def _clustered_occluded(O, D, geom, tri_mask, max_dist, hit0):
     """Any-hit over clusters; a cluster is skipped once every ray in the tile
     that could reach it is already occluded (or misses its AABB).  Near
-    clusters go first: they occlude the most rays soonest."""
+    clusters go first: they occlude the most rays soonest.
+
+    tri_mask is indexed by VIRTUAL triangle id (== physical row when the
+    scene has no MeshInstances); each cluster's rows are virtually contiguous
+    from tri_cl_virt[c], so one dynamic_slice covers them."""
     padded, B, C, T = _clustered_tri_tables(geom)
     mask = jnp.pad(tri_mask, (0, B))
     (Ot, Dt, mdt, h0t), n, R = _ray_tiles(O, D, aux=[max_dist, hit0])
@@ -279,8 +305,9 @@ def _clustered_occluded(O, D, geom, tri_mask, max_dist, hit0):
                 start = geom.tri_cl_start[c]
                 blk = tuple(jax.lax.dynamic_slice(x, (start, 0), (B, 3))
                             for x in padded)
-                m = jax.lax.dynamic_slice(mask, (start,), (B,))
-                t, _ = intersect_triangles(O_t, D_t, *blk)     # (B, R)
+                m = jax.lax.dynamic_slice(mask, (geom.tri_cl_virt[c],), (B,))
+                O_c, D_c = _inst_ray_tile(geom, c, O_t, D_t)
+                t, _ = intersect_triangles(O_c, D_c, *blk)     # (B, R)
                 return h | jnp.any((t < md[None, :]) & m[:, None], axis=0)
 
             return jax.lax.cond(jnp.any(live), run, lambda h: h, h), None
@@ -442,8 +469,10 @@ def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
                                stack_depth=sd)
         return hit | (t < max_dist)
     if geom.tri_cl_lo.shape[0]:
-        T = geom.tri_p1.shape[0]
-        return _clustered_occluded(O, D, geom, shadow_obj_mask[off:off + T],
+        # the triangle portion of the object-id space is VIRTUAL under
+        # instancing (longer than the physical tables); it always runs to the
+        # end of the mask
+        return _clustered_occluded(O, D, geom, shadow_obj_mask[off:],
                                    max_dist, hit)
 
     B = _tri_block_size(n)

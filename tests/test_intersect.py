@@ -126,7 +126,13 @@ def _tri_geom(p1, p2, p3, clustered=False):
     g.box_basis = jnp.zeros((0, 3, 3), jnp.float32)
     g.box_lb_local = g.box_rt_local = jnp.zeros((0, 3), jnp.float32)
     g.tri_cl_lo = g.tri_cl_hi = jnp.zeros((0, 3), jnp.float32)
-    g.tri_cl_start = jnp.zeros((0,), jnp.int32)
+    g.tri_cl_start = g.tri_cl_virt = jnp.zeros((0,), jnp.int32)
+    # no MeshInstances: empty instance/virtual tables (identity behavior)
+    g.tri_cl_inst = jnp.zeros((0,), jnp.int32)
+    g.tri_virt_row = g.tri_virt_inst = jnp.zeros((0,), jnp.int32)
+    g.inst_rot = jnp.zeros((0, 3, 3), jnp.float32)
+    g.inst_trans = jnp.zeros((0, 3), jnp.float32)
+    g.inst_inv_scale = jnp.zeros((0,), jnp.float32)
     if clustered:
         # treelet-style (start, AABB) clusters over contiguous runs — a
         # valid particular cut (grouping need not be spatial for
@@ -144,7 +150,7 @@ def _tri_geom(p1, p2, p3, clustered=False):
                        for i in range(C)])
         pad = 1e-4 * (hi - lo + np.abs(lo) + np.abs(hi) + 1.0)
         g.tri_cl_lo, g.tri_cl_hi = f(lo - pad), f(hi + pad)
-        g.tri_cl_start = jnp.asarray(starts, jnp.int32)
+        g.tri_cl_start = g.tri_cl_virt = jnp.asarray(starts, jnp.int32)
     return g
 
 
