@@ -21,10 +21,21 @@ from .blur import blur_skybox_array
 class EnvironmentMaterial(Material):
     mat_type = MAT_ENV
 
-    def __init__(self, img, light_intensity=0.0, blur=0.0, layout="cross"):
+    def __init__(self, img, light_intensity=0.0, blur=0.0, layout="cross",
+                 importance_sampled=False, linear=False):
         super().__init__()
+        # importance_sampled: build an alias-method sampling distribution
+        # over the map's luminance at compile time; the Diffuse mixture then
+        # sends a share of its continuation rays toward bright env regions
+        # (the reference can only importance-sample scene primitives,
+        # random.py:76-151 — an HDR sun would need millions of spp there)
+        self.importance_sampled = bool(importance_sampled)
+        # linear=True: an ndarray input is ALREADY unbounded linear radiance
+        # (procedural HDR skies) — skip the sRGB EOTF and keep full range,
+        # exactly like a Radiance .hdr file
         is_hdr = (not isinstance(img, np.ndarray)
-                  and str(img).lower().endswith((".hdr", ".rgbe")))
+                  and str(img).lower().endswith((".hdr", ".rgbe"))) \
+            or (isinstance(img, np.ndarray) and linear)
         # HDR environments keep full f32 range only on the jnp wavefront;
         # the record path's 10-bit packed atlas normalizes by the texture
         # max, which would band dim sky regions next to a bright sun peak
@@ -32,7 +43,8 @@ class EnvironmentMaterial(Material):
         self.is_hdr = is_hdr
         if isinstance(img, np.ndarray):
             raw = np.asarray(img, dtype=np.float32)
-            self.texture = srgb_to_srgb_linear(raw).astype(np.float32)
+            self.texture = (raw if linear
+                            else srgb_to_srgb_linear(raw).astype(np.float32))
         elif is_hdr:
             # Radiance RGBE environments are LINEAR radiance already (and
             # unbounded) — no EOTF, no [0,1] clip anywhere downstream
@@ -99,9 +111,15 @@ def _gaussian_blur_linear(arr, radius, wrap_x=False):
 class SkyBox(Cuboid):
     """Cubemap on a giant cube (reference skybox.py:9-32)."""
 
-    def __init__(self, cubemap, center=(0.0, 0.0, 0.0), light_intensity=0.0, blur=0.0):
+    def __init__(self, cubemap, center=(0.0, 0.0, 0.0), light_intensity=0.0,
+                 blur=0.0, importance_sampled=False, linear=False):
+        if importance_sampled:
+            raise ValueError(
+                "environment importance sampling needs an equirect map — "
+                "use Panorama (the cube-cross direction mapping has no "
+                "sampling tables)")
         material = EnvironmentMaterial(cubemap, light_intensity, blur,
-                                       layout="cross")
+                                       layout="cross", linear=linear)
         l = SKYBOX_DISTANCE
         super().__init__(center=center, material=material,
                          width=2 * l, height=2 * l, length=2 * l,
@@ -112,9 +130,12 @@ class SkyBox(Cuboid):
 class Panorama(Sphere):
     """Equirect panorama on a giant sphere (reference panorama.py:10-26)."""
 
-    def __init__(self, panorama, center=(0.0, 0.0, 0.0), light_intensity=0.0, blur=0.0):
+    def __init__(self, panorama, center=(0.0, 0.0, 0.0), light_intensity=0.0,
+                 blur=0.0, importance_sampled=False, linear=False):
         material = EnvironmentMaterial(panorama, light_intensity, blur,
-                                       layout="equirect")
+                                       layout="equirect",
+                                       importance_sampled=importance_sampled,
+                                       linear=linear)
         super().__init__(center=center, material=material,
                          radius=SKYBOX_DISTANCE, max_ray_depth=9999, shadow=False)
         self.light_intensity = light_intensity

@@ -148,6 +148,68 @@ def _texture_atlas(arrs):
     return hit[1], hit[2], hit[3], hit[4]
 
 
+# Environment importance sampling: alias tables over an equirect map's
+# luminance, cached per source array (HDR envs are the big win — the
+# reference has no way to importance-sample an environment at all).
+_ENV_IS_CACHE = {}
+
+
+def _build_alias(mass):
+    """Walker alias tables for the discrete distribution `mass` (host)."""
+    n = mass.shape[0]
+    p = mass / max(mass.sum(), 1e-30) * n
+    alias = np.arange(n, dtype=I32)
+    prob = np.ones(n, F32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = p[l] - (1.0 - p[s])
+        (small if p[l] < 1.0 else large).append(l)
+    return prob, alias
+
+
+def _env_is_tables(arr, max_h=128, max_w=256):
+    """(prob, alias, pdf_table, (Hs, Ws)) for equirect env sampling.
+
+    Cells are a uniform (Hs, Ws) grid over the (u, v) square in the SAME
+    convention the env fetch uses (sphere uv + fetch_texture's negated-row
+    indexing, materials/shade.py fetch_texture): cell mass pools the source
+    texels' luminance x solid angle; pdf_table is the normalized mass over
+    the cell's EXACT solid angle, so pdf(d) is exact for the sampler
+    regardless of pooling (pooling shifts only efficiency, never bias).
+    """
+    key = id(arr)
+    hit = _ENV_IS_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    a = np.asarray(arr, np.float64)
+    H, W = a.shape[0], a.shape[1]
+    lum = a[..., :3].mean(-1) if a.ndim == 3 else a
+    # v-index convention: v in [iv/H, (iv+1)/H) fetches row (-iv) mod H
+    lum_v = lum[(-np.arange(H)) % H]
+    # per source texel solid angle: band in sin(elevation) x 2pi/W
+    sl = -np.cos(np.pi * np.arange(H + 1) / H)
+    w_tex = (sl[1:] - sl[:-1]) * (2.0 * np.pi / W)          # (H,)
+    Hs, Ws = min(H, max_h), min(W, max_w)
+    rowmap = np.arange(H) * Hs // H
+    colmap = np.arange(W) * Ws // W
+    mass = np.zeros((Hs, Ws))
+    np.add.at(mass, (rowmap[:, None], colmap[None, :]), lum_v * w_tex[:, None])
+    # exact solid angle of each (uniform) sampling cell
+    slc = -np.cos(np.pi * np.arange(Hs + 1) / Hs)
+    w_cell = (slc[1:] - slc[:-1])[:, None] * (2.0 * np.pi / Ws)   # (Hs, 1)
+    total = max(mass.sum(), 1e-30)
+    pdf = (mass / total) / w_cell
+    prob, alias = _build_alias(mass.reshape(-1))
+    out = (prob, alias, pdf.reshape(-1).astype(F32), (Hs, Ws))
+    _ENV_IS_CACHE[key] = (arr, out)
+    return out
+
+
 def _to_device(data):
     """Upload a numpy SceneData pytree with one transfer per dtype group.
 
@@ -325,6 +387,10 @@ class SceneData:
     pallas_geom: Any = None   # (O, 24) packed per-object geometry params
     tex_atlas: Any = None     # (total,) int32 10-10-10-packed texels
     tex_scale: Any = None     # (T,) f32 per-texture decode scale
+    # environment importance sampling (alias tables; empty when off)
+    env_is_prob: Any = None   # (Hs*Ws,) f32 alias acceptance probabilities
+    env_is_alias: Any = None  # (Hs*Ws,) i32 alias partners
+    env_is_pdf: Any = None    # (Hs*Ws,) f32 solid-angle pdf per cell
 
 
 @dataclass(frozen=True)
@@ -413,6 +479,10 @@ class SceneStatic:
     # attrs interpolate the per-corner tables barycentrically (jnp wavefront
     # only — the Pallas kernels shade flat triangles)
     tri_interp: bool = False
+    # environment importance sampling: (Hs, Ws) of the alias-table grid,
+    # (0, 0) when off.  Such scenes render on the jnp wavefront (the Diffuse
+    # mixture gains an env component, materials/shade.py shade_diffuse).
+    env_is_shape: Tuple[int, int] = (0, 0)
 
 
 def _bvh_depth(left, right, count):
@@ -506,7 +576,8 @@ def _fp_material(h, m, up):
             up(np.float64(t.repeat).tobytes())
             up(bytes([getattr(t, "bilinear", False)]))
     for f in ("ambient_weight", "roughness", "spec_coeff", "diff_coeff",
-              "thickness", "noise_factor", "light_intensity", "dispersion"):
+              "thickness", "noise_factor", "light_intensity", "dispersion",
+              "importance_sampled"):
         v = getattr(m, f, None)
         if v is not None:
             up(np.float64(v).tobytes())
@@ -1315,6 +1386,26 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         [np.stack(pallas_rows) if pallas_rows else np.zeros((0, 24), F32),
          tri_rows]).astype(F32)
 
+    # ---- environment importance sampling (alias tables) --------------------
+    env_is_tabs = None
+    env_is_shape = (0, 0)
+    _is_envs = [(e, b.mat_rows[MAT_ENV][e.slot]) for e in b.env_slots
+                if getattr(b.mat_rows[MAT_ENV][e.slot],
+                           "importance_sampled", False)]
+    if _is_envs:
+        if len(_is_envs) > 1:
+            raise ValueError(
+                "only one environment may be importance_sampled")
+        e, m = _is_envs[0]
+        if e.kind != "sphere":
+            raise ValueError(
+                "environment importance sampling needs an equirect map — "
+                "use Panorama / add_Background(spherical=True)")
+        # sample the SAME array the env slot displays (blur variant if any)
+        src = m.blur_texture if m.blur_texture is not None else m.texture
+        prob, alias_t, pdf_t, env_is_shape = _env_is_tables(src)
+        env_is_tabs = (prob, alias_t, pdf_t)
+
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
     _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}
     n_groups = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
@@ -1336,6 +1427,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                                             + b.emissive_tex))
     pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
                      and not b.has_hdr_env and not any_bilinear
+                     and not _is_envs    # env-IS mixture: jnp wavefront only
                      and set(present) <= _PALLAS_TEX_TYPES)
 
     atlas, tex_scale, tex_shapes, tex_offsets = _texture_atlas(tuple(b.textures))
@@ -1371,6 +1463,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         custom_fp=tuple(_custom_param_fp(m) for m in b.mat_rows[MAT_CUSTOM]),
         has_dispersion=has_dispersion,
         tri_interp=CVN is not None,
+        env_is_shape=env_is_shape,
     )
 
     data = SceneData(
@@ -1383,5 +1476,11 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         pallas_geom=pallas_geom,
         tex_atlas=atlas,
         tex_scale=tex_scale,
+        env_is_prob=(env_is_tabs[0] if env_is_tabs
+                     else np.zeros((0,), F32)),
+        env_is_alias=(env_is_tabs[1] if env_is_tabs
+                      else np.zeros((0,), I32)),
+        env_is_pdf=(env_is_tabs[2] if env_is_tabs
+                    else np.zeros((0,), F32)),
     )
     return static, _to_device(data)

@@ -182,6 +182,56 @@ def spherical_cap_sample(key, cos_max, normal):
 
 
 # ---------------------------------------------------------------------------
+# environment-map importance sampling (alias method)
+# ---------------------------------------------------------------------------
+# The sampling distribution lives on a uniform (Hs, Ws) grid over the
+# equirect (u, v) square (compile.py _env_is_tables builds the tables from
+# the map's luminance).  Alias sampling is two gathers + elementwise trig —
+# no binary search, no divergence: exactly the access pattern the VPU likes.
+# Within a picked cell, v is jittered uniformly in sin(elevation), so the
+# density is constant in SOLID ANGLE over the cell and pdf(d) is a single
+# table lookup.  Direction <-> (u, v) uses the sphere_attrs convention
+# (geometry/attrs.py): u = (atan2(z, x) + pi) / 2pi, v = (asin(y) + pi/2)/pi.
+
+
+def env_alias_sample(u1, u2, prob, alias, hw):
+    """Directions distributed per the env alias tables; u1/u2 in [0,1)."""
+    Hs, Ws = hw
+    n = Hs * Ws
+    x = u1 * n
+    k = jnp.clip(x.astype(jnp.int32), 0, n - 1)
+    ju = x - k                         # fractional reuse: u-jitter
+    p = jnp.take(prob, k, mode="clip")
+    take = u2 < p
+    k = jnp.where(take, k, jnp.take(alias, k, mode="clip"))
+    jv = jnp.where(take, u2 / jnp.maximum(p, 1e-12),
+                   (u2 - p) / jnp.maximum(1.0 - p, 1e-12))
+    i = (k // Ws).astype(jnp.float32)
+    j = (k % Ws).astype(jnp.float32)
+    uu = (j + ju) / Ws
+    # cell v-band [i/Hs, (i+1)/Hs] -> sin(elevation) in [-cos(pi v)] bounds;
+    # uniform jv in that range == uniform in solid angle over the band
+    s0 = -jnp.cos(jnp.pi * i / Hs)
+    s1 = -jnp.cos(jnp.pi * (i + 1.0) / Hs)
+    sy = s0 + jv * (s1 - s0)
+    rho = safe_sqrt(1.0 - sy * sy)
+    phi = 2.0 * jnp.pi * uu - jnp.pi
+    return jnp.stack([rho * jnp.cos(phi), sy, rho * jnp.sin(phi)], axis=-1)
+
+
+def env_pdf_value(direction, pdf_table, hw):
+    """Solid-angle pdf of env_alias_sample at `direction` (one gather)."""
+    Hs, Ws = hw
+    u = (jnp.arctan2(direction[..., 2], direction[..., 0]) + jnp.pi) \
+        / (2.0 * jnp.pi)
+    v = (jnp.arcsin(jnp.clip(direction[..., 1], -1.0, 1.0)) + jnp.pi / 2.0) \
+        / jnp.pi
+    i = jnp.clip((v * Hs).astype(jnp.int32), 0, Hs - 1)
+    j = jnp.mod((u * Ws).astype(jnp.int32), Ws)
+    return jnp.take(pdf_table, i * Ws + j, mode="clip")
+
+
+# ---------------------------------------------------------------------------
 # mixture used by the Diffuse BRDF
 # ---------------------------------------------------------------------------
 
@@ -212,4 +262,52 @@ def mixed_cosine_caps_sample(key, normal, origin, targets_center, targets_radius
     d = jnp.where(use_cos[..., None], d_cos, d_caps)
     pdf = (cosine_weight * cosine_pdf_value(d, normal)
            + (1.0 - cosine_weight) * caps_pdf_value(d, origin, targets_center, targets_radius))
+    return d, pdf
+
+
+def mixed_diffuse_sample(key, normal, origin, targets_center, targets_radius,
+                         env_tabs, cosine_weight, uniforms=None):
+    """General Diffuse importance mixture: cosine ⊕ light caps ⊕ environment.
+
+    Extends mixed_cosine_caps_sample with an optional environment component
+    (env_tabs = (prob, alias, pdf_table, (Hs, Ws)) from compile.py, or None);
+    targets_center=None drops the caps component.  Weights: `cosine_weight`
+    on the cosine lobe (the reference's ambient_weight semantics,
+    diffuse.py:49-58), the remainder split equally over the present target
+    components.  Every direction with NdotL > 0 keeps pdf > 0 through the
+    cosine term, so adding components never biases the estimator.
+
+    uniforms: optional explicit (u_mix, u_phi, u_r2); the (phi, r2) pair
+    feeds whichever branch the mixture selects (each is a proper map of the
+    unit square, and only one survives the select).
+    """
+    has_caps = targets_center is not None and targets_center.shape[0] > 0
+    has_env = env_tabs is not None
+    k_mix, k_cos, k_caps, k1, k2 = jax.random.split(key, 5)
+    batch = normal.shape[:-1]
+    if uniforms is None:
+        u_mix = jax.random.uniform(k_mix, batch)
+        dir_u = (jax.random.uniform(k1, batch), jax.random.uniform(k2, batch))
+    else:
+        u_mix, dir_u = uniforms[0], (uniforms[1], uniforms[2])
+
+    w = cosine_weight
+    seg = (1.0 - w) / (int(has_caps) + int(has_env))
+    d = cosine_sample(k_cos, normal, uniforms=dir_u)
+    if has_caps:
+        d_caps = caps_sample(k_caps, origin, targets_center, targets_radius,
+                             uniforms=dir_u)
+        in_caps = (u_mix >= w) & (u_mix < w + seg)
+        d = jnp.where(in_caps[..., None], d_caps, d)
+    if has_env:
+        prob, alias, pdf_tab, hw = env_tabs
+        d_env = env_alias_sample(dir_u[0], dir_u[1], prob, alias, hw)
+        in_env = u_mix >= 1.0 - seg
+        d = jnp.where(in_env[..., None], d_env, d)
+    pdf = w * cosine_pdf_value(d, normal)
+    if has_caps:
+        pdf = pdf + seg * caps_pdf_value(d, origin, targets_center,
+                                         targets_radius)
+    if has_env:
+        pdf = pdf + seg * env_pdf_value(d, pdf_tab, hw)
     return d, pdf

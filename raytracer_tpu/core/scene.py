@@ -230,10 +230,13 @@ class Scene:
         if importance_sampled:
             self.importance_sampled_list.append(primitive)
 
-    def add_Background(self, img, light_intensity=0.0, blur=0.0, spherical=False):
+    def add_Background(self, img, light_intensity=0.0, blur=0.0,
+                       spherical=False, importance_sampled=False,
+                       linear=False):
         cls = Panorama if spherical else SkyBox
         self.scene_primitives.append(
-            cls(img, light_intensity=light_intensity, blur=blur))
+            cls(img, light_intensity=light_intensity, blur=blur,
+                importance_sampled=importance_sampled, linear=linear))
 
     # -- rendering ---------------------------------------------------------
     def _diffuse_fan(self):

@@ -327,7 +327,18 @@ def shade_diffuse(ctx):
         first = ctx.diffuse_reflections == 0
         u = tuple(jnp.where(first, s, i) for s, i in zip(ctx.strat_u, u))
 
-    if static.n_is_targets > 0:
+    has_env_is = static.env_is_shape != (0, 0)
+    if has_env_is:
+        # cosine ⊕ caps ⊕ environment mixture (the env component sends rays
+        # toward bright map regions — alias tables built at compile time)
+        w = _g1(mats.diffuse_ambient_weight, ctx.mat_slot)
+        env_tabs = (data.env_is_prob, data.env_is_alias, data.env_is_pdf,
+                    static.env_is_shape)
+        d, pdf = rng.mixed_diffuse_sample(
+            ctx.key, N, nudged,
+            data.is_center if static.n_is_targets > 0 else None,
+            data.is_radius, env_tabs, w, uniforms=u)
+    elif static.n_is_targets > 0:
         w = _g1(mats.diffuse_ambient_weight, ctx.mat_slot)
         d, pdf = rng.mixed_cosine_caps_sample(
             ctx.key, N, nudged, data.is_center, data.is_radius, w,

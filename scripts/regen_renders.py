@@ -51,7 +51,9 @@ def main():
 
     for name, spp, out in (("example_mesh", 64, "our_example_mesh.png"),
                            ("example_mesh_textured", 64,
-                            "mesh_textured.png")):
+                            "mesh_textured.png"),
+                           ("example_instances", 64, "instances.png"),
+                           ("example_env_is", 64, "env_is.png")):
         mod = importlib.import_module(name)
         sc = mod.Sc
         sc.render(samples_per_pixel=1)

@@ -341,3 +341,24 @@ def test_instanced_normal_map_validation(tmp_path):
     sc2.add(grp2)
     with pytest.raises(ValueError, match="share one"):
         compile_scene(sc2)
+
+
+def test_instanced_sharded_matches_single(tmp_path):
+    """Instanced scenes render through the sharded (shard_map + psum) path:
+    an 8-virtual-device sharded render matches the single-device image."""
+    from raytracer_tpu.parallel.sharded import make_mesh, render_sharded
+
+    p = _icosphere_obj(tmp_path / "ico.obj")
+    sc = _scene_base()
+    grp = MeshInstances(TriangleMesh(str(p), center=vec3(0, 0, -2),
+                                     material=_glossy(rgb(0.8, 0.3, 0.2))))
+    for x in XFORMS:
+        grp.add(**x)
+    sc.add(grp)
+    # render_sharded returns the (H, W, 3) sRGB float array in [0, 1]
+    a = np.asarray(render_sharded(sc, samples_per_pixel=8, mesh=make_mesh(8)),
+                   float)
+    b = np.asarray(sc.render(samples_per_pixel=8, seed=0), float) / 255.0
+    # different sample partitions -> statistically equal, not bit-equal
+    assert abs(a.mean() - b.mean()) < 2.0 / 255.0
+    assert np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max() < 3.0 / 255.0
