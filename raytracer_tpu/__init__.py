@@ -31,7 +31,8 @@ if not _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
     except Exception:  # cache is an optimization, never a hard dependency
         pass
 
-from .animation import create_animation, create_animation_using_opencv
+from .animation import (create_animation,
+                        create_animation_using_opencv, render_motion_blur)
 from .backgrounds.environment import Panorama, SkyBox, procedural_sky
 from .core.camera import Camera
 from .core.integrator import RenderSettings
@@ -84,6 +85,7 @@ __all__ = [
     "PointLight", "DirectionalLight",
     "SkyBox", "Panorama", "procedural_sky",
     "create_animation", "create_animation_using_opencv",
+    "render_motion_blur",
     "RenderSettings", "add_asset_root",
     "load_image", "load_image_as_linear_srgb", "load_image_with_blur",
     "save_hdr", "load_hdr",

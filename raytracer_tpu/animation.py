@@ -219,6 +219,108 @@ def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
         yield host[j]
 
 
+def render_motion_blur(scene, samples_per_pixel, update_scene,
+                       shutter=(0.0, 1.0), slices=None, seed=0, mesh=None,
+                       output="srgb"):
+    """Distribution motion blur over an open shutter.
+
+    The shutter interval is stratified into `slices` times (slice
+    midpoints); each slice renders `samples_per_pixel / slices` camera
+    samples of the scene as mutated by `update_scene(scene, t)` — the same
+    callback contract as `create_animation` (reference animation.py:6-31;
+    the reference itself has no motion blur: every render is one instant).
+    Linear radiance accumulates ON DEVICE across slices and is tonemapped
+    once, so the result is the exact Monte-Carlo shutter integral at slice
+    granularity.
+
+    TPU-first mechanics, inherited from `render_frames`:
+
+    * object/camera motion is DATA (traced tables), so every slice reuses
+      ONE compiled executable — moving a sphere never recompiles;
+    * with D devices, D shutter times render concurrently over the 1-D
+      frame mesh;
+    * the R2 lattice continues across slices via the global sample offset,
+      so the union of all slices is the SAME well-distributed sample set a
+      static render of the full spp would use (time becomes one extra
+      stratified dimension instead of degrading the others).
+
+    Returns a PIL image (`output="srgb"`), or the raw `(H, W, 3)` float32
+    linear-radiance mean (`output="linear"`, e.g. for `save_hdr`).
+    `slices=None` picks min(32, spp) — enough that slice ghosting is below
+    the render's own noise for typical motion.
+    """
+    from PIL import Image
+
+    mesh = mesh or _frame_mesh()
+    n_dev = mesh.devices.size
+    W, H = scene.camera.screen_width, scene.camera.screen_height
+
+    if slices is None:
+        slices = max(1, min(32, samples_per_pixel))
+    slice_spp = max(1, round(samples_per_pixel / slices))
+    t0, t1 = shutter
+    dt = (t1 - t0) / slices
+    times = [t0 + (j + 0.5) * dt for j in range(slices)]
+
+    # compile at the first slice time to fix scene structure + settings
+    update_scene(scene, times[0])
+    static0, _, textures, _ = _frame_data(scene)
+    split_k = derive_split_k(static0)
+    settings = RenderSettings(max_bounces=derive_max_bounces(static0),
+                              split_k=split_k,
+                              sampler=scene.settings.sampler)
+    split_fan = 1 << split_k
+    eff_spp = slice_spp * scene._diffuse_fan() * split_fan
+    eff_spp = -(-eff_spp // split_fan) * split_fan
+    from .core.scene import MAX_RAYS_PER_CHUNK
+
+    chunk = max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
+    chunk = max(split_fan, chunk - chunk % split_fan)
+    n_chunks = -(-eff_spp // chunk)
+    spp_slice = n_chunks * chunk            # per-slice samples actually drawn
+    step, tonemap = _build_frame_step(static0, settings, mesh, W, H, chunk)
+
+    base = jax.random.PRNGKey(seed)
+    strat_seed = jax.random.randint(base, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    acc = None
+    for b0 in range(0, slices, n_dev):
+        batch = times[b0:b0 + n_dev]
+        n_real = len(batch)
+        datas, cams = [], []
+        for bt in batch:
+            update_scene(scene, bt)
+            static_i, nt, _, cam_vec = _frame_data(scene)
+            if static_i != static0:
+                raise ValueError(
+                    "update_scene changed the scene STRUCTURE between "
+                    "shutter slices (object/material/light counts must stay "
+                    "constant; only traced parameters may move)")
+            datas.append(nt)
+            cams.append(cam_vec)
+        while len(datas) < n_dev:           # pad the tail batch
+            datas.append(datas[-1])
+            cams.append(cams[-1])
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+        keys = [jax.random.fold_in(base, b0 + j) for j in range(n_dev)]
+        for c in range(n_chunks):
+            ck = jnp.stack([k if c == 0 else jax.random.fold_in(k, c)
+                            for k in keys])
+            # every slice advances the ONE global lattice: slice j draws
+            # samples [j*spp_slice, (j+1)*spp_slice) of the full-spp set
+            strat = jnp.stack(
+                [jnp.stack([strat_seed,
+                            jnp.int32((b0 + j) * spp_slice + c * chunk)])
+                 for j in range(n_dev)])
+            out = step(ck, stacked, jnp.stack(cams), textures, strat)
+            got = out[:n_real].sum(axis=0)  # drop tail padding duplicates
+            acc = got if acc is None else acc + got
+    if output == "linear":
+        lin = np.asarray(acc, np.float32) / float(slices * spp_slice)
+        return lin.reshape(H, W, 3)
+    frames = tonemap(acc[None], float(slices * spp_slice))
+    return Image.fromarray(np.asarray(frames)[0])
+
+
 def _frame_times(fps, start_time, final_time):
     number_of_frames = int(fps * (final_time - start_time))
     dt = (final_time - start_time) / number_of_frames

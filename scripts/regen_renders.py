@@ -63,6 +63,16 @@ def main():
         img.save(str(OUT / out))
         print(f"{name}: {wall:.2f}s @ {spp} spp", flush=True)
 
+    from raytracer_tpu import render_motion_blur
+    from example_motion_blur import Sc as mb_scene, fly
+
+    t0 = time.time()
+    img = render_motion_blur(mb_scene, samples_per_pixel=64,
+                             update_scene=fly, slices=32)
+    wall = time.time() - t0
+    img.save(str(OUT / "motion_blur.png"))
+    print(f"motion_blur: {wall:.2f}s @ 64 spp x 32 slices", flush=True)
+
 
 if __name__ == "__main__":
     main()
