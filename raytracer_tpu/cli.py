@@ -1,0 +1,187 @@
+"""Command-line interface: render scene files without writing a driver.
+
+The reference has no CLI — every render is a hand-written script run top to
+bottom (example1.py:1-77).  Here any example-style scene file (a module
+exposing ``Sc`` or ``build_scene()``) renders from the shell, with the
+framework's production features as flags::
+
+    python -m raytracer_tpu render examples/example1.py --spp 64 -o out.png
+    python -m raytracer_tpu render scene.py --spp 256 --denoise -o out.png
+    python -m raytracer_tpu render scene.py --target-noise 0.01 --spp 1024
+    python -m raytracer_tpu aovs scene.py -o aovs_{}.png
+    python -m raytracer_tpu devices
+
+Scene-file contract (matches every file in ``examples/``): the module is
+imported/executed and must provide either a ``Sc`` Scene attribute or a
+``build_scene(**kwargs)`` callable (called with --width/--height when
+given, so resolution overrides do not recompile a hand-built Sc).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def _load_scene(path, width=None, height=None):
+    path = Path(path)
+    if not path.exists():
+        raise SystemExit(f"scene file not found: {path}")
+    sys.path.insert(0, str(path.resolve().parent))
+    spec = importlib.util.spec_from_file_location(path.stem, str(path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[path.stem] = mod
+    spec.loader.exec_module(mod)
+    if hasattr(mod, "build_scene"):
+        kwargs = {}
+        if width is not None:
+            kwargs["width"] = width
+        if height is not None:
+            kwargs["height"] = height
+        try:
+            return mod.build_scene(**kwargs)
+        except TypeError:
+            if kwargs:
+                raise SystemExit(
+                    f"{path.name}: build_scene() does not accept "
+                    f"width/height overrides ({sorted(kwargs)})")
+            raise
+    if hasattr(mod, "Sc"):
+        if width is not None or height is not None:
+            raise SystemExit(
+                f"{path.name} exposes a prebuilt Sc; --width/--height need "
+                "a build_scene(width=..., height=...) entry point")
+        return mod.Sc
+    raise SystemExit(
+        f"{path.name} exposes neither `Sc` nor `build_scene()`")
+
+
+def _add_common(p):
+    p.add_argument("scene", help="python scene file exposing Sc or build_scene()")
+    p.add_argument("--spp", type=int, default=16,
+                   help="samples per pixel (reference estimator semantics)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int, default=None,
+                   help="override width (needs build_scene(width=...))")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("-o", "--out", default=None,
+                   help="output path (default: <scene>.png next to the file)")
+
+
+def _cmd_render(args):
+    sc = _load_scene(args.scene, args.width, args.height)
+    out = args.out or (Path(args.scene).with_suffix("").name + ".png")
+    stats = None
+    t0 = time.time()
+    if args.denoise:
+        for flag in ("target_noise", "checkpoint", "profile_dir"):
+            if getattr(args, flag):
+                raise SystemExit(f"--denoise does not combine with --{flag}")
+        result = sc.render_denoised(
+            samples_per_pixel=args.spp, seed=args.seed, clamp=args.clamp,
+            output="linear" if args.hdr else "pil")
+    else:
+        kw = dict(samples_per_pixel=args.spp, seed=args.seed,
+                  progress_bar=args.progress, clamp=args.clamp)
+        if args.target_noise is not None:
+            kw["target_noise"] = args.target_noise
+        if args.checkpoint:
+            kw["checkpoint_path"] = args.checkpoint
+        if args.profile_dir:
+            kw["profile_dir"] = args.profile_dir
+        if args.hdr:
+            result = sc.render(output="linear", **kw)
+        else:
+            result, stats = sc.render(return_stats=True, **kw)
+    wall = time.time() - t0
+    if args.hdr:
+        from .utils.image_io import save_hdr
+
+        out = str(Path(out).with_suffix(".hdr"))
+        save_hdr(result, out)
+    else:
+        result.save(out)
+    line = {"out": out, "wall_s": round(wall, 3), "spp": args.spp}
+    if stats:
+        line["samples_per_pixel_traced"] = int(stats["samples"])
+        line["mrays_per_s"] = round(stats["mrays_per_s"], 1)
+    print(json.dumps(line))
+
+
+def _cmd_aovs(args):
+    import numpy as np
+    from PIL import Image
+
+    sc = _load_scene(args.scene, args.width, args.height)
+    aovs = sc.render_aovs(samples_per_pixel=args.spp, seed=args.seed)
+    pattern = args.out or (Path(args.scene).with_suffix("").name + "_{}.png")
+    if "{}" not in pattern:
+        raise SystemExit("--out for aovs must contain '{}' (plane name)")
+    outs = []
+    for name, plane in aovs.items():
+        a = np.asarray(plane, np.float32)
+        if a.ndim == 2:
+            a = a[..., None].repeat(3, -1)
+        lo, hi = float(a.min()), float(a.max())
+        if name in ("normal",):
+            a = a * 0.5 + 0.5             # [-1,1] -> display
+        elif hi > 1.0 or lo < 0.0:
+            a = (a - lo) / max(hi - lo, 1e-9)
+        out = pattern.format(name)
+        Image.fromarray((np.clip(a, 0, 1) * 255).astype(np.uint8)).save(out)
+        outs.append(out)
+    print(json.dumps({"planes": list(aovs), "files": outs}))
+
+
+def _cmd_devices(_args):
+    import jax
+
+    devs = jax.devices()
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "device_count": len(devs),
+        "devices": [str(d) for d in devs],
+    }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="python -m raytracer_tpu",
+        description="TPU-native ray tracer (sightpy-compatible scenes)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene file to PNG/HDR")
+    _add_common(pr)
+    pr.add_argument("--denoise", action="store_true",
+                    help="AOV-guided variance-weighted a-trous denoise")
+    pr.add_argument("--target-noise", type=float, default=None,
+                    help="adaptive sampling: stop at this display-space "
+                         "standard error (spp becomes the budget cap)")
+    pr.add_argument("--clamp", type=float, default=None,
+                    help="per-sample linear radiance ceiling (fireflies)")
+    pr.add_argument("--hdr", action="store_true",
+                    help="write linear Radiance .hdr instead of PNG")
+    pr.add_argument("--checkpoint", default=None,
+                    help="accumulator checkpoint path (resume on rerun)")
+    pr.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace here")
+    pr.add_argument("--progress", action="store_true")
+    pr.set_defaults(fn=_cmd_render)
+
+    pa = sub.add_parser("aovs", help="render denoiser feature planes")
+    _add_common(pa)
+    pa.set_defaults(fn=_cmd_aovs)
+
+    pd = sub.add_parser("devices", help="print the JAX backend/devices")
+    pd.set_defaults(fn=_cmd_devices)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""CLI: render scene files from the shell (raytracer_tpu/cli.py).
+
+The reference has no command-line surface — every render is a hand-run
+script (example1.py).  The CLI loads any example-style module (`Sc` or
+`build_scene()`) and exposes the production features as flags.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from raytracer_tpu.cli import main
+
+SCENE = '''
+from raytracer_tpu import *
+
+def build_scene(width=24, height=16):
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=width, screen_height=height)
+    sc.add(Sphere(material=Emissive(color=rgb(1.0, 0.6, 0.3)),
+                  center=vec3(0, 0, -3), radius=1.2))
+    return sc
+
+Sc = build_scene()
+'''
+
+
+@pytest.fixture()
+def scene_file(tmp_path):
+    p = tmp_path / "cli_scene.py"
+    p.write_text(SCENE)
+    return p
+
+
+def test_render_png_and_stats(scene_file, tmp_path, capsys):
+    out = tmp_path / "img.png"
+    main(["render", str(scene_file), "--spp", "2", "-o", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["out"] == str(out)
+    assert line["samples_per_pixel_traced"] >= 2
+    img = np.asarray(Image.open(out))
+    assert img.shape == (16, 24, 3)
+    assert img.max() > 100          # the emissive sphere is there
+
+
+def test_render_resolution_override(scene_file, tmp_path, capsys):
+    out = tmp_path / "big.png"
+    main(["render", str(scene_file), "--spp", "1", "--width", "32",
+          "--height", "20", "-o", str(out)])
+    assert np.asarray(Image.open(out)).shape == (20, 32, 3)
+
+
+def test_render_hdr(scene_file, tmp_path, capsys):
+    from raytracer_tpu import load_hdr
+
+    out = tmp_path / "img.png"     # suffix swapped to .hdr by --hdr
+    main(["render", str(scene_file), "--spp", "2", "--hdr", "-o", str(out)])
+    hdr = load_hdr(str(tmp_path / "img.hdr"))
+    assert hdr.shape == (16, 24, 3) and np.isfinite(hdr).all()
+    assert hdr.max() > 0.5
+
+
+def test_aovs(scene_file, tmp_path, capsys):
+    main(["aovs", str(scene_file), "-o", str(tmp_path / "aov_{}.png")])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "depth" in line["planes"] and "normal" in line["planes"]
+    for f in line["files"]:
+        assert Image.open(f).size == (24, 16)
+
+
+def test_devices(capsys):
+    main(["devices"])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["device_count"] >= 1
+
+
+def test_bad_scene_file(tmp_path):
+    p = tmp_path / "empty.py"
+    p.write_text("x = 1\n")
+    with pytest.raises(SystemExit, match="neither"):
+        main(["render", str(p), "--spp", "1"])
+    with pytest.raises(SystemExit, match="not found"):
+        main(["render", str(tmp_path / "missing.py")])
