@@ -77,6 +77,23 @@ def _cmd_render(args):
     out = args.out or (Path(args.scene).with_suffix("").name + ".png")
     stats = None
     t0 = time.time()
+    if args.sharded:
+        import numpy as np
+        from PIL import Image
+
+        for flag in ("denoise", "target_noise", "checkpoint", "profile_dir",
+                     "hdr"):
+            if getattr(args, flag):
+                raise SystemExit(f"--sharded does not combine with --{flag}")
+        from .parallel.sharded import make_mesh, render_sharded
+
+        a = np.asarray(render_sharded(sc, samples_per_pixel=args.spp,
+                                      mesh=make_mesh(), seed=args.seed))
+        wall = time.time() - t0
+        Image.fromarray((np.clip(a, 0, 1) * 255).astype(np.uint8)).save(out)
+        print(json.dumps({"out": out, "wall_s": round(wall, 3),
+                          "spp": args.spp, "sharded": True}))
+        return
     if args.denoise:
         for flag in ("target_noise", "checkpoint", "profile_dir"):
             if getattr(args, flag):
@@ -137,6 +154,29 @@ def _cmd_aovs(args):
     print(json.dumps({"planes": list(aovs), "files": outs}))
 
 
+def _cmd_animate(args):
+    path = Path(args.scene)
+    sc = _load_scene(args.scene, args.width, args.height)
+    mod = sys.modules[path.stem]
+    update = getattr(mod, "update_scene", None)
+    if update is None:
+        raise SystemExit(
+            f"{path.name}: animate needs an update_scene(scene, t) function")
+    from .animation import create_animation, create_animation_using_opencv
+
+    out = args.out or (path.with_suffix("").name + ".avi")
+    t0 = time.time()
+    if out.endswith((".avi", ".mp4")):
+        fps = create_animation_using_opencv(
+            sc, args.spp, args.fps, args.t0, args.t1, update, out)
+    else:                                   # treat --out as a frames dir
+        fps = create_animation(sc, args.spp, args.fps, args.t0, args.t1,
+                               update, path.with_suffix("").name,
+                               frames_dir=out)
+    print(json.dumps({"out": out, "wall_s": round(time.time() - t0, 3),
+                      "frames_per_s": round(fps, 2)}))
+
+
 def _cmd_devices(_args):
     import jax
 
@@ -170,7 +210,20 @@ def main(argv=None):
     pr.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace here")
     pr.add_argument("--progress", action="store_true")
+    pr.add_argument("--sharded", action="store_true",
+                    help="render data-parallel over ALL local devices "
+                         "(shard_map + psum over the sample axis)")
     pr.set_defaults(fn=_cmd_render)
+
+    pn = sub.add_parser(
+        "animate",
+        help="render an animation; the scene file must also expose "
+             "update_scene(scene, t)")
+    _add_common(pn)
+    pn.add_argument("--fps", type=float, default=24.0)
+    pn.add_argument("--t0", type=float, default=0.0)
+    pn.add_argument("--t1", type=float, default=1.0)
+    pn.set_defaults(fn=_cmd_animate)
 
     pa = sub.add_parser("aovs", help="render denoiser feature planes")
     _add_common(pa)

@@ -84,3 +84,30 @@ def test_bad_scene_file(tmp_path):
         main(["render", str(p), "--spp", "1"])
     with pytest.raises(SystemExit, match="not found"):
         main(["render", str(tmp_path / "missing.py")])
+
+
+def test_render_sharded(scene_file, tmp_path, capsys):
+    """--sharded renders over the 8 virtual devices (shard_map + psum)."""
+    out = tmp_path / "sh.png"
+    main(["render", str(scene_file), "--spp", "8", "--sharded",
+          "-o", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["sharded"] is True
+    a = np.asarray(Image.open(out))
+    assert a.shape == (16, 24, 3) and a.max() > 100
+
+
+def test_animate_frames(tmp_path, capsys):
+    p = tmp_path / "anim_scene.py"
+    p.write_text(SCENE + '''
+import numpy as np
+def update_scene(scene, t):
+    scene.scene_primitives[0].center = np.asarray(
+        [1.5 * t - 0.75, 0.0, -3.0], np.float32)
+''')
+    frames_dir = tmp_path / "frames"
+    main(["animate", str(p), "--spp", "1", "--fps", "4",
+          "-o", str(frames_dir)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["frames_per_s"] > 0
+    assert len(list(frames_dir.glob("*.png"))) == 4
