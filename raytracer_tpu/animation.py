@@ -135,6 +135,87 @@ def _frame_data(scene):
     return static, nt, data.textures, cam_vec
 
 
+class _FramePlan:
+    """Compile-once machinery shared by `render_frames` and
+    `render_motion_blur`: settings/chunk derivation at the first time
+    point, per-batch data stacking with the structure check, and the
+    chunk key / stratification-offset construction."""
+
+    def __init__(self, scene, samples_per_pixel, update_scene, t_first,
+                 seed, mesh):
+        self.scene, self.update_scene = scene, update_scene
+        self.mesh = mesh or _frame_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.W = scene.camera.screen_width
+        self.H = scene.camera.screen_height
+        # compile at the first time point to fix scene structure + settings
+        update_scene(scene, t_first)
+        self.static0, _, self.textures, _ = _frame_data(scene)
+        split_k = derive_split_k(self.static0)
+        self.settings = RenderSettings(
+            max_bounces=derive_max_bounces(self.static0), split_k=split_k,
+            sampler=scene.settings.sampler)
+        split_fan = 1 << split_k
+        eff_spp = samples_per_pixel * scene._diffuse_fan() * split_fan
+        # HBM-bounded per-frame chunking, whole pattern blocks per chunk
+        # (the record kernel's per-(ray, bounce) records are the binding
+        # buffer)
+        from .core.scene import MAX_RAYS_PER_CHUNK
+
+        chunk = max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (self.W * self.H)))
+        self.chunk = max(split_fan, chunk - chunk % split_fan)
+        self.n_chunks = -(-eff_spp // self.chunk)
+        self.spp_frame = self.n_chunks * self.chunk  # samples drawn per frame
+        self.step, self.tonemap = _build_frame_step(
+            self.static0, self.settings, self.mesh, self.W, self.H,
+            self.chunk)
+        self.base = jax.random.PRNGKey(seed)
+        # R2 rotation seed from the BASE key — the same derivation as
+        # Scene.render (a 1-chunk frame 0 stays bit-identical to it)
+        self.strat_seed = jax.random.randint(self.base, (), 0, 2 ** 31 - 1,
+                                             dtype=jnp.int32)
+
+    def stack_batch(self, batch_times):
+        """Compile each time point's tables; stack along the frame axis
+        (padding the tail batch by repeating the last frame)."""
+        datas, cams = [], []
+        for bt in batch_times:
+            self.update_scene(self.scene, bt)
+            static_i, nt, _, cam_vec = _frame_data(self.scene)
+            if static_i != self.static0:
+                raise ValueError(
+                    "update_scene changed the scene STRUCTURE between time "
+                    "points (object/material/light counts must stay "
+                    "constant; only traced parameters may animate)")
+            datas.append(nt)
+            cams.append(cam_vec)
+        while len(datas) < self.n_dev:
+            datas.append(datas[-1])
+            cams.append(cams[-1])
+        return (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas),
+                jnp.stack(cams))
+
+    def chunk_keys(self, base_index, c):
+        """Per-device PRNG keys for chunk c of frames base_index + j.
+        Chunk 0 reuses the frame key itself, so a 1-chunk frame 0 is
+        bit-identical to Scene.render's first chunk."""
+        keys = [jax.random.fold_in(self.base, base_index + j)
+                for j in range(self.n_dev)]
+        return jnp.stack([k if c == 0 else jax.random.fold_in(k, c)
+                          for k in keys])
+
+    def strat(self, base_index, c, advance_per_frame):
+        """[R2 seed, global sample offset] rows.  advance_per_frame=0 keeps
+        the SAME lattice on every frame (temporally stable AA, no sample
+        shimmer); spp_frame advances each frame through ONE global lattice
+        (motion blur: the union of slices is the full-spp sample set)."""
+        return jnp.stack([
+            jnp.stack([self.strat_seed,
+                       jnp.int32((base_index + j) * advance_per_frame
+                                 + c * self.chunk)])
+            for j in range(self.n_dev)])
+
+
 def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
                   mesh=None):
     """Render one frame per entry of `times`, yielding (H, W, 3) uint8 arrays.
@@ -143,66 +224,20 @@ def render_frames(scene, samples_per_pixel, times, update_scene, seed=0,
     (frame-axis data parallelism), and the host overlaps PNG/video encoding
     of batch i with the device rendering of batch i+1.
     """
-    mesh = mesh or _frame_mesh()
-    n_dev = mesh.devices.size
-    W, H = scene.camera.screen_width, scene.camera.screen_height
-
-    # compile frame 0 to fix the scene structure + settings
-    update_scene(scene, times[0])
-    static0, _, textures, _ = _frame_data(scene)
-    split_k = derive_split_k(static0)
-    settings = RenderSettings(max_bounces=derive_max_bounces(static0),
-                              split_k=split_k,
-                              sampler=scene.settings.sampler)
-    split_fan = 1 << split_k
-    eff_spp = samples_per_pixel * scene._diffuse_fan() * split_fan
-    eff_spp = -(-eff_spp // split_fan) * split_fan
-    # HBM-bounded per-frame chunking, whole pattern blocks per chunk (the
-    # record kernel's per-(ray, bounce) records are the binding buffer)
-    from .core.scene import MAX_RAYS_PER_CHUNK
-
-    chunk = max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
-    chunk = max(split_fan, chunk - chunk % split_fan)
-    n_chunks = -(-eff_spp // chunk)
-    step, tonemap = _build_frame_step(static0, settings, mesh, W, H, chunk)
+    plan = _FramePlan(scene, samples_per_pixel, update_scene, times[0],
+                      seed, mesh)
 
     def launch(batch_times, base_index):
         """Stack per-frame data and enqueue the sharded render (no sync)."""
-        datas, cams = [], []
-        for bt in batch_times:
-            update_scene(scene, bt)
-            static_i, nt, _, cam_vec = _frame_data(scene)
-            if static_i != static0:
-                raise ValueError(
-                    "update_scene changed the scene STRUCTURE between frames "
-                    "(object/material/light counts must stay constant; only "
-                    "traced parameters may animate)")
-            datas.append(nt)
-            cams.append(cam_vec)
-        while len(datas) < n_dev:           # pad the tail batch
-            datas.append(datas[-1])
-            cams.append(cams[-1])
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
-        base = jax.random.PRNGKey(seed)
-        frame_keys = [jax.random.fold_in(base, base_index + j)
-                      for j in range(n_dev)]
-        # R2 rotation seed from the BASE key — the same derivation as
-        # Scene.render (frame 0 stays bit-identical to it) and the same
-        # lattice on every frame (temporally stable AA, no sample shimmer)
-        strat_seed = jax.random.randint(base, (), 0, 2 ** 31 - 1,
-                                        dtype=jnp.int32)
+        stacked, cams = plan.stack_batch(batch_times)
         acc = None
-        for c in range(n_chunks):
-            # chunk 0 reuses the frame key itself, so a 1-chunk frame 0 is
-            # bit-identical to Scene.render's first chunk
-            keys = jnp.stack([k if c == 0 else jax.random.fold_in(k, c)
-                              for k in frame_keys])
-            strat = jnp.broadcast_to(
-                jnp.stack([strat_seed, jnp.int32(c * chunk)]), (n_dev, 2))
-            out = step(keys, stacked, jnp.stack(cams), textures, strat)
+        for c in range(plan.n_chunks):
+            out = plan.step(plan.chunk_keys(base_index, c), stacked, cams,
+                            plan.textures, plan.strat(base_index, c, 0))
             acc = out if acc is None else acc + out
-        return tonemap(acc, float(n_chunks * chunk)), len(batch_times)
+        return plan.tonemap(acc, float(plan.spp_frame)), len(batch_times)
 
+    n_dev = plan.n_dev
     batches = [times[i:i + n_dev] for i in range(0, len(times), n_dev)]
     pending = None
     for bi, batch in enumerate(batches):
@@ -248,76 +283,36 @@ def render_motion_blur(scene, samples_per_pixel, update_scene,
     linear-radiance mean (`output="linear"`, e.g. for `save_hdr`).
     `slices=None` picks min(32, spp) — enough that slice ghosting is below
     the render's own noise for typical motion.
+    samples_per_pixel is rounded UP to a multiple of `slices` (never down:
+    the requested budget is a floor, like Scene.render's chunk rounding).
     """
     from PIL import Image
 
-    mesh = mesh or _frame_mesh()
-    n_dev = mesh.devices.size
-    W, H = scene.camera.screen_width, scene.camera.screen_height
-
-    if slices is None:
-        slices = max(1, min(32, samples_per_pixel))
-    slice_spp = max(1, round(samples_per_pixel / slices))
+    slices = (max(1, min(32, samples_per_pixel)) if slices is None
+              else min(slices, samples_per_pixel))
+    slice_spp = -(-samples_per_pixel // slices)     # ceil: never under-sample
     t0, t1 = shutter
     dt = (t1 - t0) / slices
     times = [t0 + (j + 0.5) * dt for j in range(slices)]
 
-    # compile at the first slice time to fix scene structure + settings
-    update_scene(scene, times[0])
-    static0, _, textures, _ = _frame_data(scene)
-    split_k = derive_split_k(static0)
-    settings = RenderSettings(max_bounces=derive_max_bounces(static0),
-                              split_k=split_k,
-                              sampler=scene.settings.sampler)
-    split_fan = 1 << split_k
-    eff_spp = slice_spp * scene._diffuse_fan() * split_fan
-    eff_spp = -(-eff_spp // split_fan) * split_fan
-    from .core.scene import MAX_RAYS_PER_CHUNK
-
-    chunk = max(1, min(eff_spp, MAX_RAYS_PER_CHUNK // (W * H)))
-    chunk = max(split_fan, chunk - chunk % split_fan)
-    n_chunks = -(-eff_spp // chunk)
-    spp_slice = n_chunks * chunk            # per-slice samples actually drawn
-    step, tonemap = _build_frame_step(static0, settings, mesh, W, H, chunk)
-
-    base = jax.random.PRNGKey(seed)
-    strat_seed = jax.random.randint(base, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    plan = _FramePlan(scene, slice_spp, update_scene, times[0], seed, mesh)
     acc = None
-    for b0 in range(0, slices, n_dev):
-        batch = times[b0:b0 + n_dev]
+    for b0 in range(0, slices, plan.n_dev):
+        batch = times[b0:b0 + plan.n_dev]
         n_real = len(batch)
-        datas, cams = [], []
-        for bt in batch:
-            update_scene(scene, bt)
-            static_i, nt, _, cam_vec = _frame_data(scene)
-            if static_i != static0:
-                raise ValueError(
-                    "update_scene changed the scene STRUCTURE between "
-                    "shutter slices (object/material/light counts must stay "
-                    "constant; only traced parameters may move)")
-            datas.append(nt)
-            cams.append(cam_vec)
-        while len(datas) < n_dev:           # pad the tail batch
-            datas.append(datas[-1])
-            cams.append(cams[-1])
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
-        keys = [jax.random.fold_in(base, b0 + j) for j in range(n_dev)]
-        for c in range(n_chunks):
-            ck = jnp.stack([k if c == 0 else jax.random.fold_in(k, c)
-                            for k in keys])
+        stacked, cams = plan.stack_batch(batch)
+        for c in range(plan.n_chunks):
             # every slice advances the ONE global lattice: slice j draws
-            # samples [j*spp_slice, (j+1)*spp_slice) of the full-spp set
-            strat = jnp.stack(
-                [jnp.stack([strat_seed,
-                            jnp.int32((b0 + j) * spp_slice + c * chunk)])
-                 for j in range(n_dev)])
-            out = step(ck, stacked, jnp.stack(cams), textures, strat)
+            # samples [j*spp_frame, (j+1)*spp_frame) of the full-spp set
+            out = plan.step(plan.chunk_keys(b0, c), stacked, cams,
+                            plan.textures, plan.strat(b0, c, plan.spp_frame))
             got = out[:n_real].sum(axis=0)  # drop tail padding duplicates
             acc = got if acc is None else acc + got
+    n_total = float(slices * plan.spp_frame)
     if output == "linear":
-        lin = np.asarray(acc, np.float32) / float(slices * spp_slice)
-        return lin.reshape(H, W, 3)
-    frames = tonemap(acc[None], float(slices * spp_slice))
+        return (np.asarray(acc, np.float32) / n_total).reshape(
+            plan.H, plan.W, 3)
+    frames = plan.tonemap(acc[None], n_total)
     return Image.fromarray(np.asarray(frames)[0])
 
 

@@ -28,34 +28,44 @@ from pathlib import Path
 
 
 def _load_scene(path, width=None, height=None):
+    """Returns (scene, module).  Prefers a prebuilt ``Sc`` (already
+    constructed at import time) unless a resolution override requires
+    calling ``build_scene(width=..., height=...)``."""
+    import inspect
+
     path = Path(path)
     if not path.exists():
         raise SystemExit(f"scene file not found: {path}")
     sys.path.insert(0, str(path.resolve().parent))
-    spec = importlib.util.spec_from_file_location(path.stem, str(path))
+    # a UNIQUE registry key: scene files named like installed modules
+    # (numpy.py, jax.py) must not clobber sys.modules entries
+    mod_name = f"_raytracer_tpu_scene_{path.stem}"
+    spec = importlib.util.spec_from_file_location(mod_name, str(path))
     mod = importlib.util.module_from_spec(spec)
-    sys.modules[path.stem] = mod
+    sys.modules[mod_name] = mod
     spec.loader.exec_module(mod)
+    kwargs = {}
+    if width is not None:
+        kwargs["width"] = width
+    if height is not None:
+        kwargs["height"] = height
+    if hasattr(mod, "Sc") and not kwargs:
+        return mod.Sc, mod
     if hasattr(mod, "build_scene"):
-        kwargs = {}
-        if width is not None:
-            kwargs["width"] = width
-        if height is not None:
-            kwargs["height"] = height
-        try:
-            return mod.build_scene(**kwargs)
-        except TypeError:
-            if kwargs:
+        if kwargs:
+            params = inspect.signature(mod.build_scene).parameters
+            accepts_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                             for p in params.values())
+            missing = [k for k in kwargs if k not in params]
+            if missing and not accepts_kw:
                 raise SystemExit(
                     f"{path.name}: build_scene() does not accept "
-                    f"width/height overrides ({sorted(kwargs)})")
-            raise
+                    f"{sorted(missing)} overrides")
+        return mod.build_scene(**kwargs), mod
     if hasattr(mod, "Sc"):
-        if width is not None or height is not None:
-            raise SystemExit(
-                f"{path.name} exposes a prebuilt Sc; --width/--height need "
-                "a build_scene(width=..., height=...) entry point")
-        return mod.Sc
+        raise SystemExit(
+            f"{path.name} exposes a prebuilt Sc; --width/--height need "
+            "a build_scene(width=..., height=...) entry point")
     raise SystemExit(
         f"{path.name} exposes neither `Sc` nor `build_scene()`")
 
@@ -69,12 +79,13 @@ def _add_common(p):
                    help="override width (needs build_scene(width=...))")
     p.add_argument("--height", type=int, default=None)
     p.add_argument("-o", "--out", default=None,
-                   help="output path (default: <scene>.png next to the file)")
+                   help="output path (default: the scene file's path with a "
+                        ".png suffix)")
 
 
 def _cmd_render(args):
-    sc = _load_scene(args.scene, args.width, args.height)
-    out = args.out or (Path(args.scene).with_suffix("").name + ".png")
+    sc, _ = _load_scene(args.scene, args.width, args.height)
+    out = args.out or str(Path(args.scene).with_suffix(".png"))
     stats = None
     t0 = time.time()
     if args.sharded:
@@ -82,7 +93,7 @@ def _cmd_render(args):
         from PIL import Image
 
         for flag in ("denoise", "target_noise", "checkpoint", "profile_dir",
-                     "hdr"):
+                     "hdr", "clamp"):
             if getattr(args, flag):
                 raise SystemExit(f"--sharded does not combine with --{flag}")
         from .parallel.sharded import make_mesh, render_sharded
@@ -133,9 +144,9 @@ def _cmd_aovs(args):
     import numpy as np
     from PIL import Image
 
-    sc = _load_scene(args.scene, args.width, args.height)
+    sc, _ = _load_scene(args.scene, args.width, args.height)
     aovs = sc.render_aovs(samples_per_pixel=args.spp, seed=args.seed)
-    pattern = args.out or (Path(args.scene).with_suffix("").name + "_{}.png")
+    pattern = args.out or str(Path(args.scene).with_suffix("")) + "_{}.png"
     if "{}" not in pattern:
         raise SystemExit("--out for aovs must contain '{}' (plane name)")
     outs = []
@@ -156,15 +167,14 @@ def _cmd_aovs(args):
 
 def _cmd_animate(args):
     path = Path(args.scene)
-    sc = _load_scene(args.scene, args.width, args.height)
-    mod = sys.modules[path.stem]
+    sc, mod = _load_scene(args.scene, args.width, args.height)
     update = getattr(mod, "update_scene", None)
     if update is None:
         raise SystemExit(
             f"{path.name}: animate needs an update_scene(scene, t) function")
     from .animation import create_animation, create_animation_using_opencv
 
-    out = args.out or (path.with_suffix("").name + ".avi")
+    out = args.out or str(path.with_suffix(".avi"))
     t0 = time.time()
     if out.endswith((".avi", ".mp4")):
         fps = create_animation_using_opencv(
