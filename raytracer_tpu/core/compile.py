@@ -1403,8 +1403,14 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                 "use Panorama / add_Background(spherical=True)")
         # sample the SAME array the env slot displays (blur variant if any)
         src = m.blur_texture if m.blur_texture is not None else m.texture
-        prob, alias_t, pdf_t, env_is_shape = _env_is_tables(src)
-        env_is_tabs = (prob, alias_t, pdf_t)
+        if float(np.asarray(src, np.float64)[..., :3].sum()) <= 0.0:
+            # a black map has no distribution to sample; building tables
+            # anyway would draw uniform directions with a claimed pdf of 0
+            # (a biased mixture) — fall back to the plain cosine/caps path
+            env_is_shape = (0, 0)
+        else:
+            prob, alias_t, pdf_t, env_is_shape = _env_is_tables(src)
+            env_is_tabs = (prob, alias_t, pdf_t)
 
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
     _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}

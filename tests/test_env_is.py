@@ -142,3 +142,23 @@ def test_env_is_fingerprint():
     fa = scene_fingerprint(_floor_scene(True))
     fb = scene_fingerprint(_floor_scene(False))
     assert fa != fb
+
+
+def test_black_env_falls_back():
+    """A black importance-sampled map has no distribution to sample: compile
+    must fall back to the plain mixture instead of drawing uniform
+    directions with a claimed pdf of 0 (a biased estimator)."""
+    sc = Scene(ambient_color=(0, 0, 0))
+    sc.add_Camera(look_from=vec3(0, 1.0, 2), look_at=vec3(0, 0, -1),
+                  screen_width=8, screen_height=8)
+    sc.add(Plane(material=Diffuse(diff_color=rgb(0.7, 0.7, 0.7),
+                                  diffuse_rays=1),
+                 center=vec3(0, -0.5, -2), width=30, height=30,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
+    sc.add_Background(np.zeros((16, 32, 3), np.float32), spherical=True,
+                      importance_sampled=True)
+    static, data = compile_scene(sc)
+    assert static.env_is_shape == (0, 0)
+    assert data.env_is_prob.shape[0] == 0
+    img = np.asarray(sc.render(samples_per_pixel=4, seed=0, output="linear"))
+    assert np.isfinite(img).all() and img.max() == 0.0
