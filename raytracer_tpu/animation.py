@@ -50,6 +50,7 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
     pallas_mode = ("solid" if static.pallas_ok
                    else "record" if static.pallas_tex_ok else None)
     use_pallas = (pallas_mode is not None
+                  and settings.projection == "pinhole"
                   and jax.default_backend() in ("tpu", "axon"))
 
     def per_frame(key, data_nt, cam_vec, textures, strat):
@@ -80,7 +81,8 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
             O, D = generate_rays(k_ray, _cam_from_vec(cam_vec),
                                  width, height, spp,
                                  sampler=settings.sampler,
-                                 strat_seed=strat[0], sample0=strat[1])
+                                 strat_seed=strat[0], sample0=strat[1],
+                                 projection=settings.projection)
             n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
             n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
             pattern = None
@@ -154,7 +156,8 @@ class _FramePlan:
         split_k = derive_split_k(self.static0)
         self.settings = RenderSettings(
             max_bounces=derive_max_bounces(self.static0), split_k=split_k,
-            sampler=scene.settings.sampler)
+            sampler=scene.settings.sampler,
+            projection=scene.camera.projection)
         split_fan = 1 << split_k
         eff_spp = samples_per_pixel * scene._diffuse_fan() * split_fan
         # HBM-bounded per-frame chunking, whole pattern blocks per chunk

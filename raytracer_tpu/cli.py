@@ -187,6 +187,25 @@ def _cmd_animate(args):
                       "frames_per_s": round(fps, 2)}))
 
 
+def _cmd_bake(args):
+    """Bake the scene into an equirect environment map (.hdr)."""
+    from .utils.image_io import save_hdr
+
+    sc, _ = _load_scene(args.scene)
+    center = tuple(float(x) for x in args.center.split(","))
+    if len(center) != 3:
+        raise SystemExit("--center must be x,y,z")
+    t0 = time.time()
+    env = sc.render_environment(width=args.width or 512,
+                                height=args.height or 256,
+                                samples_per_pixel=args.spp,
+                                center=center, seed=args.seed)
+    out = args.out or str(Path(args.scene).with_suffix(".hdr"))
+    save_hdr(env, out)
+    print(json.dumps({"out": out, "wall_s": round(time.time() - t0, 3),
+                      "shape": list(env.shape)}))
+
+
 def _cmd_devices(_args):
     import jax
 
@@ -238,6 +257,14 @@ def main(argv=None):
     pa = sub.add_parser("aovs", help="render denoiser feature planes")
     _add_common(pa)
     pa.set_defaults(fn=_cmd_aovs)
+
+    pb = sub.add_parser(
+        "bake", help="bake the scene into an equirect environment .hdr "
+                     "(usable as another scene's background)")
+    _add_common(pb)
+    pb.add_argument("--center", default="0,0,0",
+                    help="bake viewpoint as x,y,z (default origin)")
+    pb.set_defaults(fn=_cmd_bake)
 
     pd = sub.add_parser("devices", help="print the JAX backend/devices")
     pd.set_defaults(fn=_cmd_devices)

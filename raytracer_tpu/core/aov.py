@@ -65,9 +65,11 @@ def _albedo_at_hit(mat_type, mat_slot, uv, data, static):
     return alb
 
 
-@partial(jax.jit, static_argnames=("static", "width", "height", "spp"))
-def _aov_chunk(key, data, cam, static, width, height, spp):
-    O, D = generate_rays(key, cam, width, height, spp)
+@partial(jax.jit, static_argnames=("static", "width", "height", "spp",
+                                   "projection"))
+def _aov_chunk(key, data, cam, static, width, height, spp,
+               projection="pinhole"):
+    O, D = generate_rays(key, cam, width, height, spp, projection=projection)
     t, orient, P, N_geo, uv, obj = _first_hit_impl(O, D, data, static)
     hit = t < MISS_THRESHOLD
     h1 = hit[..., None]
@@ -127,7 +129,8 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
     W, H = scene.camera.screen_width, scene.camera.screen_height
     static, data = compile_scene_cached(scene)
     out = _aov_chunk(jax.random.PRNGKey(seed), data, scene.camera.params(),
-                     static, W, H, int(samples_per_pixel))
+                     static, W, H, int(samples_per_pixel),
+                     projection=scene.camera.projection)
     out = {k: np.asarray(v) for k, v in out.items()}
     spp = float(samples_per_pixel)
     cov = out["coverage"]

@@ -37,7 +37,12 @@ class Camera:
     """Host-side camera description (reference camera.py:8-49)."""
 
     def __init__(self, look_from, look_at, screen_width=400, screen_height=300,
-                 field_of_view=90.0, aperture=0.0, focal_distance=1.0):
+                 field_of_view=90.0, aperture=0.0, focal_distance=1.0,
+                 projection="pinhole"):
+        if projection not in ("pinhole", "equirect"):
+            raise ValueError(
+                f"projection must be 'pinhole' or 'equirect', got "
+                f"{projection!r}")
         self.screen_width = int(screen_width)
         self.screen_height = int(screen_height)
         self.aspect_ratio = float(screen_width) / screen_height
@@ -46,6 +51,12 @@ class Camera:
         self.field_of_view = float(field_of_view)
         self.aperture = float(aperture)
         self.focal_distance = float(focal_distance)
+        # "equirect": a full 360x180 panorama camera — pixel (u, v) maps to
+        # azimuth/elevation, the image center looks along look_at's azimuth.
+        # The reference has pinhole + thin lens only (camera.py:8-49).
+        # Equirect scenes render on the jnp wavefront (the Pallas kernels'
+        # in-kernel raygen is pinhole).
+        self.projection = projection
 
     def params(self) -> CameraParams:
         cam_w = np.tan(self.field_of_view * np.pi / 180 / 2.0) * 2.0
@@ -65,7 +76,7 @@ class Camera:
 
 def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
                   dtype=jnp.float32, row0=0, rows=None, sampler="r2",
-                  strat_seed=None, sample0=None):
+                  strat_seed=None, sample0=None, projection="pinhole"):
     """Generate a (spp * rows * W, 3) wavefront of camera rays.
 
     Per-sample sub-pixel AA jitter and thin-lens depth of field exactly as
@@ -90,6 +101,42 @@ def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
     n_pix = width * rows
     n = spp * n_pix
     k_jx, k_jy, k_disk = jax.random.split(key, 3)
+
+    if projection == "equirect":
+        # 360x180 panorama: column -> azimuth around look_at's heading, row
+        # -> elevation (row 0 = zenith).  AA jitter uses the same draw
+        # dimensions (0, 1) as the pinhole path; the thin lens is a no-op.
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        band_pix = idx % jnp.uint32(n_pix)
+        col = (band_pix % jnp.uint32(width)).astype(dtype)
+        grow = (jnp.asarray(row0, dtype)
+                + (band_pix // jnp.uint32(width)).astype(dtype))
+        if sampler == "r2":
+            if strat_seed is None:
+                strat_seed = jax.random.randint(k_jx, (), 0, 2 ** 31 - 1,
+                                                dtype=jnp.int32)
+            if sample0 is None:
+                sample0 = jnp.int32(0)
+            gpix = band_pix + jnp.asarray(row0, jnp.float32).astype(
+                jnp.uint32) * jnp.uint32(width)
+            s = (idx // jnp.uint32(n_pix)
+                 + jnp.asarray(sample0).astype(jnp.uint32))
+            u1 = lds.to_float(lds.r2_bits(gpix, s, strat_seed, 0)).astype(dtype)
+            u2 = lds.to_float(lds.r2_bits(gpix, s, strat_seed, 1)).astype(dtype)
+        elif sampler == "iid":
+            u1 = jax.random.uniform(k_jx, (n,), dtype)
+            u2 = jax.random.uniform(k_jy, (n,), dtype)
+        else:
+            raise ValueError(f"sampler must be 'r2' or 'iid', got {sampler!r}")
+        u_img = (col + u1) / width
+        el = jnp.pi * (0.5 - (grow + u2) / height)     # +pi/2 zenith .. -pi/2
+        phi0 = jnp.arctan2(params.fwd[2], params.fwd[0])
+        phi = phi0 + 2.0 * jnp.pi * (u_img - 0.5)
+        rho = jnp.cos(el)
+        d = jnp.stack([rho * jnp.cos(phi), jnp.sin(el), rho * jnp.sin(phi)],
+                      axis=-1)
+        origin = jnp.broadcast_to(params.origin[None, :], d.shape)
+        return origin, d
 
     # pixel centers in camera units (reference camera.py:36-49)
     xs = (jnp.arange(width, dtype=dtype) / (width - 1) - 0.5) * params.cam_w

@@ -65,6 +65,10 @@ class RenderSettings:
     # lattice (core/lds.py, ~2.2x lower image MSE at equal spp), "iid" = the
     # reference's independent uniforms
     sampler: str = "r2"
+    # camera projection ("pinhole" or "equirect" 360 panorama); derived from
+    # Camera.projection by Scene._settings_for_render.  Equirect renders on
+    # the jnp wavefront (the kernels' in-raygen is pinhole).
+    projection: str = "pinhole"
     # collect per-bounce ray counts for the Mrays/s metric
     collect_stats: bool = False
     # unroll factor of the lax.scan bounce loop (1 = single compiled body;

@@ -56,7 +56,7 @@ def _render_chunk(key, data, cam, static, settings, width, height, spp,
     O, D = generate_rays(k_ray, cam, width, height, spp,
                          row0=jnp.float32(row0), rows=rows,
                          sampler=settings.sampler, strat_seed=strat_seed,
-                         sample0=sample0)
+                         sample0=sample0, projection=settings.projection)
     n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
     # branch pattern per ray: rays are [sample, pixel]-ordered and spp is a
@@ -164,6 +164,8 @@ def _use_pallas(static, settings):
     """Returns (mode, interpret): mode in {None, 'solid', 'record'}."""
     if settings.use_pallas == "never":
         return None, False
+    if settings.projection != "pinhole":
+        return None, False      # in-kernel raygen is pinhole-only
     mode = ("solid" if static.pallas_ok
             else "record" if static.pallas_tex_ok else None)
     if mode is None:
@@ -174,9 +176,9 @@ def _use_pallas(static, settings):
     return (mode if on_tpu else None), False
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _distances_chunk(key, data, cam, width, height):
-    O, D = generate_rays(key, cam, width, height, 1)
+@partial(jax.jit, static_argnames=("width", "height", "projection"))
+def _distances_chunk(key, data, cam, width, height, projection="pinhole"):
+    O, D = generate_rays(key, cam, width, height, 1, projection=projection)
     return trace_distances(O, D, data)
 
 
@@ -270,6 +272,7 @@ class Scene:
                                   collect_stats=collect_stats,
                                   use_pallas=self.settings.use_pallas,
                                   sampler=self.settings.sampler,
+                                  projection=self.camera.projection,
                                   split_k=split_k)
         return static, data, settings
 
@@ -554,6 +557,42 @@ class Scene:
             return np.asarray(out[0], dtype=np.float32) / 255.0, out[1]
         return np.asarray(out, dtype=np.float32) / 255.0
 
+    def render_environment(self, width=512, height=256, samples_per_pixel=16,
+                           center=(0.0, 0.0, 0.0), seed=0, **render_kwargs):
+        """Bake this scene into an equirect environment map.
+
+        Renders a full 360x180 panorama from `center` through the equirect
+        camera (core/camera.py) and returns a LINEAR float32 (height, width,
+        3) array in the STORAGE convention of the environment fetch — the
+        result plugs straight into another scene:
+
+            env = scene_a.render_environment(center=(0, 1, 0))
+            scene_b.add_Background(env, spherical=True, linear=True)
+
+        and directions through scene_b's background then see exactly the
+        radiance scene_a showed from `center` (up to texel resolution).
+        The reference cannot render panoramas at all — its camera is
+        pinhole-only (camera.py:8-49)."""
+        saved = self.camera
+        c = np.asarray(as_float3(center, "center"), np.float64)
+        try:
+            # look_at = center + x: the equirect camera's phi0 becomes 0, so
+            # image u equals the env fetch's azimuth u with no offset
+            self.camera = Camera(look_from=c, look_at=c + [1.0, 0.0, 0.0],
+                                 screen_width=width, screen_height=height,
+                                 projection="equirect")
+            img = np.asarray(self.render(samples_per_pixel, seed=seed,
+                                         output="linear", **render_kwargs),
+                             np.float32)
+        finally:
+            self.camera = saved
+        # camera rows run zenith -> nadir; the fetch indexes storage row
+        # (-iv) mod H for display v-index iv (materials/shade.py
+        # fetch_texture), so permute display rows into storage order
+        store = np.empty_like(img)
+        store[(-np.arange(height)) % height] = img[::-1]
+        return store
+
     def render_aovs(self, samples_per_pixel=1, seed=0):
         """First-hit feature planes (depth/normal/albedo/position/coverage/
         obj_id) for denoising and debugging — see core/aov.py.  The
@@ -604,7 +643,8 @@ class Scene:
         W, H = self.camera.screen_width, self.camera.screen_height
         _, data = compile_scene_cached(self)
         grey = _distances_chunk(jax.random.PRNGKey(seed), data,
-                                self.camera.params(), W, H)
+                                self.camera.params(), W, H,
+                                projection=self.camera.projection)
         img = np.asarray(grey).reshape(H, W, 3)
         return array_to_pil(img)
 

@@ -81,7 +81,8 @@ def render_multihost(scene, samples_per_pixel, mesh=None, seed=0,
     split_k = derive_split_k(static)
     settings = RenderSettings(max_bounces=derive_max_bounces(static),
                               split_k=split_k,
-                              sampler=scene.settings.sampler)
+                              sampler=scene.settings.sampler,
+                              projection=scene.camera.projection)
     spp_per_device = plan_spp_per_device(samples_per_pixel,
                                          scene._diffuse_fan(), split_k,
                                          n_sample)

@@ -74,6 +74,7 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
     # fused Pallas mega-kernel; pixel-sharded or non-qualifying scenes (and
     # the CPU dry run) use the jnp wavefront.
     use_pallas = (static.pallas_ok and n_pixel == 1 and not force_jnp
+                  and settings.projection == "pinhole"
                   and jax.default_backend() in ("tpu", "axon"))
 
     def per_device(key, data, cam):
@@ -104,7 +105,8 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
             O, D = generate_rays(k_ray, cam, width, height, spp_per_device,
                                  row0=(p_idx * rows).astype(jnp.float32),
                                  rows=rows, sampler=settings.sampler,
-                                 strat_seed=strat_seed, sample0=sample0)
+                                 strat_seed=strat_seed, sample0=sample0,
+                                 projection=settings.projection)
             n_re = jnp.broadcast_to(data.scene_n_re, O.shape)
             n_im = jnp.broadcast_to(data.scene_n_im, O.shape)
             pattern = None
@@ -155,7 +157,8 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
     split_k = derive_split_k(static)
     settings = RenderSettings(max_bounces=derive_max_bounces(static),
                               split_k=split_k,
-                              sampler=scene.settings.sampler)
+                              sampler=scene.settings.sampler,
+                              projection=scene.camera.projection)
     spp_per_device = plan_spp_per_device(samples_per_pixel,
                                          scene._diffuse_fan(), split_k,
                                          n_sample)

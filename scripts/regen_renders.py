@@ -53,7 +53,8 @@ def main():
                            ("example_mesh_textured", 64,
                             "mesh_textured.png"),
                            ("example_instances", 64, "instances.png"),
-                           ("example_env_is", 64, "env_is.png")):
+                           ("example_env_is", 64, "env_is.png"),
+                           ("example_panorama", 64, "panorama.png")):
         mod = importlib.import_module(name)
         sc = mod.Sc
         sc.render(samples_per_pixel=1)

@@ -111,3 +111,15 @@ def update_scene(scene, t):
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["frames_per_s"] > 0
     assert len(list(frames_dir.glob("*.png"))) == 4
+
+
+def test_bake(scene_file, tmp_path, capsys):
+    from raytracer_tpu import load_hdr
+
+    out = tmp_path / "env.hdr"
+    main(["bake", str(scene_file), "--spp", "2", "--width", "64",
+          "--height", "32", "-o", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["shape"] == [32, 64, 3]
+    env = load_hdr(str(out))
+    assert env.shape == (32, 64, 3) and env.max() > 0.5
