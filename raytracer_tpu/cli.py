@@ -84,10 +84,37 @@ def _add_common(p):
 
 
 def _cmd_render(args):
-    sc, _ = _load_scene(args.scene, args.width, args.height)
+    sc, mod = _load_scene(args.scene, args.width, args.height)
     out = args.out or str(Path(args.scene).with_suffix(".png"))
     stats = None
     t0 = time.time()
+    if args.motion_blur:
+        update = getattr(mod, "update_scene", None)
+        if update is None:
+            raise SystemExit(f"{Path(args.scene).name}: --motion-blur needs "
+                             "an update_scene(scene, t) function")
+        for flag in ("denoise", "target_noise", "checkpoint", "profile_dir",
+                     "sharded", "clamp"):
+            if getattr(args, flag):
+                raise SystemExit(
+                    f"--motion-blur does not combine with --{flag}")
+        from .animation import render_motion_blur
+
+        a, b = (float(x) for x in args.shutter.split(","))
+        result = render_motion_blur(
+            sc, args.spp, update, shutter=(a, b), slices=args.slices,
+            seed=args.seed, output="linear" if args.hdr else "srgb")
+        wall = time.time() - t0
+        if args.hdr:
+            from .utils.image_io import save_hdr
+
+            out = str(Path(out).with_suffix(".hdr"))
+            save_hdr(result, out)
+        else:
+            result.save(out)
+        print(json.dumps({"out": out, "wall_s": round(wall, 3),
+                          "spp": args.spp, "motion_blur": True}))
+        return
     if args.sharded:
         import numpy as np
         from PIL import Image
@@ -242,6 +269,13 @@ def main(argv=None):
     pr.add_argument("--sharded", action="store_true",
                     help="render data-parallel over ALL local devices "
                          "(shard_map + psum over the sample axis)")
+    pr.add_argument("--motion-blur", action="store_true",
+                    help="integrate over an open shutter via the scene "
+                         "file's update_scene(scene, t)")
+    pr.add_argument("--shutter", default="0,1",
+                    help="shutter interval as t0,t1 (with --motion-blur)")
+    pr.add_argument("--slices", type=int, default=None,
+                    help="shutter slices (default min(32, spp))")
     pr.set_defaults(fn=_cmd_render)
 
     pn = sub.add_parser(

@@ -123,3 +123,27 @@ def test_bake(scene_file, tmp_path, capsys):
     assert line["shape"] == [32, 64, 3]
     env = load_hdr(str(out))
     assert env.shape == (32, 64, 3) and env.max() > 0.5
+
+
+def test_motion_blur_flag(tmp_path, capsys):
+    p = tmp_path / "mb_scene.py"
+    p.write_text(SCENE + '''
+import numpy as np
+def update_scene(scene, t):
+    scene.scene_primitives[0].center = np.asarray(
+        [1.5 * t - 0.75, 0.0, -3.0], np.float32)
+''')
+    out = tmp_path / "mb.png"
+    main(["render", str(p), "--spp", "8", "--motion-blur", "--slices", "4",
+          "-o", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["motion_blur"] is True
+    a = np.asarray(Image.open(out))
+    # the streak spans more columns than a static render would
+    lit_cols = ((a.sum(-1) > 30).any(axis=0)).sum()
+    assert lit_cols > 10
+    # missing update_scene is a clear error
+    p2 = tmp_path / "static_scene.py"
+    p2.write_text(SCENE)
+    with pytest.raises(SystemExit, match="update_scene"):
+        main(["render", str(p2), "--motion-blur"])
