@@ -87,6 +87,11 @@ def _cmd_render(args):
     sc, mod = _load_scene(args.scene, args.width, args.height)
     out = args.out or str(Path(args.scene).with_suffix(".png"))
     stats = None
+    custom_display = args.tonemap != "srgb" or args.exposure != 0.0
+    if custom_display and (args.hdr or args.sharded or args.motion_blur
+                           or args.denoise):
+        raise SystemExit("--tonemap/--exposure apply to plain PNG renders "
+                         "only (not --hdr/--sharded/--motion-blur/--denoise)")
     t0 = time.time()
     if args.motion_blur:
         update = getattr(mod, "update_scene", None)
@@ -141,7 +146,8 @@ def _cmd_render(args):
             output="linear" if args.hdr else "pil")
     else:
         kw = dict(samples_per_pixel=args.spp, seed=args.seed,
-                  progress_bar=args.progress, clamp=args.clamp)
+                  progress_bar=args.progress, clamp=args.clamp,
+                  tonemap=args.tonemap, exposure=args.exposure)
         if args.target_noise is not None:
             kw["target_noise"] = args.target_noise
         if args.checkpoint:
@@ -276,6 +282,13 @@ def main(argv=None):
                     help="shutter interval as t0,t1 (with --motion-blur)")
     pr.add_argument("--slices", type=int, default=None,
                     help="shutter slices (default min(32, spp))")
+    pr.add_argument("--tonemap", default="srgb",
+                    choices=("srgb", "aces", "reinhard"),
+                    help="display mapping (default: the reference's sRGB "
+                         "pipeline; aces/reinhard roll highlights off)")
+    pr.add_argument("--exposure", type=float, default=0.0,
+                    help="exposure in stops (scales linear radiance by "
+                         "2**exposure before tonemapping)")
     pr.set_defaults(fn=_cmd_render)
 
     pn = sub.add_parser(

@@ -28,7 +28,8 @@ import numpy as np
 
 from .. import lights as lights_mod
 from ..backgrounds.environment import Panorama, SkyBox
-from ..utils.colour import srgb_linear_to_srgb
+from ..utils.colour import (TONEMAP_OPERATORS, srgb_linear_to_srgb,
+                            tonemap_display)
 from ..utils.image_io import array_to_pil
 from . import lds
 from .camera import Camera, generate_rays
@@ -182,10 +183,12 @@ def _distances_chunk(key, data, cam, width, height, projection="pinhole"):
     return trace_distances(O, D, data)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _tonemap(acc, n_samples, width, height):
+@partial(jax.jit, static_argnames=("width", "height", "operator"))
+def _tonemap(acc, n_samples, width, height, operator="srgb",
+             exposure_scale=1.0):
     linear = acc / n_samples
-    return srgb_linear_to_srgb(linear).reshape(height, width, 3)
+    return tonemap_display(linear, operator, exposure_scale).reshape(
+        height, width, 3)
 
 
 @jax.jit
@@ -280,7 +283,7 @@ class Scene:
                seed=0, return_stats=False, checkpoint_path=None,
                checkpoint_every=4, profile_dir=None, target_noise=None,
                noise_check_every=4, output="pil", with_variance=False,
-               clamp=None):
+               clamp=None, tonemap="srgb", exposure=0.0):
         """Render and return a PIL image (reference scene.py:71-140).
 
         output: "pil" (default, tonemapped PIL image) or "linear" (the raw
@@ -327,6 +330,15 @@ class Scene:
         profile_dir: capture a jax.profiler device trace of the render into
         this directory (view with TensorBoard / xprof).  The reference's only
         instrumentation is a wall-clock print (SURVEY.md §5).
+
+        tonemap / exposure: display mapping for output="pil".  tonemap is
+        "srgb" (default — the reference pipeline, sRGB EOTF + highlight-
+        preserving intensity clip), "aces" (Narkowicz filmic fit) or
+        "reinhard" (extended Reinhard); exposure is in stops (the linear
+        radiance is scaled by 2**exposure before the operator).  The
+        defaults are bit-identical to the original pipeline.
+        output="linear" always returns the raw radiance mean — apply
+        utils.colour.tonemap_display yourself.
         """
         if profile_dir is not None:
             from jax import profiler as _profiler
@@ -336,9 +348,12 @@ class Scene:
                                    seed, return_stats, checkpoint_path,
                                    checkpoint_every, None, target_noise,
                                    noise_check_every, output, with_variance,
-                                   clamp)
+                                   clamp, tonemap, exposure)
         if output not in ("pil", "linear"):
             raise ValueError(f"output must be 'pil' or 'linear', got {output!r}")
+        if tonemap not in TONEMAP_OPERATORS:
+            raise ValueError(
+                f"tonemap must be one of {TONEMAP_OPERATORS}, got {tonemap!r}")
         if with_variance and output != "linear":
             raise ValueError("with_variance requires output='linear'")
         if with_variance and checkpoint_path is not None:
@@ -534,7 +549,8 @@ class Scene:
                 variance = s2 / n_samples
             dt = time.time() - t0
         else:
-            img = np.asarray(_tonemap(acc, float(n_samples), W, H))
+            img = np.asarray(_tonemap(acc, float(n_samples), W, H, tonemap,
+                                      jnp.float32(2.0 ** exposure)))
             dt = time.time() - t0
             pil = array_to_pil(img)
         if progress_bar:

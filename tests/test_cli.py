@@ -125,6 +125,23 @@ def test_bake(scene_file, tmp_path, capsys):
     assert env.shape == (32, 64, 3) and env.max() > 0.5
 
 
+def test_tonemap_and_exposure_flags(scene_file, tmp_path, capsys):
+    base = tmp_path / "base.png"
+    main(["render", str(scene_file), "--spp", "2", "-o", str(base)])
+    up = tmp_path / "up.png"
+    main(["render", str(scene_file), "--spp", "2", "--tonemap", "reinhard",
+          "--exposure", "1", "-o", str(up)])
+    capsys.readouterr()
+    a = np.asarray(Image.open(base)).astype(int)
+    b = np.asarray(Image.open(up)).astype(int)
+    lit = a.sum(-1) > 30
+    assert lit.any() and b[lit].mean() != a[lit].mean()
+    # display flags only make sense for plain PNG renders
+    with pytest.raises(SystemExit, match="tonemap"):
+        main(["render", str(scene_file), "--spp", "2", "--hdr",
+              "--exposure", "1"])
+
+
 def test_motion_blur_flag(tmp_path, capsys):
     p = tmp_path / "mb_scene.py"
     p.write_text(SCENE + '''
