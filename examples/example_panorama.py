@@ -14,18 +14,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from raytracer_tpu import *  # noqa: E402,F401,F403
-from example_motion_blur import build_scene  # noqa: E402
+import example_motion_blur  # noqa: E402
 
 
-def build_panorama(width=512, height=256):
-    sc = build_scene()
+# named build_scene so the CLI's --width/--height overrides rebuild THIS
+# camera (not the imported pinhole scene's)
+def build_scene(width=512, height=256):
+    sc = example_motion_blur.build_scene()
     sc.camera = Camera(look_from=vec3(0, 0.35, 0.6), look_at=vec3(0, 0.3, -1),
                        screen_width=width, screen_height=height,
                        projection="equirect")
     return sc
 
 
-Sc = build_panorama()
+build_panorama = build_scene
+Sc = build_scene()
 
 if __name__ == "__main__":
     img = Sc.render(samples_per_pixel=64, progress_bar=True)

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .core import lds
-from .core.camera import generate_rays
+from .core.camera import generate_rays, projection_mask
 from .core.compile import compile_scene_cached, derive_max_bounces, derive_split_k
 from .core.integrator import RenderSettings, trace
 from .utils.colour import srgb_linear_to_srgb
@@ -42,7 +42,7 @@ def _frame_mesh(devices=None):
 
 
 def _build_frame_step(static, settings, mesh, width, height, spp):
-    """Compile: (keys (D,2), stacked data, cam (D,16), textures)
+    """Compile: (keys (D,2), stacked data, cam (D,17), textures)
     -> (D, H, W, 3) uint8."""
     n_pix = width * height
     # qualifying frames render through the Pallas kernels on TPU, exactly as
@@ -58,22 +58,23 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
         data = jax.tree_util.tree_map(lambda x: x[0], data_nt)
         data = dataclasses.replace(data, textures=textures)
         key = key.reshape(2)
-        cam_vec = cam_vec.reshape(16)
+        cam_vec = cam_vec.reshape(17)
         strat = strat.reshape(2)   # [R2 rotation seed, global sample offset]
         if use_pallas:
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
                                       dtype=jnp.int32)
             seed_vec = jnp.stack([seed, strat[0], strat[1]])
+            kvec = cam_vec[:16]     # the kernels' pinhole camera packing
             if pallas_mode == "solid":
                 from .ops.pallas_trace import pallas_trace_chunk
                 L, _ = pallas_trace_chunk(
-                    seed_vec, data, cam_vec, static, width, height, spp,
+                    seed_vec, data, kvec, static, width, height, spp,
                     settings.max_bounces, False, settings.split_k,
                     settings.sampler)
             else:
                 from .ops.pallas_record import pallas_record_chunk
                 L, _ = pallas_record_chunk(
-                    seed_vec, data, cam_vec, static, width, height, spp,
+                    seed_vec, data, kvec, static, width, height, spp,
                     settings.max_bounces, False, settings.split_k,
                     settings.sampler)
         else:
@@ -108,8 +109,12 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
             check_vma=False,
         )(keys, data_stacked, cam_vecs, textures, strat)
 
+    pmask = projection_mask(settings.projection, width, height)
+
     @jax.jit
     def tonemap(acc, n_samples):
+        if pmask is not None:           # fisheye image circle
+            acc = acc * pmask[None, :, None]
         srgb = srgb_linear_to_srgb(acc / n_samples)
         srgb = srgb.reshape(acc.shape[0], height, width, 3)
         # truncating quantization, matching utils.image_io.array_to_pil
@@ -123,7 +128,7 @@ def _cam_from_vec(v):
 
     return CameraParams(origin=v[0:3], fwd=v[3:6], right=v[6:9], up=v[9:12],
                         cam_w=v[12], cam_h=v[13], lens_radius=v[14],
-                        focal=v[15])
+                        focal=v[15], half_fov=v[16])
 
 
 def _frame_data(scene):
@@ -132,7 +137,8 @@ def _frame_data(scene):
     cam = scene.camera.params()
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
-        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
     nt = dataclasses.replace(data, textures=())
     return static, nt, data.textures, cam_vec
 

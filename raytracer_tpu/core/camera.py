@@ -31,6 +31,7 @@ class CameraParams:
     cam_h: Any         # ()
     lens_radius: Any   # ()
     focal: Any         # () focal distance
+    half_fov: Any      # () field_of_view/2 in radians (fisheye θ_max)
 
 
 class Camera:
@@ -39,10 +40,11 @@ class Camera:
     def __init__(self, look_from, look_at, screen_width=400, screen_height=300,
                  field_of_view=90.0, aperture=0.0, focal_distance=1.0,
                  projection="pinhole"):
-        if projection not in ("pinhole", "equirect"):
+        if projection not in ("pinhole", "equirect", "fisheye",
+                              "orthographic"):
             raise ValueError(
-                f"projection must be 'pinhole' or 'equirect', got "
-                f"{projection!r}")
+                "projection must be 'pinhole', 'equirect', 'fisheye' or "
+                f"'orthographic', got {projection!r}")
         self.screen_width = int(screen_width)
         self.screen_height = int(screen_height)
         self.aspect_ratio = float(screen_width) / screen_height
@@ -51,11 +53,22 @@ class Camera:
         self.field_of_view = float(field_of_view)
         self.aperture = float(aperture)
         self.focal_distance = float(focal_distance)
-        # "equirect": a full 360x180 panorama camera — pixel (u, v) maps to
-        # azimuth/elevation, the image center looks along look_at's azimuth.
-        # The reference has pinhole + thin lens only (camera.py:8-49).
-        # Equirect scenes render on the jnp wavefront (the Pallas kernels'
-        # in-kernel raygen is pinhole).
+        # Projections beyond the reference's pinhole + thin lens
+        # (camera.py:8-49); all render on the jnp wavefront (the Pallas
+        # kernels' in-kernel raygen is pinhole):
+        #  "equirect"     — full 360x180 panorama; pixel (u, v) maps to
+        #                   azimuth/elevation, image center at look_at's
+        #                   azimuth.
+        #  "fisheye"      — circular equidistant fisheye (angle from the
+        #                   view axis is linear in image radius; the image
+        #                   circle touches the smaller frame dimension and
+        #                   spans field_of_view across its diameter; pixels
+        #                   outside the circle are black, see
+        #                   projection_mask).
+        #  "orthographic" — parallel rays along fwd; the film spans the
+        #                   same world-space footprint the pinhole sees at
+        #                   focal_distance, so swapping projections keeps
+        #                   the framing of the focal plane.
         self.projection = projection
 
     def params(self) -> CameraParams:
@@ -71,7 +84,26 @@ class Camera:
             origin=f(self.look_from), fwd=f(fwd), right=f(right), up=f(up),
             cam_w=f(cam_w), cam_h=f(cam_h),
             lens_radius=f(self.aperture / 2.0), focal=f(self.focal_distance),
+            half_fov=f(self.field_of_view * np.pi / 360.0),
         )
+
+
+def projection_mask(projection, width, height):
+    """Static per-pixel validity mask, (H*W,) float32, or None.
+
+    Circular-fisheye frames black out pixels beyond the image circle (the
+    circle touches the smaller frame dimension); every other projection
+    covers the full frame.  Applied to the accumulated radiance at output
+    time (core/scene.py, parallel/sharded.py) so the traced program never
+    branches on it.
+    """
+    if projection != "fisheye":
+        return None
+    m = min(width, height)
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    xn = (2.0 * (xs + 0.5) - width) / m
+    yn = (height - 2.0 * (ys + 0.5)) / m
+    return (xn * xn + yn * yn <= 1.0).astype(np.float32).reshape(-1)
 
 
 def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
@@ -102,10 +134,14 @@ def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
     n = spp * n_pix
     k_jx, k_jy, k_disk = jax.random.split(key, 3)
 
-    if projection == "equirect":
-        # 360x180 panorama: column -> azimuth around look_at's heading, row
-        # -> elevation (row 0 = zenith).  AA jitter uses the same draw
-        # dimensions (0, 1) as the pinhole path; the thin lens is a no-op.
+    if projection in ("equirect", "fisheye"):
+        # angular projections: pixel index -> direction directly.  equirect:
+        # column -> azimuth around look_at's heading, row -> elevation (row
+        # 0 = zenith).  fisheye: equidistant — angle from fwd is linear in
+        # distance from the image center, the image circle touches the
+        # smaller frame dimension and spans field_of_view across its
+        # diameter.  AA jitter uses the same draw dimensions (0, 1) as the
+        # pinhole path; the thin lens is a no-op.
         idx = jnp.arange(n, dtype=jnp.uint32)
         band_pix = idx % jnp.uint32(n_pix)
         col = (band_pix % jnp.uint32(width)).astype(dtype)
@@ -128,6 +164,19 @@ def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
             u2 = jax.random.uniform(k_jy, (n,), dtype)
         else:
             raise ValueError(f"sampler must be 'r2' or 'iid', got {sampler!r}")
+        if projection == "fisheye":
+            m = float(min(width, height))
+            xn = (2.0 * (col + u1) - width) / m
+            yn = (height - 2.0 * (grow + u2)) / m
+            r = jnp.sqrt(xn * xn + yn * yn)
+            theta = r * params.half_fov
+            phi = jnp.arctan2(yn, xn)
+            sin_t = jnp.sin(theta)
+            d = (jnp.cos(theta)[:, None] * params.fwd[None, :]
+                 + (sin_t * jnp.cos(phi))[:, None] * params.right[None, :]
+                 + (sin_t * jnp.sin(phi))[:, None] * params.up[None, :])
+            origin = jnp.broadcast_to(params.origin[None, :], d.shape)
+            return origin, d
         u_img = (col + u1) / width
         el = jnp.pi * (0.5 - (grow + u2) / height)     # +pi/2 zenith .. -pi/2
         phi0 = jnp.arctan2(params.fwd[2], params.fwd[0])
@@ -176,6 +225,15 @@ def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
         rx, ry = rng.random_in_unit_disk(k_disk, (n,))
     else:
         raise ValueError(f"sampler must be 'r2' or 'iid', got {sampler!r}")
+    if projection == "orthographic":
+        # parallel rays along fwd; the film spans the world-space footprint
+        # the pinhole sees at focal_distance (swap projections, keep the
+        # focal-plane framing).  The thin lens is a no-op.
+        origin = (params.origin[None, :]
+                  + params.right[None, :] * (x * params.focal)[:, None]
+                  + params.up[None, :] * (y * params.focal)[:, None])
+        d = jnp.broadcast_to(params.fwd[None, :], origin.shape)
+        return origin, d
     origin = (params.origin[None, :]
               + params.right[None, :] * (rx * params.lens_radius)[:, None]
               + params.up[None, :] * (ry * params.lens_radius)[:, None])

@@ -32,7 +32,7 @@ from ..utils.colour import (TONEMAP_OPERATORS, srgb_linear_to_srgb,
                             tonemap_display)
 from ..utils.image_io import array_to_pil
 from . import lds
-from .camera import Camera, generate_rays
+from .camera import Camera, generate_rays, projection_mask
 from .compile import compile_scene_cached, derive_max_bounces, derive_split_k
 from .integrator import RenderSettings, trace, trace_distances
 from .vec import as_complex3, as_float3
@@ -536,6 +536,14 @@ class Scene:
                     break
 
         n_samples = chunks_done * chunk if adaptive else n_chunks * chunk
+        # circular-fisheye frames: zero the pixels outside the image circle
+        # at output time (the accumulator and checkpoints stay unmasked, so
+        # resume math is projection-agnostic)
+        pmask = projection_mask(settings.projection, W, H)
+        if pmask is not None:
+            acc = acc * pmask[:, None]
+            if with_variance:
+                acc_ss = acc_ss * pmask[:, None]
         variance = None
         if output == "linear":
             pil = (np.asarray(acc, dtype=np.float32) / n_samples

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import lds
-from ..core.camera import generate_rays
+from ..core.camera import generate_rays, projection_mask
 from ..core.integrator import RenderSettings, trace
 from ..utils.colour import srgb_linear_to_srgb
 
@@ -165,5 +165,8 @@ def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
     run = build_sharded_render(static, settings, mesh, W, H, spp_per_device)
     acc = run(jax.random.PRNGKey(seed), data, scene.camera.params())
     linear = acc / (n_sample * spp_per_device)
+    pmask = projection_mask(settings.projection, W, H)
+    if pmask is not None:               # fisheye image circle
+        linear = linear * pmask[:, None]
     img = srgb_linear_to_srgb(linear).reshape(H, W, 3)
     return np.asarray(jax.device_get(img))

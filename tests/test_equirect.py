@@ -73,7 +73,7 @@ def test_equirect_routes_to_wavefront():
 def test_camera_projection_validation():
     with pytest.raises(ValueError, match="projection"):
         Camera(look_from=vec3(0, 0, 0), look_at=vec3(1, 0, 0),
-               projection="fisheye")
+               projection="cylinder")
 
 
 def test_bake_environment_round_trip():
