@@ -51,7 +51,7 @@ from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
                            random_in_unit_spherical_caps, spherical_caps_pdf)
 from .geometry.primitive import (Cuboid, MeshInstances, Plane, Primitive,
                                  Sphere, Surface, Triangle, TriangleMesh)
-from .lights import DirectionalLight, PointLight
+from .lights import DirectionalLight, PointLight, SpotLight
 from .materials.base import (CustomMaterial, Diffuse, Emissive, Glossy,
                              Material, Refractive, ThinFilmInterference)
 from .materials.shade import ShadeOut, default_shade_out
@@ -82,7 +82,7 @@ __all__ = [
     "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
     "Material", "CustomMaterial", "ShadeOut", "default_shade_out",
     "texture", "image", "solid_color",
-    "PointLight", "DirectionalLight",
+    "PointLight", "DirectionalLight", "SpotLight",
     "SkyBox", "Panorama", "procedural_sky",
     "create_animation", "create_animation_using_opencv",
     "render_motion_blur",

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..backgrounds.environment import Panorama, SkyBox
+from ..lights import DirectionalLight, PointLight, SpotLight
 from ..geometry.primitive import (Cuboid, MeshInstances, Plane, Primitive,
                                   Sphere, Triangle, TriangleMesh)
 from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
@@ -369,6 +370,11 @@ class LightTables:
     dir_color: Any
     point_pos: Any
     point_color: Any
+    spot_pos: Any
+    spot_dir: Any
+    spot_color: Any
+    spot_cos_in: Any            # (S,) cos(inner half-angle)
+    spot_cos_out: Any           # (S,) cos(outer half-angle)
 
 
 @jax.tree_util.register_dataclass
@@ -443,6 +449,9 @@ class SceneStatic:
     n_dir_lights: int
     n_point_lights: int
     n_is_targets: int
+    # spot-lit scenes render on the jnp wavefront (the kernels' glossy
+    # blocks handle directional/point lights only)
+    n_spot_lights: int
     mat_types_present: Tuple[int, ...]
     diffuse_tex: Tuple[TexRef, ...]
     glossy_tex: Tuple[TexRef, ...]
@@ -663,6 +672,9 @@ def scene_fingerprint(scene) -> bytes:
         up(type(light).__name__.encode())
         arr(getattr(light, "Ldir", getattr(light, "pos", (0, 0, 0))))
         arr(light.color)
+        if hasattr(light, "direction"):     # SpotLight cone parameters
+            arr(light.direction)
+            arr((light.cos_inner, light.cos_outer, 0.0))
     for p in scene.importance_sampled_list:
         arr(p.center)
         arr(p.bounded_sphere_radius)
@@ -1313,11 +1325,19 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         env_light_intensity=_arr1([m.light_intensity for m in env]),
     )
 
+    dlts = [l for l in scene.Light_list if isinstance(l, DirectionalLight)]
+    plts = [l for l in scene.Light_list if isinstance(l, PointLight)]
+    slts = [l for l in scene.Light_list if isinstance(l, SpotLight)]
     lights = LightTables(
-        dir_l=_stack3([l.Ldir for l in scene.Light_list if hasattr(l, "Ldir")]),
-        dir_color=_stack3([l.color for l in scene.Light_list if hasattr(l, "Ldir")]),
-        point_pos=_stack3([l.pos for l in scene.Light_list if hasattr(l, "pos")]),
-        point_color=_stack3([l.color for l in scene.Light_list if hasattr(l, "pos")]),
+        dir_l=_stack3([l.Ldir for l in dlts]),
+        dir_color=_stack3([l.color for l in dlts]),
+        point_pos=_stack3([l.pos for l in plts]),
+        point_color=_stack3([l.color for l in plts]),
+        spot_pos=_stack3([l.pos for l in slts]),
+        spot_dir=_stack3([l.direction for l in slts]),
+        spot_color=_stack3([l.color for l in slts]),
+        spot_cos_in=_arr1([l.cos_inner for l in slts]),
+        spot_cos_out=_arr1([l.cos_outer for l in slts]),
     )
 
     is_center = _stack3([p.center for p in scene.importance_sampled_list])
@@ -1422,6 +1442,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                   and len(scene.importance_sampled_list) <= 8
                   and tri_bvh is None
                   and not has_dispersion
+                  and not slts   # spot lights shade on the jnp wavefront
                   and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
                                      # jnp wavefront (interp in attrs.py)
@@ -1447,6 +1468,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         n_objects=n_obj_total,
         n_dir_lights=int(lights.dir_l.shape[0]),
         n_point_lights=int(lights.point_pos.shape[0]),
+        n_spot_lights=len(slts),
         n_is_targets=int(is_center.shape[0]),
         mat_types_present=present,
         diffuse_tex=tuple(b.diffuse_tex),

@@ -230,6 +230,12 @@ class Scene:
     def add_DirectionalLight(self, Ldir, color):
         self.Light_list.append(lights_mod.DirectionalLight(Ldir, color))
 
+    def add_SpotLight(self, pos, direction, color, angle=30.0,
+                      inner_angle=None):
+        self.Light_list.append(
+            lights_mod.SpotLight(pos, direction, color, angle=angle,
+                                 inner_angle=inner_angle))
+
     def add(self, primitive, importance_sampled=False):
         self.scene_primitives.append(primitive)
         if importance_sampled:

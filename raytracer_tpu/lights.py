@@ -31,3 +31,32 @@ class DirectionalLight(Light):
         import numpy as np
         d = as_float3(Ldir, "Ldir")
         self.Ldir = d / np.linalg.norm(d)
+
+
+class SpotLight(Light):
+    """Cone spotlight (beyond the reference — sightpy has point/directional
+    only, lights.py:25-52).
+
+    PointLight's 1/d² ×100 falloff modulated by a smooth cone factor: 1
+    inside `inner_angle`, smoothstep to 0 at `angle` (the outer half-angle,
+    degrees, measured from `direction`).  `inner_angle` defaults to 3/4 of
+    the outer angle; set it equal to `angle` for a hard-edged cone.
+    """
+
+    def __init__(self, pos, direction, color, angle=30.0, inner_angle=None):
+        super().__init__(color)
+        import numpy as np
+        self.pos = as_float3(pos, "pos")
+        d = as_float3(direction, "direction")
+        self.direction = d / np.linalg.norm(d)
+        outer = float(angle)
+        inner = float(inner_angle) if inner_angle is not None else 0.75 * outer
+        if not 0.0 < outer < 180.0:
+            raise ValueError(f"angle must be in (0, 180) degrees, got {outer}")
+        if not 0.0 <= inner <= outer:
+            raise ValueError(
+                f"inner_angle must be in [0, angle], got {inner} vs {outer}")
+        self.angle = outer
+        self.inner_angle = inner
+        self.cos_outer = float(np.cos(np.radians(outer)))
+        self.cos_inner = float(np.cos(np.radians(inner)))

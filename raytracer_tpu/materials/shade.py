@@ -274,6 +274,24 @@ def shade_glossy(ctx):
         add = add + light_term(
             L, dist,
             lambda NdotL, c=color, dd=dist: c[None, :] * (NdotL / dd ** 2 * 100.0)[..., None])
+    for i in range(static.n_spot_lights):
+        # point falloff x smooth cone factor: 1 inside the inner half-angle,
+        # smoothstep to 0 at the outer (lights.SpotLight — no reference
+        # counterpart, sightpy has point/directional only, lights.py:25-52)
+        pos = data.lights.spot_pos[i]
+        color = data.lights.spot_color[i]
+        ci = data.lights.spot_cos_in[i]
+        co = data.lights.spot_cos_out[i]
+        d = pos[None, :] - ctx.P
+        dist = safe_norm(d, axis=-1)
+        L = d / jnp.maximum(dist, 1e-20)[..., None]
+        cos_t = jnp.sum(-L * data.lights.spot_dir[i][None, :], axis=-1)
+        t = jnp.clip((cos_t - co) / jnp.maximum(ci - co, 1e-6), 0.0, 1.0)
+        cone = t * t * (3.0 - 2.0 * t)
+        add = add + light_term(
+            L, dist,
+            lambda NdotL, c=color, dd=dist, k=cone:
+                c[None, :] * (NdotL * k / dd ** 2 * 100.0)[..., None])
 
     # mirror continuation weighted by Schlick-Fresnel vs the *scene* medium
     # (reference glossy.py:87-104)
