@@ -92,6 +92,9 @@ def _cmd_render(args):
                            or args.denoise):
         raise SystemExit("--tonemap/--exposure apply to plain PNG renders "
                          "only (not --hdr/--sharded/--motion-blur/--denoise)")
+    if args.preview and (args.sharded or args.motion_blur or args.denoise):
+        raise SystemExit("--preview does not combine with "
+                         "--sharded/--motion-blur/--denoise")
     t0 = time.time()
     if args.motion_blur:
         update = getattr(mod, "update_scene", None)
@@ -154,6 +157,9 @@ def _cmd_render(args):
             kw["checkpoint_path"] = args.checkpoint
         if args.profile_dir:
             kw["profile_dir"] = args.profile_dir
+        if args.preview:
+            kw["preview_path"] = args.preview
+            kw["preview_every"] = args.preview_every
         if args.hdr:
             result = sc.render(output="linear", **kw)
         else:
@@ -289,6 +295,11 @@ def main(argv=None):
     pr.add_argument("--exposure", type=float, default=0.0,
                     help="exposure in stops (scales linear radiance by "
                          "2**exposure before tonemapping)")
+    pr.add_argument("--preview", default=None,
+                    help="progressive preview PNG path, refreshed as "
+                         "chunks accumulate")
+    pr.add_argument("--preview-every", type=int, default=4,
+                    help="chunks between preview refreshes")
     pr.set_defaults(fn=_cmd_render)
 
     pn = sub.add_parser(

@@ -289,7 +289,8 @@ class Scene:
                seed=0, return_stats=False, checkpoint_path=None,
                checkpoint_every=4, profile_dir=None, target_noise=None,
                noise_check_every=4, output="pil", with_variance=False,
-               clamp=None, tonemap="srgb", exposure=0.0):
+               clamp=None, tonemap="srgb", exposure=0.0,
+               preview_path=None, preview_every=4):
         """Render and return a PIL image (reference scene.py:71-140).
 
         output: "pil" (default, tonemapped PIL image) or "linear" (the raw
@@ -337,6 +338,12 @@ class Scene:
         this directory (view with TensorBoard / xprof).  The reference's only
         instrumentation is a wall-clock print (SURVEY.md §5).
 
+        preview_path: progressive preview — every `preview_every` chunks
+        (and on the last), tonemap the accumulator so far and write it to
+        this PNG path, making long renders watchable as they refine.  Each
+        write is one device->host sync; previews honor tonemap/exposure,
+        and the final preview is bit-identical to the returned image.
+
         tonemap / exposure: display mapping for output="pil".  tonemap is
         "srgb" (default — the reference pipeline, sRGB EOTF + highlight-
         preserving intensity clip), "aces" (Narkowicz filmic fit) or
@@ -354,7 +361,8 @@ class Scene:
                                    seed, return_stats, checkpoint_path,
                                    checkpoint_every, None, target_noise,
                                    noise_check_every, output, with_variance,
-                                   clamp, tonemap, exposure)
+                                   clamp, tonemap, exposure,
+                                   preview_path, preview_every)
         if output not in ("pil", "linear"):
             raise ValueError(f"output must be 'pil' or 'linear', got {output!r}")
         if tonemap not in TONEMAP_OPERATORS:
@@ -462,6 +470,10 @@ class Scene:
         strat_seed = jax.random.randint(base_key, (), 0, 2 ** 31 - 1,
                                         dtype=jnp.int32)
         clampv = None if clamp is None else jnp.float32(clamp)
+        # circular-fisheye frames: pixels outside the image circle are
+        # masked at output time (the accumulator and checkpoints stay
+        # unmasked, so resume math is projection-agnostic)
+        pmask = projection_mask(settings.projection, W, H)
         for i in range(start_chunk, n_chunks):
             k_i = jax.random.fold_in(base_key, i)
             s0 = jnp.int32(i * chunk)
@@ -529,6 +541,13 @@ class Scene:
                 # each save is a device->host sync; amortize over N chunks
                 _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed,
                                  acc2=acc2, clamp=clamp)
+            if preview_path is not None and i + 1 < n_chunks and (
+                    (i + 1) % preview_every == 0):
+                pacc = acc if pmask is None else acc * pmask[:, None]
+                pim = np.asarray(_tonemap(pacc, float((i + 1) * chunk), W, H,
+                                          tonemap,
+                                          jnp.float32(2.0 ** exposure)))
+                array_to_pil(pim).save(preview_path)
             chunks_done = i + 1
             if adaptive and chunks_done >= 2 and (
                     chunks_done % noise_check_every == 0
@@ -542,10 +561,6 @@ class Scene:
                     break
 
         n_samples = chunks_done * chunk if adaptive else n_chunks * chunk
-        # circular-fisheye frames: zero the pixels outside the image circle
-        # at output time (the accumulator and checkpoints stay unmasked, so
-        # resume math is projection-agnostic)
-        pmask = projection_mask(settings.projection, W, H)
         if pmask is not None:
             acc = acc * pmask[:, None]
             if with_variance:
@@ -567,6 +582,15 @@ class Scene:
                                       jnp.float32(2.0 ** exposure)))
             dt = time.time() - t0
             pil = array_to_pil(img)
+        if preview_path is not None:
+            # final preview: bit-identical to the returned image
+            if output == "pil":
+                pil.save(preview_path)
+            else:
+                pim = np.asarray(_tonemap(acc, float(n_samples), W, H,
+                                          tonemap,
+                                          jnp.float32(2.0 ** exposure)))
+                array_to_pil(pim).save(preview_path)
         if progress_bar:
             print("Render Took", dt)
         ret = (pil, variance) if with_variance else (pil,)

@@ -142,6 +142,16 @@ def test_tonemap_and_exposure_flags(scene_file, tmp_path, capsys):
               "--exposure", "1"])
 
 
+def test_preview_flag(scene_file, tmp_path, capsys):
+    out = tmp_path / "img.png"
+    prev = tmp_path / "live.png"
+    main(["render", str(scene_file), "--spp", "4", "-o", str(out),
+          "--preview", str(prev)])
+    capsys.readouterr()
+    assert np.array_equal(np.asarray(Image.open(prev)),
+                          np.asarray(Image.open(out)))
+
+
 def test_motion_blur_flag(tmp_path, capsys):
     p = tmp_path / "mb_scene.py"
     p.write_text(SCENE + '''
