@@ -15,6 +15,10 @@ Scene-file contract (matches every file in ``examples/``): the module is
 imported/executed and must provide either a ``Sc`` Scene attribute or a
 ``build_scene(**kwargs)`` callable (called with --width/--height when
 given, so resolution overrides do not recompile a hand-built Sc).
+
+``.json`` scene documents are also accepted — the declarative schema in
+``raytracer_tpu/scene_io.py`` (see docs/API.md), e.g.
+``python -m raytracer_tpu render scene.json --spp 64``.
 """
 
 from __future__ import annotations
@@ -36,6 +40,13 @@ def _load_scene(path, width=None, height=None):
     path = Path(path)
     if not path.exists():
         raise SystemExit(f"scene file not found: {path}")
+    if path.suffix.lower() == ".json":
+        from .scene_io import load_scene_file
+
+        try:
+            return load_scene_file(path, width=width, height=height), None
+        except ValueError as e:
+            raise SystemExit(f"{path.name}: {e}")
     sys.path.insert(0, str(path.resolve().parent))
     # a UNIQUE registry key: scene files named like installed modules
     # (numpy.py, jax.py) must not clobber sys.modules entries
@@ -71,7 +82,8 @@ def _load_scene(path, width=None, height=None):
 
 
 def _add_common(p):
-    p.add_argument("scene", help="python scene file exposing Sc or build_scene()")
+    p.add_argument("scene", help="scene file: .py exposing Sc or "
+                                 "build_scene(), or a .json scene document")
     p.add_argument("--spp", type=int, default=16,
                    help="samples per pixel (reference estimator semantics)")
     p.add_argument("--seed", type=int, default=0)
