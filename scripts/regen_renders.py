@@ -54,7 +54,8 @@ def main():
                             "mesh_textured.png"),
                            ("example_instances", 64, "instances.png"),
                            ("example_env_is", 64, "env_is.png"),
-                           ("example_panorama", 64, "panorama.png")):
+                           ("example_panorama", 64, "panorama.png"),
+                           ("example_fisheye", 64, "fisheye.png")):
         mod = importlib.import_module(name)
         sc = mod.Sc
         sc.render(samples_per_pixel=1)
@@ -73,6 +74,16 @@ def main():
     wall = time.time() - t0
     img.save(str(OUT / "motion_blur.png"))
     print(f"motion_blur: {wall:.2f}s @ 64 spp x 32 slices", flush=True)
+
+    from raytracer_tpu import load_scene_file
+
+    sc = load_scene_file(ROOT / "examples" / "example_scene.json")
+    sc.render(samples_per_pixel=1)
+    t0 = time.time()
+    img = sc.render(samples_per_pixel=64, seed=3)
+    wall = time.time() - t0
+    img.save(str(OUT / "json_scene.png"))
+    print(f"example_scene.json: {wall:.2f}s @ 64 spp", flush=True)
 
 
 if __name__ == "__main__":
