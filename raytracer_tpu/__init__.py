@@ -49,8 +49,9 @@ from .utils.random import (PDF, cosine_pdf, hemisphere_pdf, mixed_pdf,
                            random_in_unit_disk, random_in_unit_sphere,
                            random_in_unit_spherical_cap,
                            random_in_unit_spherical_caps, spherical_caps_pdf)
-from .geometry.primitive import (Cuboid, MeshInstances, Plane, Primitive,
-                                 Sphere, Surface, Triangle, TriangleMesh)
+from .geometry.primitive import (Cuboid, Cylinder, Disc, MeshInstances,
+                                 Plane, Primitive, Sphere, Surface, Triangle,
+                                 TriangleMesh)
 from .lights import DirectionalLight, PointLight, SpotLight
 from .materials.base import (CustomMaterial, Diffuse, Emissive, Glossy,
                              Material, Refractive, ThinFilmInterference)
@@ -78,8 +79,8 @@ __all__ = [
     "PDF", "hemisphere_pdf", "cosine_pdf", "spherical_caps_pdf", "mixed_pdf",
     "random_in_unit_disk", "random_in_unit_sphere",
     "random_in_unit_spherical_cap", "random_in_unit_spherical_caps",
-    "Sphere", "Plane", "Cuboid", "Triangle", "TriangleMesh", "MeshInstances",
-    "Primitive", "Surface",
+    "Sphere", "Plane", "Cuboid", "Disc", "Cylinder", "Triangle",
+    "TriangleMesh", "MeshInstances", "Primitive", "Surface",
     "Diffuse", "Glossy", "Refractive", "Emissive", "ThinFilmInterference",
     "Material", "CustomMaterial", "ShadeOut", "default_shade_out",
     "texture", "image", "solid_color",

@@ -31,8 +31,9 @@ import numpy as np
 
 from ..backgrounds.environment import Panorama, SkyBox
 from ..lights import DirectionalLight, PointLight, SpotLight
-from ..geometry.primitive import (Cuboid, MeshInstances, Plane, Primitive,
-                                  Sphere, Triangle, TriangleMesh)
+from ..geometry.primitive import (Cuboid, Cylinder, Disc, MeshInstances,
+                                  Plane, Primitive, Sphere, Triangle,
+                                  TriangleMesh)
 from ..materials.base import (MAT_CUSTOM, MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV,
                               MAT_GLOSSY, MAT_REFRACTIVE, MAT_THINFILM)
 from ..textures.texture import image as image_texture
@@ -324,6 +325,21 @@ class GeometryTables:
     inst_rot: Any = None        # (I, 3, 3) object -> world rotation
     inst_trans: Any = None      # (I, 3)
     inst_inv_scale: Any = None  # (I,) 1 / uniform scale
+    # discs / cylinders (beyond the reference's sphere/plane/box/triangle
+    # palette).  Scenes containing them render on the jnp wavefront.
+    disc_center: Any = None
+    disc_normal: Any = None
+    disc_u_axis: Any = None
+    disc_v_axis: Any = None
+    disc_r_out: Any = None
+    disc_r_in: Any = None
+    cyl_center: Any = None
+    cyl_axis: Any = None
+    cyl_u_axis: Any = None
+    cyl_v_axis: Any = None
+    cyl_radius: Any = None
+    cyl_half_h: Any = None
+    cyl_capped: Any = None      # (M,) f32 0/1
 
 
 @jax.tree_util.register_dataclass
@@ -446,6 +462,12 @@ class SceneStatic:
     n_boxes: int
     n_tris: int
     n_objects: int
+    # discs / cylinders (beyond the reference); such scenes render on the
+    # jnp wavefront.  Object-id order: spheres, planes, boxes, discs,
+    # cylinders, triangles LAST (the triangle id space is virtual under
+    # MeshInstances and must stay at the end).
+    n_discs: int
+    n_cylinders: int
     n_dir_lights: int
     n_point_lights: int
     n_is_targets: int
@@ -639,6 +661,16 @@ def scene_fingerprint(scene) -> bytes:
             arr((prim.width, prim.height, prim.length))
             arr(prim.lb_local)
             arr(prim.rt_local)
+        elif isinstance(prim, Disc):
+            arr(prim.center)
+            arr(prim.normal)
+            arr(prim.u_axis)
+            arr((prim.radius, prim.inner_radius))
+        elif isinstance(prim, Cylinder):
+            arr(prim.center)
+            arr(prim.axis)
+            arr(prim.u_axis)
+            arr((prim.radius, prim.height, float(prim.capped)))
         elif isinstance(prim, TriangleMesh):
             arr(prim.vertices)
             up(np.ascontiguousarray(prim.faces).tobytes())
@@ -702,6 +734,8 @@ class _Builder:
         self.spheres = []          # (center, radius)
         self.planes = []           # (center, u, v, w2, h2, shift)
         self.boxes = []            # (basis, center, whl, lb_local, rt_local)
+        self.discs = []            # (center, normal, u, v, r_out, r_in)
+        self.cyls = []             # (center, axis, u, v, radius, hh, capped)
         self.tris = []             # (p1, p2, p3)
         # (start_row, count, corner_normals|None, corner_uvs|None) runs of
         # mesh vertex attributes, parallel to self.tris
@@ -718,7 +752,8 @@ class _Builder:
         # linear radiance, excluded from the 10-bit packed-atlas record path
         self.has_hdr_env = False
         # per-type object property rows (merged in type order at the end)
-        self.props = {k: [] for k in ("sphere", "plane", "box", "tri")}
+        self.props = {k: [] for k in ("sphere", "plane", "box", "disc",
+                                      "cyl", "tri")}
         self.textures = []
         self._tex_ids = {}
         self.mat_slots = {}        # id(material) -> (type, slot)
@@ -857,6 +892,19 @@ class _Builder:
                 self._patch_env_kind(slot, "box")
             else:
                 register_normalmap("box", "box", local)
+        elif isinstance(prim, Disc):
+            if prim.material.normalmap is not None:
+                raise ValueError("normal maps are not supported on Disc")
+            self.discs.append((prim.center, prim.normal, prim.u_axis,
+                               prim.v_axis, prim.radius, prim.inner_radius))
+            self.props["disc"].append(row)
+        elif isinstance(prim, Cylinder):
+            if prim.material.normalmap is not None:
+                raise ValueError("normal maps are not supported on Cylinder")
+            self.cyls.append((prim.center, prim.axis, prim.u_axis,
+                              prim.v_axis, prim.radius, prim.height / 2,
+                              1.0 if prim.capped else 0.0))
+            self.props["cyl"].append(row)
         elif isinstance(prim, TriangleMesh):
             start = len(self.tris)
             for tri in prim.triangles:
@@ -1228,6 +1276,19 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         box_whl=_stack3([np.asarray(w) for *_, w, _, _ in b.boxes]),
         box_lb_local=_stack3([lb for *_, lb, _ in b.boxes]),
         box_rt_local=_stack3([rt for *_, rt in b.boxes]),
+        disc_center=_stack3([c for c, *_ in b.discs]),
+        disc_normal=_stack3([n for _, n, *_ in b.discs]),
+        disc_u_axis=_stack3([u for _, _, u, *_ in b.discs]),
+        disc_v_axis=_stack3([v for _, _, _, v, *_ in b.discs]),
+        disc_r_out=_arr1([r for *_, r, _ in b.discs]),
+        disc_r_in=_arr1([ri for *_, ri in b.discs]),
+        cyl_center=_stack3([c for c, *_ in b.cyls]),
+        cyl_axis=_stack3([a for _, a, *_ in b.cyls]),
+        cyl_u_axis=_stack3([u for _, _, u, *_ in b.cyls]),
+        cyl_v_axis=_stack3([v for _, _, _, v, *_ in b.cyls]),
+        cyl_radius=_arr1([r for *_, r, _, _ in b.cyls]),
+        cyl_half_h=_arr1([hh for *_, hh, _ in b.cyls]),
+        cyl_capped=_arr1([cp for *_, cp in b.cyls]),
         tri_p1=_f(P1),
         tri_p2=_f(P2),
         tri_p3=_f(P3),
@@ -1268,7 +1329,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     # dict rows cover spheres/planes/boxes/plain triangles; MeshInstances
     # groups append one CONSTANT segment per instance (np.full, not per-face
     # Python dicts — host compile time stays O(mesh), not O(instances*mesh))
-    rows = (b.props["sphere"] + b.props["plane"] + b.props["box"] + b.props["tri"])
+    rows = (b.props["sphere"] + b.props["plane"] + b.props["box"]
+            + b.props["disc"] + b.props["cyl"] + b.props["tri"])
     segs = lay["seg_props"] if lay else []
 
     def _col(key, dtype):
@@ -1385,6 +1447,14 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
         _row(list(np.asarray(basis).reshape(-1)) + list(np.asarray(lbl))
              + list(np.asarray(rtl)) + list(np.asarray(c)) + list(np.asarray(whl)))
+    for props in b.props["disc"]:
+        obj_records.append(ObjRecord("disc", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+        _row([0.0])   # id-alignment only; disc scenes never take a Pallas path
+    for props in b.props["cyl"]:
+        obj_records.append(ObjRecord("cyl", props["mat_type"], props["mat_slot"],
+                                     min(props["max_depth"], 1023), props["mc"], props["shadow"]))
+        _row([0.0])
     for props in b.props["tri"]:
         obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
@@ -1443,6 +1513,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                   and tri_bvh is None
                   and not has_dispersion
                   and not slts   # spot lights shade on the jnp wavefront
+                  and not b.discs and not b.cyls  # jnp-wavefront-only types
                   and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
                                      # jnp wavefront (interp in attrs.py)
@@ -1466,6 +1537,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     static = SceneStatic(
         n_spheres=S, n_planes=Pn, n_boxes=B, n_tris=n_tris_virtual,
         n_objects=n_obj_total,
+        n_discs=len(b.discs), n_cylinders=len(b.cyls),
         n_dir_lights=int(lights.dir_l.shape[0]),
         n_point_lights=int(lights.point_pos.shape[0]),
         n_spot_lights=len(slts),

@@ -123,7 +123,8 @@ def _apply_normal_maps(N_geo, P, uv, obj_id, data, static):
     if not static.normal_maps:
         return N_geo
     N = N_geo
-    tri_off = static.n_spheres + static.n_planes + static.n_boxes
+    tri_off = (static.n_spheres + static.n_planes + static.n_boxes
+               + static.n_discs + static.n_cylinders)
     for ref in static.normal_maps:
         tex = data.textures[ref.tex]
         m = shade.fetch_texture(tex, uv, ref.repeat,

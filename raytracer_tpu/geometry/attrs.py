@@ -11,10 +11,11 @@ normal map / LUT sampling (e.g. the Cornell box) skip the transcendental-heavy
 uv math entirely.
 
 Object-id layout (must match intersect.nearest_hit):
-  [0, S)            spheres
-  [S, S+P)          planes
-  [S+P, S+P+B)      boxes
-  [S+P+B, S+P+B+T)  triangles
+  [0, S)       spheres
+  then planes, boxes, discs, cylinders, and triangles LAST (the triangle
+  portion of the id space is virtual under MeshInstances and must stay at
+  the end — intersect.occluded slices the shadow mask "from the triangle
+  offset to the end").
 """
 
 from __future__ import annotations
@@ -120,6 +121,54 @@ def box_attrs(P, local_id, geom, need_uv):
     return N, jnp.stack([u / 4.0, v / 3.0], axis=-1)
 
 
+def disc_attrs(P, local_id, geom, need_uv):
+    """Disc/annulus: constant normal + planar uv over the bounding square
+    (u_axis/v_axis oriented; u, v in [0, 1] at the rim)."""
+    N = _gather(geom.disc_normal, local_id)
+    if not need_uv:
+        return N, None
+    c = _gather(geom.disc_center, local_id)
+    ua = _gather(geom.disc_u_axis, local_id)
+    va = _gather(geom.disc_v_axis, local_id)
+    r = _gather(geom.disc_r_out, local_id)
+    M_C = P - c
+    u = (jnp.sum(ua * M_C, axis=-1) / r + 1.0) / 2.0
+    v = (jnp.sum(va * M_C, axis=-1) / r + 1.0) / 2.0
+    return N, jnp.stack([u, v], axis=-1)
+
+
+def cylinder_attrs(P, local_id, geom, need_uv):
+    """Cylinder: side normal radial / cap normal axial, classified by the
+    scaled local coordinates (cap wins where |y|/half_h >= rho/r — the same
+    rule the intersector's orientation uses).  uv: side = (azimuth,
+    height); caps = planar (x, z) over the cap square."""
+    c = _gather(geom.cyl_center, local_id)
+    ax = _gather(geom.cyl_axis, local_id)
+    ua = _gather(geom.cyl_u_axis, local_id)
+    va = _gather(geom.cyl_v_axis, local_id)
+    r = _gather(geom.cyl_radius, local_id)
+    hh = _gather(geom.cyl_half_h, local_id)
+    capped = _gather(geom.cyl_capped, local_id) > 0.5
+    M_C = P - c
+    x = jnp.sum(ua * M_C, axis=-1)
+    y = jnp.sum(ax * M_C, axis=-1)
+    z = jnp.sum(va * M_C, axis=-1)
+    rho = jnp.sqrt(jnp.maximum(x * x + z * z, 1e-20))
+    is_cap = capped & (jnp.abs(y) / hh >= rho / r)
+    N_side = (x[..., None] * ua + z[..., None] * va) / rho[..., None]
+    N_cap = jnp.sign(y)[..., None] * ax
+    N = jnp.where(is_cap[..., None], N_cap, N_side)
+    if not need_uv:
+        return N, None
+    u_side = (jnp.arctan2(z, x) + jnp.pi) / (2.0 * jnp.pi)
+    v_side = (y / hh + 1.0) / 2.0
+    u_cap = (x / r + 1.0) / 2.0
+    v_cap = (z / r + 1.0) / 2.0
+    u = jnp.where(is_cap, u_cap, u_side)
+    v = jnp.where(is_cap, v_cap, v_side)
+    return N, jnp.stack([u, v], axis=-1)
+
+
 def triangle_attrs(P, local_id, geom, need_uv):
     """Triangle normal + uv from barycentric coordinates.
 
@@ -206,7 +255,10 @@ def hit_attributes(P, obj_id, geom, static, force_uv=False):
     normal = jnp.zeros_like(P)
     uv = jnp.zeros(P.shape[:-1] + (2,), P.dtype)
 
-    blocks = [(S, sphere_attrs), (Pn, plane_attrs), (B, box_attrs), (T, triangle_attrs)]
+    blocks = [(S, sphere_attrs), (Pn, plane_attrs), (B, box_attrs),
+              (static.n_discs, disc_attrs),
+              (static.n_cylinders, cylinder_attrs),
+              (T, triangle_attrs)]
     off = 0
     for count, fn in blocks:
         if count:

@@ -90,6 +90,98 @@ def intersect_boxes(O, D, basis, lb_local, rt_local):
     return t, orient
 
 
+def intersect_discs(O, D, center, normal, r_out, r_in):
+    """Disc / annulus intersection (beyond the reference): the rectangle
+    test of intersect_planes with a radial band check instead of the
+    half-width bounds."""
+    NdotD = jnp.sum(normal[:, None, :] * D[None, :, :], axis=-1)      # (M, N)
+    NdotD = jnp.where(NdotD == 0.0, NdotD + 0.0001, NdotD)
+    NdotC_O = jnp.sum(normal[:, None, :]
+                      * (center[:, None, :] - O[None, :, :]), axis=-1)
+    t = NdotC_O / NdotD
+    M_point = O[None, :, :] + D[None, :, :] * t[..., None]
+    M_C = M_point - center[:, None, :]
+    rho2 = jnp.sum(M_C * M_C, axis=-1)
+    hit = ((rho2 <= (r_out * r_out)[:, None])
+           & (rho2 >= (r_in * r_in)[:, None])
+           & (NdotC_O * NdotD > 0))
+    t = jnp.where(hit, jnp.abs(t), FARAWAY)
+    orient = jnp.where(NdotD < 0, UPWARDS, UPDOWN).astype(jnp.float32)
+    return t, orient
+
+
+def intersect_cylinders(O, D, center, axis, u_axis, v_axis, radius, half_h,
+                        capped):
+    """Finite (optionally capped) cylinder intersection (beyond the
+    reference).  Solved in each cylinder's local frame (x along u_axis, z
+    along v_axis, y along axis); every intermediate is a 2D (M, N) plane.
+    Orientation comes from the local surface normal's sign against the ray
+    (UPWARDS entering / UPDOWN exiting, like the sphere)."""
+    def ldot(a, X):
+        # (M, 3) frame rows . (N, 3) world vectors -> (M, N)
+        return jnp.sum(a[:, None, :] * X[None, :, :], axis=-1)
+
+    OC = O  # broadcast against per-object centers inside ldot terms
+    ox = ldot(u_axis, OC) - jnp.sum(u_axis * center, axis=-1)[:, None]
+    oy = ldot(axis, OC) - jnp.sum(axis * center, axis=-1)[:, None]
+    oz = ldot(v_axis, OC) - jnp.sum(v_axis * center, axis=-1)[:, None]
+    dx = ldot(u_axis, D)
+    dy = ldot(axis, D)
+    dz = ldot(v_axis, D)
+
+    r2 = (radius * radius)[:, None]
+    hh = half_h[:, None]
+    cap_on = (capped > 0.5)[:, None]
+
+    # side surface: quadratic in the (x, z) plane
+    a = dx * dx + dz * dz
+    a_s = jnp.where(a < 1e-12, 1e-12, a)
+    hb = ox * dx + oz * dz
+    c = ox * ox + oz * oz - r2
+    disc = hb * hb - a_s * c
+    sq = safe_sqrt(disc)
+    t0 = (-hb - sq) / a_s
+    t1 = (-hb + sq) / a_s
+    side_ok = disc > 0
+
+    def side_valid(t):
+        y = oy + dy * t
+        return side_ok & (t > 0) & (jnp.abs(y) <= hh)
+
+    # cap discs at y = ±half_h
+    dy_s = jnp.where(jnp.abs(dy) < 1e-12, 1e-12, dy)
+
+    def cap_t(y_plane):
+        t = (y_plane - oy) / dy_s
+        x = ox + dx * t
+        z = oz + dz * t
+        valid = cap_on & (t > 0) & (x * x + z * z <= r2)
+        return t, valid
+
+    t_top, v_top = cap_t(hh)
+    t_bot, v_bot = cap_t(-hh)
+
+    far = jnp.float32(FARAWAY)
+    cands = [jnp.where(side_valid(t0), t0, far),
+             jnp.where(side_valid(t1), t1, far),
+             jnp.where(v_top, t_top, far),
+             jnp.where(v_bot, t_bot, far)]
+    t = cands[0]
+    for cand in cands[1:]:
+        t = jnp.minimum(t, cand)
+
+    # orientation from the local normal at the winning hit
+    x = ox + dx * t
+    y = oy + dy * t
+    z = oz + dz * t
+    rho_hat = safe_sqrt((x * x + z * z) / r2)
+    is_cap = cap_on & (jnp.abs(y) / hh >= rho_hat)
+    # N_local . D_local — cap: sign(y) * dy; side: (x, 0, z) . d / rho
+    nd = jnp.where(is_cap, jnp.sign(y) * dy, x * dx + z * dz)
+    orient = jnp.where(nd < 0, UPWARDS, UPDOWN).astype(jnp.float32)
+    return t, orient
+
+
 def intersect_triangles(O, D, p1, normal, centroid, n31, n12, n23, p2, p3):
     """Triangle intersection via edge-normal inside tests (reference triangle.py:36-66).
 
@@ -365,6 +457,18 @@ def _type_blocks(geom, skip_tris=False):
         blocks.append((lambda O, D: intersect_boxes(
             O, D, geom.box_basis, geom.box_lb_local, geom.box_rt_local),
             geom.box_basis.shape[0]))
+    # getattr guards: geom-shaped test stubs may predate the disc/cyl tables
+    dc = getattr(geom, "disc_center", None)
+    if dc is not None and dc.shape[0]:
+        blocks.append((lambda O, D: intersect_discs(
+            O, D, geom.disc_center, geom.disc_normal, geom.disc_r_out,
+            geom.disc_r_in), dc.shape[0]))
+    cc = getattr(geom, "cyl_center", None)
+    if cc is not None and cc.shape[0]:
+        blocks.append((lambda O, D: intersect_cylinders(
+            O, D, geom.cyl_center, geom.cyl_axis, geom.cyl_u_axis,
+            geom.cyl_v_axis, geom.cyl_radius, geom.cyl_half_h,
+            geom.cyl_capped), cc.shape[0]))
     if geom.tri_p1.shape[0] and not skip_tris:
         blocks.append((lambda O, D: intersect_triangles(
             O, D, geom.tri_p1, geom.tri_normal, geom.tri_centroid,
@@ -492,8 +596,8 @@ def intersect_all(O, D, geom):
 
     geom is a GeometryTables pytree (core/compile.py).  Returns
     (t, orient), each (num_objects_total, N), with objects ordered
-    [spheres, planes, boxes, triangles] — the same global object ids used by
-    the per-object attribute tables.
+    [spheres, planes, boxes, discs, cylinders, triangles] — the same global
+    object ids used by the per-object attribute tables.
     """
     parts_t = []
     parts_o = []
@@ -509,6 +613,20 @@ def intersect_all(O, D, geom):
         parts_o.append(o)
     if geom.box_basis.shape[0]:
         t, o = intersect_boxes(O, D, geom.box_basis, geom.box_lb_local, geom.box_rt_local)
+        parts_t.append(t)
+        parts_o.append(o)
+    dc = getattr(geom, "disc_center", None)
+    if dc is not None and dc.shape[0]:
+        t, o = intersect_discs(O, D, geom.disc_center, geom.disc_normal,
+                               geom.disc_r_out, geom.disc_r_in)
+        parts_t.append(t)
+        parts_o.append(o)
+    cc = getattr(geom, "cyl_center", None)
+    if cc is not None and cc.shape[0]:
+        t, o = intersect_cylinders(O, D, geom.cyl_center, geom.cyl_axis,
+                                   geom.cyl_u_axis, geom.cyl_v_axis,
+                                   geom.cyl_radius, geom.cyl_half_h,
+                                   geom.cyl_capped)
         parts_t.append(t)
         parts_o.append(o)
     if geom.tri_p1.shape[0]:

@@ -135,6 +135,92 @@ class Cuboid(Primitive):
         return self.basis @ self.rt
 
 
+def _orthonormal_frame(normal, u_hint=None):
+    """(u, v) orthonormal in the plane perpendicular to `normal`.
+
+    With `u_hint`, u is the hint projected into the plane (texture/uv
+    orientation control); otherwise a stable default axis is picked.
+    """
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    if u_hint is not None:
+        u = np.asarray(as_float3(u_hint, "u_axis"), np.float64)
+        u = u - n * np.dot(u, n)
+        ln = np.linalg.norm(u)
+        if ln < 1e-9:
+            raise ValueError("u_axis is parallel to the normal")
+        u = u / ln
+    else:
+        ref = np.array([0.0, 1.0, 0.0]) if abs(n[1]) < 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        u = np.cross(ref, n)
+        u = u / np.linalg.norm(u)
+    v = np.cross(n, u)
+    return u, v
+
+
+class Disc(Primitive):
+    """Flat circular disc / annulus — beyond the reference (sightpy's only
+    planar finite primitive is the rectangle, plane.py:7-35).
+
+    `normal` faces the front side; `inner_radius > 0` cuts a concentric
+    hole (an annulus).  uv is planar over the disc's bounding square
+    (u, v ∈ [0, 1] at the rim), oriented by `u_axis` when given.
+    """
+
+    def __init__(self, center, material, radius, normal=(0.0, 1.0, 0.0),
+                 inner_radius=0.0, u_axis=None, max_ray_depth=5,
+                 shadow=True, mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        self.radius = float(radius)
+        self.inner_radius = float(inner_radius)
+        if not 0.0 <= self.inner_radius < self.radius:
+            raise ValueError(
+                f"inner_radius must be in [0, radius), got "
+                f"{self.inner_radius} vs radius {self.radius}")
+        n = as_float3(normal, "normal")
+        self.normal = n / np.linalg.norm(n)
+        self.u_axis, self.v_axis = _orthonormal_frame(self.normal, u_axis)
+        self.bounded_sphere_radius = self.radius
+
+    def _apply_rotation(self, M):
+        self.normal = M @ self.normal
+        self.u_axis = M @ self.u_axis
+        self.v_axis = M @ self.v_axis
+
+
+class Cylinder(Primitive):
+    """Finite cylinder (optionally capped) — beyond the reference.
+
+    `center` is the mid-height point, `axis` the length direction, `height`
+    the full length.  `capped=True` closes both ends with discs (a closed
+    surface with consistent enter/exit orientations — safe as a Refractive
+    medium); `capped=False` is an open tube.  uv: the side maps azimuth to
+    u and height to v; the caps map their local (x, z) to the same [0, 1]²
+    square planarly.
+    """
+
+    def __init__(self, center, material, radius, height,
+                 axis=(0.0, 1.0, 0.0), capped=True, max_ray_depth=5,
+                 shadow=True, mc=False):
+        super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
+        self.radius = float(radius)
+        self.height = float(height)
+        if self.radius <= 0 or self.height <= 0:
+            raise ValueError("radius and height must be positive")
+        a = as_float3(axis, "axis")
+        self.axis = a / np.linalg.norm(a)
+        self.u_axis, self.v_axis = _orthonormal_frame(self.axis)
+        self.capped = bool(capped)
+        self.bounded_sphere_radius = float(
+            np.sqrt(self.radius ** 2 + (self.height / 2) ** 2))
+
+    def _apply_rotation(self, M):
+        self.axis = M @ self.axis
+        self.u_axis = M @ self.u_axis
+        self.v_axis = M @ self.v_axis
+
+
 class Triangle(Primitive):
     """Single triangle (reference triangle.py:8-17)."""
 

@@ -34,8 +34,12 @@ and a per-channel complex triple is a 3-list of numbers or pairs)::
          "material": {"type": "diffuse",
                       "diff_color": {"image": "checker.png", "repeat": 2}}},
         {"type": "cuboid", "center": [1,0,-3], "width": 1, "height": 1,
-         "length": 1, "rotate": {"theta": 0.5, "axis": [0,1,0]},
+         "length": 1, "rotate": {"theta": 30, "axis": [0,1,0]},  # degrees
          "material": {"type": "refractive", "n": [1.5, 0]}},
+        {"type": "disc", "center": [0,1,-2], "radius": 0.8,
+         "inner_radius": 0.3, "normal": [0,0,1], "material": ...},
+        {"type": "cylinder", "center": [0,0,-2], "radius": 0.3,
+         "height": 1.0, "axis": [0,1,0], "capped": true, "material": ...},
         {"type": "triangle", "center": [0,0,0], "p1": [...], "p2": [...],
          "p3": [...], "material": ...},
         {"type": "mesh", "filename": "bunny.obj", "center": [0,0,-3],
@@ -58,7 +62,8 @@ import json
 from pathlib import Path
 
 from .core.scene import Scene
-from .geometry.primitive import Cuboid, Plane, Sphere, Triangle, TriangleMesh
+from .geometry.primitive import (Cuboid, Cylinder, Disc, Plane, Sphere,
+                                 Triangle, TriangleMesh)
 from .materials.base import (Diffuse, Emissive, Glossy, Refractive,
                              ThinFilmInterference)
 from .textures.texture import image as image_texture
@@ -142,6 +147,10 @@ def _build_object(spec, index):
             prim = Plane(**d)
         elif t == "cuboid":
             prim = Cuboid(**d)
+        elif t == "disc":
+            prim = Disc(**d)
+        elif t == "cylinder":
+            prim = Cylinder(**d)
         elif t == "triangle":
             prim = Triangle(**d)
         elif t == "mesh":
@@ -149,7 +158,7 @@ def _build_object(spec, index):
         else:
             raise ValueError(
                 f"{where}: unknown object type {t!r} (valid: sphere, plane, "
-                "cuboid, triangle, mesh)")
+                "cuboid, disc, cylinder, triangle, mesh)")
     except TypeError as e:
         raise ValueError(f"{where}: {e}") from None
     if rotate is not None:

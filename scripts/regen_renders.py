@@ -55,7 +55,8 @@ def main():
                            ("example_instances", 64, "instances.png"),
                            ("example_env_is", 64, "env_is.png"),
                            ("example_panorama", 64, "panorama.png"),
-                           ("example_fisheye", 64, "fisheye.png")):
+                           ("example_fisheye", 64, "fisheye.png"),
+                           ("example_primitives", 64, "primitives.png")):
         mod = importlib.import_module(name)
         sc = mod.Sc
         sc.render(samples_per_pixel=1)
