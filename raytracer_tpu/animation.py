@@ -319,8 +319,13 @@ def render_motion_blur(scene, samples_per_pixel, update_scene,
             acc = got if acc is None else acc + got
     n_total = float(slices * plan.spp_frame)
     if output == "linear":
-        return (np.asarray(acc, np.float32) / n_total).reshape(
-            plan.H, plan.W, 3)
+        lin = np.asarray(acc, np.float32) / n_total
+        # fisheye image circle: the same output-time mask plan.tonemap
+        # applies on the uint8 path (see core/camera.projection_mask)
+        pmask = projection_mask(plan.settings.projection, plan.W, plan.H)
+        if pmask is not None:
+            lin = lin * pmask[:, None]
+        return lin.reshape(plan.H, plan.W, 3)
     frames = plan.tonemap(acc[None], n_total)
     return Image.fromarray(np.asarray(frames)[0])
 

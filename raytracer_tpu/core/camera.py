@@ -212,17 +212,21 @@ def generate_rays(key, params: CameraParams, width: int, height: int, spp: int,
         u2 = to_f(lds.r2_bits(gpix, s, strat_seed, 1))
         x = gx + (u1 - 0.5) * (params.cam_w / width)
         y = gy + (u2 - 0.5) * (params.cam_h / height)
-        # thin-lens disk: same (sqrt(r), 2*pi*phi) mapping as the kernels
-        u3 = to_f(lds.r2_bits(gpix, s, strat_seed, 2))
-        u4 = to_f(lds.r2_bits(gpix, s, strat_seed, 3))
-        r_d = jnp.sqrt(u3)
-        phi = u4 * (2.0 * jnp.pi)
-        rx = r_d * jnp.cos(phi)
-        ry = r_d * jnp.sin(phi)
+        rx = ry = None
+        if projection != "orthographic":    # parallel rays have no lens
+            # thin-lens disk: same (sqrt(r), 2*pi*phi) mapping as the kernels
+            u3 = to_f(lds.r2_bits(gpix, s, strat_seed, 2))
+            u4 = to_f(lds.r2_bits(gpix, s, strat_seed, 3))
+            r_d = jnp.sqrt(u3)
+            phi = u4 * (2.0 * jnp.pi)
+            rx = r_d * jnp.cos(phi)
+            ry = r_d * jnp.sin(phi)
     elif sampler == "iid":
         x = gx + (jax.random.uniform(k_jx, (n,), dtype) - 0.5) * (params.cam_w / width)
         y = gy + (jax.random.uniform(k_jy, (n,), dtype) - 0.5) * (params.cam_h / height)
-        rx, ry = rng.random_in_unit_disk(k_disk, (n,))
+        rx = ry = None
+        if projection != "orthographic":
+            rx, ry = rng.random_in_unit_disk(k_disk, (n,))
     else:
         raise ValueError(f"sampler must be 'r2' or 'iid', got {sampler!r}")
     if projection == "orthographic":

@@ -1387,9 +1387,12 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         env_light_intensity=_arr1([m.light_intensity for m in env]),
     )
 
-    dlts = [l for l in scene.Light_list if isinstance(l, DirectionalLight)]
-    plts = [l for l in scene.Light_list if isinstance(l, PointLight)]
+    # duck-typed like 0.4.0 (user code may append light-like objects with
+    # .Ldir/.pos directly); SpotLight also has .pos, so exclude it explicitly
     slts = [l for l in scene.Light_list if isinstance(l, SpotLight)]
+    dlts = [l for l in scene.Light_list if hasattr(l, "Ldir")]
+    plts = [l for l in scene.Light_list
+            if hasattr(l, "pos") and not isinstance(l, SpotLight)]
     lights = LightTables(
         dir_l=_stack3([l.Ldir for l in dlts]),
         dir_color=_stack3([l.color for l in dlts]),

@@ -192,7 +192,7 @@ def _tonemap(acc, n_samples, width, height, operator="srgb",
 
 
 @jax.jit
-def _noise_q99(acc, acc2, k, chunk):
+def _noise_q99(acc, acc2, k, chunk, pmask=None):
     """Estimated display-space noise after k chunks of `chunk` samples each.
 
     Treats each chunk's per-pixel mean radiance m_i = L_i / chunk as one
@@ -207,7 +207,13 @@ def _noise_q99(acc, acc2, k, chunk):
     var = jnp.maximum(acc2 / k - M * M, 0.0) * (k / jnp.maximum(k - 1.0, 1.0))
     se = jnp.sqrt(var / k)
     e = jnp.abs(srgb_linear_to_srgb(M + se) - srgb_linear_to_srgb(M))
-    return jnp.quantile(e.max(axis=-1), 0.99)
+    e = e.max(axis=-1)
+    if pmask is not None:
+        # fisheye: judge convergence on VISIBLE pixels only — the traced
+        # content outside the image circle is zeroed at output and must not
+        # burn spp budget (nanquantile skips the masked entries)
+        return jnp.nanquantile(jnp.where(pmask > 0, e, jnp.nan), 0.99)
+    return jnp.quantile(e, 0.99)
 
 
 class Scene:
@@ -368,6 +374,8 @@ class Scene:
         if tonemap not in TONEMAP_OPERATORS:
             raise ValueError(
                 f"tonemap must be one of {TONEMAP_OPERATORS}, got {tonemap!r}")
+        if preview_path is not None and preview_every < 1:
+            raise ValueError(f"preview_every must be >= 1, got {preview_every}")
         if with_variance and output != "linear":
             raise ValueError("with_variance requires output='linear'")
         if with_variance and checkpoint_path is not None:
@@ -553,7 +561,7 @@ class Scene:
                     chunks_done % noise_check_every == 0
                     or chunks_done == n_chunks):
                 last_noise = float(_noise_q99(acc, acc2, float(chunks_done),
-                                              float(chunk)))
+                                              float(chunk), pmask))
                 if progress_bar:
                     print(f"  noise q99 {last_noise:.4f} "
                           f"(target {target_noise})", flush=True)

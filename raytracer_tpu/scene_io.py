@@ -164,6 +164,10 @@ def _build_object(spec, index):
     if rotate is not None:
         steps = rotate if isinstance(rotate, list) else [rotate]
         for r in steps:
+            if not isinstance(r, dict) or "theta" not in r or "axis" not in r:
+                raise ValueError(
+                    f"{where}.rotate: expected {{'theta': degrees, "
+                    f"'axis': [x,y,z]}}, got {r!r}")
             prim.rotate(float(r["theta"]), r["axis"])
     return prim, importance
 

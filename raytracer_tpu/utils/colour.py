@@ -15,18 +15,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _srgb_encode(x):
+    """Pure sRGB EOTF (piecewise knee at 0.00304, reference
+    colour_functions.py:4-12); no highlight handling."""
+    return jnp.where(
+        x <= 0.00304,
+        12.92 * x,
+        1.055 * jnp.power(jnp.maximum(x, 1e-30), 1.0 / 2.4) - 0.055,
+    )
+
+
 def srgb_linear_to_srgb(rgb_linear):
     """Linear -> sRGB EOTF with highlight-preserving intensity scaling.
 
     rgb_linear: (..., 3) array. Reference: colour_functions.py:4-18 (there the
     channel axis is axis 0; here it is the last axis).
     """
-    x = rgb_linear
-    srgb = jnp.where(
-        x <= 0.00304,
-        12.92 * x,
-        1.055 * jnp.power(jnp.maximum(x, 1e-30), 1.0 / 2.4) - 0.055,
-    )
+    srgb = _srgb_encode(rgb_linear)
     rgb_max = jnp.max(srgb, axis=-1, keepdims=True) + 0.00001
     intensity_cutoff = 1.0
     return jnp.where(rgb_max > intensity_cutoff, srgb * intensity_cutoff / rgb_max, srgb)
@@ -53,16 +58,6 @@ def reinhard(rgb_linear, white=4.0):
     x = rgb_linear
     y = x * (1.0 + x / (white * white)) / (1.0 + x)
     return jnp.clip(y, 0.0, 1.0)
-
-
-def _srgb_encode(display_linear):
-    """Pure sRGB EOTF (no intensity clip — inputs are already in [0, 1])."""
-    x = display_linear
-    return jnp.where(
-        x <= 0.00304,
-        12.92 * x,
-        1.055 * jnp.power(jnp.maximum(x, 1e-30), 1.0 / 2.4) - 0.055,
-    )
 
 
 TONEMAP_OPERATORS = ("srgb", "aces", "reinhard")

@@ -53,6 +53,14 @@ def test_intermediate_previews_refine(tmp_path, monkeypatch):
     assert not np.array_equal(snapshots[0], snapshots[-1])
 
 
+def test_preview_every_validated(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="preview_every"):
+        scene().render(4, preview_path=str(tmp_path / "p.png"),
+                       preview_every=0)
+
+
 def test_preview_with_linear_output(tmp_path):
     p = tmp_path / "preview.png"
     sc = scene()

@@ -126,6 +126,56 @@ def test_fisheye_mask_applies_to_linear_and_variance():
     assert lin[16, 16].sum() > 0.5
 
 
+def test_fisheye_motion_blur_linear_masked():
+    # render_motion_blur(output="linear") applies the same image-circle
+    # mask as every other entry point
+    from raytracer_tpu import render_motion_blur
+
+    sc = scene_with("fisheye", W=24, H=24, fov=180)
+    sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
+                  center=vec3(0, 0, 0), radius=50.0))
+
+    def update(scene, t):
+        pass
+
+    lin = render_motion_blur(sc, 2, update, slices=2, output="linear")
+    mask = projection_mask("fisheye", 24, 24).reshape(24, 24)
+    assert (lin[mask == 0] == 0).all()
+    assert lin[12, 12].sum() > 0.5
+
+
+def test_fisheye_adaptive_ignores_masked_pixels():
+    # adaptive sampling runs (nanquantile path) and output stays masked
+    sc = scene_with("fisheye", W=24, H=24, fov=180,
+                    spheres=[((0, 0, -3), 1.0)])
+    img = np.asarray(sc.render(8, seed=0, batch_size=2, target_noise=0.5))
+    assert img[0, 0].sum() == 0 and img[-1, -1].sum() == 0
+
+
+def test_duck_typed_lights_still_compile():
+    # 0.4.0 contract: light-like objects appended directly to Light_list
+    # (with .pos/.color or .Ldir/.color) feed the light tables
+    class MyLight:
+        pos = np.asarray([0.0, 2.0, -1.0], np.float32)
+        color = np.asarray([0.5, 0.5, 0.5], np.float32)
+
+    from raytracer_tpu import Glossy
+    from raytracer_tpu.core.compile import compile_scene
+
+    sc = scene_with("pinhole", spheres=())
+    from raytracer_tpu import Plane
+    sc.add(Plane(material=Glossy(diff_color=rgb(1, 1, 1),
+                                 n=vec3(1.5, 1.5, 1.5), roughness=0.0,
+                                 diff_coeff=1.0, spec_coeff=0.0),
+                 center=vec3(0, -0.5, -2), width=8, height=8,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
+    sc.Light_list.append(MyLight())
+    static, _ = compile_scene(sc)
+    assert static.n_point_lights == 1 and static.n_spot_lights == 0
+    img = np.asarray(sc.render(2, seed=0))
+    assert img.max() > 30
+
+
 def test_unknown_projection_rejected():
     with pytest.raises(ValueError, match="projection"):
         Camera(look_from=(0, 0, 0), look_at=(0, 0, -1), projection="cylinder")

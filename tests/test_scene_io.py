@@ -149,3 +149,10 @@ def test_errors_are_located():
         scene_from_dict(bad)
     with pytest.raises(ValueError, match="n"):
         scene_from_dict({**MINIMAL, "n": [1, 2, 3, 4]})
+    # malformed rotate specs get a located ValueError, not a raw KeyError
+    bad["objects"] = [{"type": "cuboid", "center": [0, 0, -3], "width": 1,
+                       "height": 1, "length": 1,
+                       "rotate": {"angle": 30, "axis": [0, 1, 0]},
+                       "material": {"type": "emissive", "color": [1, 1, 1]}}]
+    with pytest.raises(ValueError, match=r"objects\[0\]\.rotate"):
+        scene_from_dict(bad)
