@@ -59,7 +59,8 @@ from .materials.shade import ShadeOut, default_shade_out
 from .textures.texture import image, solid_color, texture
 from .backgrounds.blur import blur_skybox, blur_skybox_array
 from .utils.colour import srgb_linear_to_srgb, srgb_to_srgb_linear
-from .scene_io import load_scene_file, scene_from_dict
+from .scene_io import (load_scene_file, save_scene_file, scene_from_dict,
+                       scene_to_dict)
 from .utils.image_io import (add_asset_root, load_hdr, load_image,
                              load_image_as_linear_srgb, load_image_with_blur,
                              save_hdr)
@@ -89,7 +90,7 @@ __all__ = [
     "create_animation", "create_animation_using_opencv",
     "render_motion_blur",
     "RenderSettings", "add_asset_root",
-    "load_scene_file", "scene_from_dict",
+    "load_scene_file", "scene_from_dict", "save_scene_file", "scene_to_dict",
     "load_image", "load_image_as_linear_srgb", "load_image_with_blur",
     "save_hdr", "load_hdr",
     "srgb_linear_to_srgb", "srgb_to_srgb_linear",

@@ -41,6 +41,11 @@ class EnvironmentMaterial(Material):
         # max, which would band dim sky regions next to a bright sun peak
         # (core/compile.py gates pallas_tex_ok on this flag)
         self.is_hdr = is_hdr
+        # export metadata (scene_io.scene_to_dict): source filename when the
+        # map came from disk, plus the constructor knobs
+        self.source = None if isinstance(img, np.ndarray) else str(img)
+        self.blur = float(blur)
+        self.linear = bool(linear)
         if isinstance(img, np.ndarray):
             raw = np.asarray(img, dtype=np.float32)
             self.texture = (raw if linear

@@ -257,6 +257,21 @@ def _cmd_bake(args):
                       "shape": list(env.shape)}))
 
 
+def _cmd_convert(args):
+    """Export a Python scene file as a declarative JSON scene document."""
+    from .scene_io import save_scene_file
+
+    sc, _ = _load_scene(args.scene, args.width, args.height)
+    out = args.out or str(Path(args.scene).with_suffix(".json"))
+    try:
+        save_scene_file(sc, out)
+    except ValueError as e:
+        raise SystemExit(f"{Path(args.scene).name}: {e}")
+    print(json.dumps({"out": out,
+                      "objects": len(sc.scene_primitives),
+                      "lights": len(sc.Light_list)}))
+
+
 def _cmd_devices(_args):
     import jax
 
@@ -335,6 +350,12 @@ def main(argv=None):
     pb.add_argument("--center", default="0,0,0",
                     help="bake viewpoint as x,y,z (default origin)")
     pb.set_defaults(fn=_cmd_bake)
+
+    pc = sub.add_parser(
+        "convert", help="export a scene file as a declarative JSON scene "
+                        "document (scene_io schema)")
+    _add_common(pc)
+    pc.set_defaults(fn=_cmd_convert)
 
     pd = sub.add_parser("devices", help="print the JAX backend/devices")
     pd.set_defaults(fn=_cmd_devices)

@@ -58,6 +58,10 @@ class Primitive:
         axis = u if u is not None else axis
         M = rotation_matrix(theta, axis)
         self._apply_rotation(M)
+        # record for scene export (scene_io): replaying the list through
+        # rotate() reconstructs the mutated state with identical float ops
+        self._rotations = getattr(self, "_rotations", []) + [
+            (float(theta), [float(c) for c in as_float3(axis, "axis")])]
         return self
 
     def _apply_rotation(self, M):
@@ -135,26 +139,43 @@ class Cuboid(Primitive):
         return self.basis @ self.rt
 
 
+def stable_unit(v):
+    """Normalize to a FIXED POINT of normalization: stable_unit(
+    stable_unit(v)) is bitwise-identical to stable_unit(v).  Plain
+    v / ||v|| is not idempotent in floating point (||unit|| can land 1 ulp
+    off 1.0), which would break the scene exporter's exact round trip
+    (scene_io: constructors re-normalize reloaded vectors)."""
+    v = np.asarray(v, np.float64)
+    for _ in range(4):
+        n = np.linalg.norm(v)
+        if n == 1.0:
+            return v
+        v = v / n
+    return v
+
+
 def _orthonormal_frame(normal, u_hint=None):
     """(u, v) orthonormal in the plane perpendicular to `normal`.
 
     With `u_hint`, u is the hint projected into the plane (texture/uv
     orientation control); otherwise a stable default axis is picked.
     """
-    n = np.asarray(normal, np.float64)
-    n = n / np.linalg.norm(n)
+    n = stable_unit(normal)
     if u_hint is not None:
         u = np.asarray(as_float3(u_hint, "u_axis"), np.float64)
-        u = u - n * np.dot(u, n)
-        ln = np.linalg.norm(u)
-        if ln < 1e-9:
+        if np.linalg.norm(u - n * np.dot(u, n)) < 1e-9:
             raise ValueError("u_axis is parallel to the normal")
-        u = u / ln
+        # iterate project+normalize to a fixed point, so a reloaded
+        # (already-perpendicular) u_axis reconstructs bitwise (scene_io)
+        for _ in range(4):
+            u2 = stable_unit(u - n * np.dot(u, n))
+            if np.array_equal(u2, u):
+                break
+            u = u2
     else:
         ref = np.array([0.0, 1.0, 0.0]) if abs(n[1]) < 0.9 \
             else np.array([1.0, 0.0, 0.0])
-        u = np.cross(ref, n)
-        u = u / np.linalg.norm(u)
+        u = stable_unit(np.cross(ref, n))
     v = np.cross(n, u)
     return u, v
 
@@ -178,8 +199,7 @@ class Disc(Primitive):
             raise ValueError(
                 f"inner_radius must be in [0, radius), got "
                 f"{self.inner_radius} vs radius {self.radius}")
-        n = as_float3(normal, "normal")
-        self.normal = n / np.linalg.norm(n)
+        self.normal = stable_unit(as_float3(normal, "normal"))
         self.u_axis, self.v_axis = _orthonormal_frame(self.normal, u_axis)
         self.bounded_sphere_radius = self.radius
 
@@ -201,16 +221,17 @@ class Cylinder(Primitive):
     """
 
     def __init__(self, center, material, radius, height,
-                 axis=(0.0, 1.0, 0.0), capped=True, max_ray_depth=5,
-                 shadow=True, mc=False):
+                 axis=(0.0, 1.0, 0.0), capped=True, u_axis=None,
+                 max_ray_depth=5, shadow=True, mc=False):
         super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
         self.radius = float(radius)
         self.height = float(height)
         if self.radius <= 0 or self.height <= 0:
             raise ValueError("radius and height must be positive")
-        a = as_float3(axis, "axis")
-        self.axis = a / np.linalg.norm(a)
-        self.u_axis, self.v_axis = _orthonormal_frame(self.axis)
+        self.axis = stable_unit(as_float3(axis, "axis"))
+        # u_axis orients the side uv's azimuth origin (texture control;
+        # also lets scene export round-trip rotated cylinders exactly)
+        self.u_axis, self.v_axis = _orthonormal_frame(self.axis, u_axis)
         self.capped = bool(capped)
         self.bounded_sphere_radius = float(
             np.sqrt(self.radius ** 2 + (self.height / 2) ** 2))
@@ -257,6 +278,10 @@ class TriangleMesh(Primitive):
         super().__init__(center, material, max_ray_depth, shadow=shadow, mc=mc)
         from ..native import parse_obj_full  # C++ fast path, Python fallback
         verts, uvs, norms, faces, face_uv, face_n = parse_obj_full(filename)
+        # export metadata (scene_io.scene_to_dict)
+        self.filename = str(filename)
+        self.scale = float(scale)
+        self.smooth_arg = smooth
         self.vertices = self.center + np.asarray(verts, dtype=np.float64) * scale
         self.faces = np.asarray(faces, dtype=np.int64)
         d = np.linalg.norm(self.vertices - self.center, axis=1)

@@ -28,9 +28,8 @@ class DirectionalLight(Light):
 
     def __init__(self, Ldir, color):
         super().__init__(color)
-        import numpy as np
-        d = as_float3(Ldir, "Ldir")
-        self.Ldir = d / np.linalg.norm(d)
+        from .geometry.primitive import stable_unit
+        self.Ldir = stable_unit(as_float3(Ldir, "Ldir"))
 
 
 class SpotLight(Light):
@@ -46,9 +45,9 @@ class SpotLight(Light):
     def __init__(self, pos, direction, color, angle=30.0, inner_angle=None):
         super().__init__(color)
         import numpy as np
+        from .geometry.primitive import stable_unit
         self.pos = as_float3(pos, "pos")
-        d = as_float3(direction, "direction")
-        self.direction = d / np.linalg.norm(d)
+        self.direction = stable_unit(as_float3(direction, "direction"))
         outer = float(angle)
         inner = float(inner_angle) if inner_angle is not None else 0.75 * outer
         if not 0.0 < outer < 180.0:

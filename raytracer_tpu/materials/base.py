@@ -177,6 +177,8 @@ class ThinFilmInterference(Material):
         self.thickness = float(thickness)
         self.noise_factor = float(noise)
         self.film_n = float(film_n)
+        # array LUTs/noise cannot be spelled in the JSON schema (scene_io)
+        self.custom_tables = lut is not None or noise_texture is not None
         if lut is not None:
             self.lut = np.asarray(lut, dtype=np.float32)
         else:

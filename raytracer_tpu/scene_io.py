@@ -246,3 +246,231 @@ def load_scene_file(path, width=None, height=None):
     except json.JSONDecodeError as e:
         raise ValueError(f"{path}: invalid JSON — {e}") from None
     return scene_from_dict(cfg, width=width, height=height)
+
+
+# ---------------------------------------------------------------------------
+# export: Scene -> schema dict (the inverse of scene_from_dict)
+# ---------------------------------------------------------------------------
+
+def _v(x):
+    return [float(c) for c in x]
+
+
+def _c_out(n):
+    """Complex scalar/triple -> schema spelling ([re, im] pairs)."""
+    import numpy as np
+
+    a = np.atleast_1d(np.asarray(n, np.complex128))
+    pairs = [[float(c.real), float(c.imag)] for c in a]
+    return pairs[0] if len(pairs) == 1 else pairs
+
+
+def _texture_out(tex, where):
+    from .textures.texture import image as image_texture, solid_color
+
+    if isinstance(tex, solid_color):
+        return _v(tex.color)
+    if isinstance(tex, image_texture):
+        if tex.source is None:
+            raise ValueError(
+                f"{where}: an ndarray-backed image texture has no filename "
+                "to export — construct it from a file path")
+        d = {"image": tex.source}
+        if tex.repeat != 1.0:
+            d["repeat"] = tex.repeat
+        if tex.bilinear:
+            d["filter"] = "bilinear"
+        return d
+    raise ValueError(f"{where}: cannot export texture {type(tex).__name__}")
+
+
+def _material_out(m, where):
+    from .materials.base import (Diffuse, Emissive, Glossy, Refractive,
+                                 ThinFilmInterference)
+
+    if getattr(m, "normalmap", None) is not None:
+        raise ValueError(f"{where}: normal-mapped materials cannot be "
+                         "exported to JSON yet")
+    if isinstance(m, Emissive):
+        return {"type": "emissive",
+                "color": _texture_out(m.texture_color, where)}
+    if isinstance(m, Glossy):
+        return {"type": "glossy",
+                "diff_color": _texture_out(m.diff_texture, where),
+                "roughness": m.roughness, "spec_coeff": m.spec_coeff,
+                "diff_coeff": m.diff_coeff, "n": _c_out(m.n)}
+    if isinstance(m, Diffuse):
+        return {"type": "diffuse",
+                "diff_color": _texture_out(m.diff_texture, where),
+                "diffuse_rays": m.diffuse_rays,
+                "ambient_weight": m.ambient_weight}
+    if isinstance(m, Refractive):
+        d = {"type": "refractive", "n": _c_out(m.n)}
+        if m.dispersion:
+            d["dispersion"] = True
+        return d
+    if isinstance(m, ThinFilmInterference):
+        if m.custom_tables:
+            raise ValueError(f"{where}: a ThinFilm with custom LUT/noise "
+                             "arrays cannot be exported to JSON")
+        return {"type": "thinfilm", "thickness": m.thickness,
+                "noise": m.noise_factor, "film_n": m.film_n}
+    raise ValueError(
+        f"{where}: {type(m).__name__} cannot be exported to JSON "
+        "(custom materials are Python code)")
+
+
+def _common_out(p):
+    d = {}
+    if p.max_ray_depth != 5:
+        d["max_ray_depth"] = p.max_ray_depth
+    if not p.shadow:
+        d["shadow"] = False
+    if p.mc:
+        d["mc"] = True
+    return d
+
+
+def _object_out(p, index, importance):
+    import numpy as np
+
+    from .geometry.primitive import (Cuboid, Cylinder, Disc, Plane, Sphere,
+                                     Triangle, TriangleMesh,
+                                     _orthonormal_frame)
+
+    where = f"objects[{index}]"
+    d = {"material": _material_out(p.material, f"{where}.material"),
+         "center": _v(p.center)}
+    d.update(_common_out(p))
+    if importance:
+        d["importance_sampled"] = True
+    if isinstance(p, TriangleMesh):
+        d.update(type="mesh", filename=p.filename, scale=p.scale)
+        if p.smooth_arg is not None:
+            d["smooth"] = p.smooth_arg
+        rots = getattr(p, "_rotations", [])
+        if rots:
+            d["rotate"] = [{"theta": t, "axis": _v(a)} for t, a in rots]
+        return d
+    if isinstance(p, Sphere):
+        d.update(type="sphere", radius=p.radius)
+        return d
+    if isinstance(p, Plane):
+        d.update(type="plane", width=p.width, height=p.height,
+                 u_axis=_v(p.u_axis), v_axis=_v(p.v_axis))
+        if p.uv_shift != (0.0, 0.0):
+            d["uv_shift"] = list(p.uv_shift)
+        return d
+    if isinstance(p, Cuboid):
+        d.update(type="cuboid", width=p.width, height=p.height,
+                 length=p.length)
+        rots = getattr(p, "_rotations", [])
+        if rots:
+            # replaying the recorded rotations reconstructs the basis (and
+            # the rotated corners) with the exact same float operations
+            d["rotate"] = [{"theta": t, "axis": _v(a)} for t, a in rots]
+        return d
+    if isinstance(p, Disc):
+        d.update(type="disc", radius=p.radius, normal=_v(p.normal))
+        if p.inner_radius:
+            d["inner_radius"] = p.inner_radius
+        u_def, _ = _orthonormal_frame(p.normal)
+        if not np.array_equal(np.asarray(p.u_axis), u_def):
+            d["u_axis"] = _v(p.u_axis)
+        return d
+    if isinstance(p, Cylinder):
+        d.update(type="cylinder", radius=p.radius, height=p.height,
+                 axis=_v(p.axis))
+        if not p.capped:
+            d["capped"] = False
+        u_def, _ = _orthonormal_frame(p.axis)
+        if not np.array_equal(np.asarray(p.u_axis), u_def):
+            d["u_axis"] = _v(p.u_axis)
+        return d
+    if isinstance(p, Triangle):
+        d.update(type="triangle", p1=_v(p.p1), p2=_v(p.p2), p3=_v(p.p3))
+        return d
+    raise ValueError(
+        f"{where}: {type(p).__name__} cannot be exported to JSON")
+
+
+def scene_to_dict(scene):
+    """Export a :class:`Scene` into the schema dict `scene_from_dict`
+    consumes.  The inverse is exact for everything the schema can spell
+    (a reloaded scene compiles to the identical content fingerprint);
+    unexportable content — ndarray-backed textures/backgrounds, custom
+    materials, `MeshInstances` — raises a located ValueError instead of
+    silently dropping it."""
+    from .backgrounds.environment import Panorama, SkyBox
+    from .lights import DirectionalLight, PointLight, SpotLight
+
+    if scene.camera is None:
+        raise ValueError("scene has no camera (call add_Camera first)")
+    cam = scene.camera
+    out = {
+        "camera": {
+            "look_from": _v(cam.look_from), "look_at": _v(cam.look_at),
+            "width": cam.screen_width, "height": cam.screen_height,
+            "field_of_view": cam.field_of_view,
+        },
+        "ambient_color": _v(scene.ambient_color),
+        "n": _c_out(scene.n),
+    }
+    if cam.aperture:
+        out["camera"]["aperture"] = cam.aperture
+    if cam.focal_distance != 1.0:
+        out["camera"]["focal_distance"] = cam.focal_distance
+    if cam.projection != "pinhole":
+        out["camera"]["projection"] = cam.projection
+
+    lights = []
+    for i, l in enumerate(scene.Light_list):
+        if isinstance(l, SpotLight):
+            lights.append({"type": "spot", "pos": _v(l.pos),
+                           "direction": _v(l.direction),
+                           "color": _v(l.color), "angle": l.angle,
+                           "inner_angle": l.inner_angle})
+        elif isinstance(l, DirectionalLight):
+            lights.append({"type": "directional", "Ldir": _v(l.Ldir),
+                           "color": _v(l.color)})
+        elif isinstance(l, PointLight):
+            lights.append({"type": "point", "pos": _v(l.pos),
+                           "color": _v(l.color)})
+        else:
+            raise ValueError(
+                f"lights[{i}]: {type(l).__name__} cannot be exported")
+    if lights:
+        out["lights"] = lights
+
+    objects = []
+    for i, p in enumerate(scene.scene_primitives):
+        if isinstance(p, (SkyBox, Panorama)):
+            if "background" in out:
+                raise ValueError(
+                    "scene has multiple backgrounds; the schema holds one")
+            m = p.material
+            if m.source is None:
+                raise ValueError(
+                    "an ndarray-backed background has no filename to export")
+            bg = {"image": m.source}
+            if m.light_intensity:
+                bg["light_intensity"] = m.light_intensity
+            if m.blur:
+                bg["blur"] = m.blur
+            if isinstance(p, Panorama):
+                bg["spherical"] = True
+            if m.importance_sampled:
+                bg["importance_sampled"] = True
+            if m.linear:
+                bg["linear"] = True
+            out["background"] = bg
+            continue
+        objects.append(_object_out(
+            p, i, p in scene.importance_sampled_list))
+    out["objects"] = objects
+    return out
+
+
+def save_scene_file(scene, path):
+    """Write `scene` as a JSON scene document (see :func:`scene_to_dict`)."""
+    Path(path).write_text(json.dumps(scene_to_dict(scene), indent=2) + "\n")

@@ -32,8 +32,10 @@ class image(texture):
     def __init__(self, img, repeat=1.0, filter="nearest"):
         if isinstance(img, np.ndarray):
             self.img = np.asarray(img, dtype=np.float32)
+            self.source = None
         else:
             self.img = load_image_as_linear_srgb(img, subdir_hint="textures")
+            self.source = str(img)      # filename, for scene export
         self.repeat = float(repeat)
         if filter not in ("nearest", "bilinear"):
             raise ValueError(f"filter must be 'nearest' or 'bilinear', got {filter!r}")
