@@ -196,7 +196,8 @@ def _cmd_aovs(args):
     from PIL import Image
 
     sc, _ = _load_scene(args.scene, args.width, args.height)
-    aovs = sc.render_aovs(samples_per_pixel=args.spp, seed=args.seed)
+    aovs = sc.render_aovs(samples_per_pixel=args.spp, seed=args.seed,
+                          ao_samples=args.ao_samples, ao_radius=args.ao_radius)
     pattern = args.out or str(Path(args.scene).with_suffix("")) + "_{}.png"
     if "{}" not in pattern:
         raise SystemExit("--out for aovs must contain '{}' (plane name)")
@@ -341,6 +342,12 @@ def main(argv=None):
 
     pa = sub.add_parser("aovs", help="render denoiser feature planes")
     _add_common(pa)
+    pa.add_argument("--ao-samples", type=int, default=0,
+                    help="add an ambient-occlusion plane with this many "
+                         "hemisphere samples per hit")
+    pa.add_argument("--ao-radius", type=float, default=None,
+                    help="AO occlusion radius in world units "
+                         "(default: unbounded sky visibility)")
     pa.set_defaults(fn=_cmd_aovs)
 
     pb = sub.add_parser(

@@ -104,7 +104,39 @@ def _aov_chunk(key, data, cam, static, width, height, spp,
     )
 
 
-def render_aovs(scene, samples_per_pixel=1, seed=0):
+@partial(jax.jit, static_argnames=("static", "width", "height", "spp",
+                                   "ao_samples", "projection"))
+def _ao_chunk(key, data, cam, static, width, height, spp, ao_samples,
+              ao_dist, projection="pinhole"):
+    """Ambient-occlusion plane: per first hit, the fraction of `ao_samples`
+    cosine-weighted hemisphere directions NOT blocked within `ao_dist`
+    (traced; inf = sky visibility).  Shares the integrator's occlusion
+    kernel and its scale-aware nudge."""
+    from ..geometry.intersect import occluded
+    from ..utils.constants import NUDGE_EPS
+    from . import rng as rng_mod
+
+    k_cam, k_ao = jax.random.split(key)
+    O, D = generate_rays(k_cam, cam, width, height, spp,
+                         projection=projection)
+    t, orient, P, N_geo, uv, obj = _first_hit_impl(O, D, data, static)
+    hit = t < MISS_THRESHOLD
+    N = N_geo * orient[..., None]
+    eps = NUDGE_EPS * jnp.maximum(1.0, jnp.max(jnp.abs(P), axis=-1))
+    nudged = P + N * eps[..., None]
+    md = jnp.broadcast_to(ao_dist.astype(jnp.float32), (O.shape[0],))
+    occ_sum = jnp.zeros((O.shape[0],), jnp.float32)
+    for s in range(ao_samples):     # python-static: ao_samples sweeps
+        d_s = rng_mod.cosine_sample(jax.random.fold_in(k_ao, s), N)
+        occ = occluded(nudged, d_s, data.geom, data.obj.shadow, md,
+                       static.use_tri_bvh)
+        occ_sum = occ_sum + occ.astype(jnp.float32)
+    ao = jnp.where(hit, 1.0 - occ_sum / ao_samples, 1.0)
+    return ao.reshape(spp, height * width).sum(axis=0)
+
+
+def render_aovs(scene, samples_per_pixel=1, seed=0, ao_samples=0,
+                ao_radius=None):
     """Render first-hit feature planes for `scene`.
 
     Returns a dict of numpy arrays:
@@ -121,6 +153,12 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
     samples_per_pixel > 1 anti-aliases depth/normal/albedo/position with the
     camera's sub-pixel jitter; obj_id always comes from one sample (ids do
     not average).
+
+    ao_samples > 0 adds an `ao` (H, W) plane: ambient occlusion — the
+    fraction of cosine-weighted hemisphere directions at the first hit
+    that escape within `ao_radius` world units (None = unbounded sky
+    visibility).  1 = fully open, 0 = fully blocked; misses are 1.
+    `ao_radius` is traced (retuning never recompiles).
     """
     from .compile import compile_scene_cached
 
@@ -132,6 +170,14 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
                      static, W, H, int(samples_per_pixel),
                      projection=scene.camera.projection)
     out = {k: np.asarray(v) for k, v in out.items()}
+    if ao_samples:
+        from ..utils.constants import FARAWAY
+
+        dist = jnp.float32(FARAWAY if ao_radius is None else ao_radius)
+        out["ao"] = np.asarray(_ao_chunk(
+            jax.random.fold_in(jax.random.PRNGKey(seed), 1), data,
+            scene.camera.params(), static, W, H, int(samples_per_pixel),
+            int(ao_samples), dist, projection=scene.camera.projection))
     spp = float(samples_per_pixel)
     cov = out["coverage"]
     hits = np.maximum(cov, 1.0)
@@ -140,7 +186,7 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
     nlen = np.linalg.norm(normal, axis=-1, keepdims=True)
     normal = normal / np.maximum(nlen, 1e-12)
     normal = np.where(cov[..., None] > 0, normal, 0.0)
-    return dict(
+    planes = dict(
         depth=depth.reshape(H, W),
         normal=normal.reshape(H, W, 3),
         albedo=(out["albedo"] / spp).reshape(H, W, 3),
@@ -149,3 +195,6 @@ def render_aovs(scene, samples_per_pixel=1, seed=0):
         obj_id=out["obj_id"].reshape(H, W).astype(np.int32),
         emissive=(out["emissive"] / spp).reshape(H, W),
     )
+    if ao_samples:
+        planes["ao"] = (out["ao"] / spp).reshape(H, W)
+    return planes

@@ -655,13 +655,16 @@ class Scene:
         store[(-np.arange(height)) % height] = img[::-1]
         return store
 
-    def render_aovs(self, samples_per_pixel=1, seed=0):
+    def render_aovs(self, samples_per_pixel=1, seed=0, ao_samples=0,
+                    ao_radius=None):
         """First-hit feature planes (depth/normal/albedo/position/coverage/
-        obj_id) for denoising and debugging — see core/aov.py.  The
-        reference's only diagnostic is the depth map (scene.py:142-166)."""
+        obj_id, plus ambient occlusion with ao_samples > 0) for denoising
+        and debugging — see core/aov.py.  The reference's only diagnostic
+        is the depth map (scene.py:142-166)."""
         from .aov import render_aovs
 
-        return render_aovs(self, samples_per_pixel, seed)
+        return render_aovs(self, samples_per_pixel, seed,
+                           ao_samples=ao_samples, ao_radius=ao_radius)
 
     def render_denoised(self, samples_per_pixel, seed=0, aov_samples=None,
                         output="pil", variance_guided=True, clamp=None,

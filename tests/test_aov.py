@@ -129,3 +129,33 @@ def test_denoise_mesh_scene():
     arr = np.asarray(img)
     assert arr.shape == (24, 24, 3) and arr.dtype == np.uint8
     assert arr.mean() > 10          # lit scene, nothing blacked out
+
+
+def test_ao_plane():
+    # a sphere resting on a floor: the contact region is occluded, open
+    # floor is not, and the sphere's top sees the whole sky
+    sc = Scene(ambient_color=rgb(0, 0, 0))
+    sc.add_Camera(look_from=vec3(0, 3.0, 0.001), look_at=vec3(0, 0, -0.1),
+                  screen_width=32, screen_height=32, field_of_view=70)
+    m = Diffuse(diff_color=rgb(0.8, 0.8, 0.8), diffuse_rays=1)
+    sc.add(Plane(material=m, center=vec3(0, 0, 0), width=40, height=40,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
+    sc.add(Sphere(material=m, center=vec3(0, 0.5, 0), radius=0.5))
+    aovs = sc.render_aovs(2, seed=0, ao_samples=16)
+    ao = aovs["ao"]
+    assert ao.shape == (32, 32)
+    assert (0.0 <= ao).all() and (ao <= 1.0).all()
+    # top-down view: image center = sphere top (fully open sky)
+    assert ao[16, 16] > 0.9
+    # the floor ring hugging the silhouette is the darkest region
+    ring = min(ao[16, 19:22].min(), ao[16, 11:14].min())
+    assert ring < 0.8
+    assert ao[16, 29:31].min() > 0.88    # open floor at the image edge
+    # far corner floor: nearly open
+    assert ao[1, 1] > 0.85
+    # bounded radius shrinks the darkened band to a contact shadow
+    aovs_r = sc.render_aovs(2, seed=0, ao_samples=16, ao_radius=0.2)
+    assert aovs_r["ao"][1, 1] > 0.98
+    assert aovs_r["ao"].mean() >= ao.mean()
+    # plane absent without ao_samples
+    assert "ao" not in sc.render_aovs(1, seed=0)
