@@ -64,6 +64,7 @@ from .scene_io import (load_scene_file, save_scene_file, scene_from_dict,
 from .utils.image_io import (add_asset_root, load_hdr, load_image,
                              load_image_as_linear_srgb, load_image_with_blur,
                              save_hdr)
+from .vr import render_ods
 
 # the reference star-exports these exact (camelCase) names
 # (sightpy/utils/colour_functions.py, image_functions.py, and
@@ -88,7 +89,7 @@ __all__ = [
     "PointLight", "DirectionalLight", "SpotLight",
     "SkyBox", "Panorama", "procedural_sky",
     "create_animation", "create_animation_using_opencv",
-    "render_motion_blur",
+    "render_motion_blur", "render_ods",
     "RenderSettings", "add_asset_root",
     "load_scene_file", "scene_from_dict", "save_scene_file", "scene_to_dict",
     "load_image", "load_image_as_linear_srgb", "load_image_with_blur",

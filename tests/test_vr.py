@@ -1,0 +1,90 @@
+"""ODS stereo 360 rendering (raytracer_tpu/vr.py).
+
+The reference camera is pinhole-only (sightpy/camera.py:8-49); ODS is a
+beyond-reference capability.  These tests pin the projection convention
+(equirect mapping shared with Camera(projection="equirect")), the eye
+geometry (zero ipd -> bit-identical eyes; near objects get opposite-sign
+horizontal disparity, distant objects almost none) and the output layouts.
+"""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu import Camera, Emissive, Scene, Sphere, rgb, vec3
+from raytracer_tpu.vr import render_ods
+
+
+def _scene(near=None, W=64, H=32):
+    sc = Scene(ambient_color=(0, 0, 0))
+    sc.camera = Camera(look_from=vec3(0, 0, 0), look_at=vec3(1, 0, 0),
+                       screen_width=W, screen_height=H,
+                       projection="equirect")
+    sc.add(Sphere(material=Emissive(color=rgb(0, 1, 0)),
+                  center=vec3(0, 0, 40), radius=2.0))     # distant, +z
+    if near is not None:
+        sc.add(Sphere(material=Emissive(color=rgb(1, 0, 0)),
+                      center=vec3(near, 0, 0), radius=0.5))  # near, +x
+    return sc
+
+
+def _centroid_col(img, ch):
+    ys, xs = np.where(img[:, :, ch] > 0.2)
+    assert xs.size, "marker not visible"
+    return xs.mean()
+
+
+def test_zero_ipd_eyes_identical():
+    left, right = render_ods(_scene(near=2.0), samples_per_pixel=2,
+                             ipd=0.0, layout="separate", output="linear",
+                             seed=3)
+    assert np.array_equal(left, right)
+    assert left.shape == (32, 64, 3)
+
+
+def test_parallax_sign_and_magnitude():
+    """Near +x marker: the left eye (offset toward -z) sees it at a HIGHER
+    azimuth/column than the right eye; the distant +z marker shows an order
+    of magnitude less disparity."""
+    sc = _scene(near=2.0)
+    left, right = render_ods(sc, samples_per_pixel=4, ipd=0.5,
+                             layout="separate", output="linear", seed=0)
+    W = left.shape[1]
+    d_near = _centroid_col(left, 0) - _centroid_col(right, 0)
+    d_far = _centroid_col(left, 1) - _centroid_col(right, 1)
+    # ipd/2 = 0.25 at distance 2 -> azimuth shift atan(0.125) each eye,
+    # ~2.3 columns of 64 total disparity
+    assert d_near > 1.0, f"near disparity {d_near}"
+    assert abs(d_far) < 0.5 * d_near, f"far {d_far} vs near {d_near}"
+    # both eyes keep the near marker near the image center column
+    assert abs(_centroid_col(left, 0) - W / 2) < W / 8
+
+
+def test_layouts_and_outputs():
+    sc = _scene()
+    tb = render_ods(sc, samples_per_pixel=1, layout="top-bottom",
+                    output="np")
+    assert tb.shape == (64, 64, 3) and tb.dtype == np.uint8
+    sbs = render_ods(sc, samples_per_pixel=1, layout="side-by-side",
+                     output="np")
+    assert sbs.shape == (32, 128, 3)
+    img = render_ods(sc, samples_per_pixel=1, width=32, height=16)
+    assert img.size == (32, 32)          # PIL (W, H), two eyes stacked
+    l, r = render_ods(sc, samples_per_pixel=1, layout="separate")
+    assert l.size == (64, 32) and r.size == (64, 32)
+
+
+def test_width_only_default_aspect():
+    out = render_ods(_scene(), samples_per_pixel=1, width=40, output="np")
+    assert out.shape == (40, 40, 3)      # per-eye 40x20, stacked
+
+
+def test_validation():
+    sc = _scene()
+    with pytest.raises(ValueError, match="layout"):
+        render_ods(sc, layout="interleaved")
+    with pytest.raises(ValueError, match="output"):
+        render_ods(sc, output="exr")
+    with pytest.raises(ValueError, match="samples_per_pixel"):
+        render_ods(sc, samples_per_pixel=0)
+    with pytest.raises(ValueError, match="camera"):
+        render_ods(Scene())
