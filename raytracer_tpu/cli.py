@@ -217,6 +217,20 @@ def _cmd_aovs(args):
     print(json.dumps({"planes": list(aovs), "files": outs}))
 
 
+def _cmd_ods(args):
+    sc, _ = _load_scene(args.scene, args.width, args.height)
+    from .vr import render_ods
+
+    out = args.out or str(Path(args.scene).with_suffix("")) + "_ods.png"
+    t0 = time.time()
+    img = render_ods(sc, samples_per_pixel=args.spp, ipd=args.ipd,
+                     seed=args.seed, layout=args.layout)
+    wall = time.time() - t0
+    img.save(out)
+    print(json.dumps({"out": out, "wall_s": round(wall, 3), "spp": args.spp,
+                      "ipd": args.ipd, "layout": args.layout}))
+
+
 def _cmd_animate(args):
     path = Path(args.scene)
     sc, mod = _load_scene(args.scene, args.width, args.height)
@@ -349,6 +363,17 @@ def main(argv=None):
                     help="AO occlusion radius in world units "
                          "(default: unbounded sky visibility)")
     pa.set_defaults(fn=_cmd_aovs)
+
+    po = sub.add_parser(
+        "ods", help="render a stereo 360 (omni-directional stereo) frame "
+                    "for VR playback")
+    _add_common(po)
+    po.add_argument("--ipd", type=float, default=0.064,
+                    help="interpupillary distance in world units")
+    po.add_argument("--layout", choices=("top-bottom", "side-by-side"),
+                    default="top-bottom",
+                    help="stereo packing of the output frame")
+    po.set_defaults(fn=_cmd_ods)
 
     pb = sub.add_parser(
         "bake", help="bake the scene into an equirect environment .hdr "

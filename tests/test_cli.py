@@ -174,3 +174,16 @@ def update_scene(scene, t):
     p2.write_text(SCENE)
     with pytest.raises(SystemExit, match="update_scene"):
         main(["render", str(p2), "--motion-blur"])
+
+
+def test_ods(scene_file, tmp_path, capsys):
+    out = tmp_path / "stereo.png"
+    main(["ods", str(scene_file), "--spp", "1", "--ipd", "0.1",
+          "-o", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["out"] == str(out) and line["layout"] == "top-bottom"
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 24, 3)          # two 16-row eyes stacked
+    main(["ods", str(scene_file), "--spp", "1", "--layout", "side-by-side",
+          "-o", str(tmp_path / "sbs.png")])
+    assert np.asarray(Image.open(tmp_path / "sbs.png")).shape == (16, 48, 3)
