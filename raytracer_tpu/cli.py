@@ -370,9 +370,11 @@ def main(argv=None):
     _add_common(po)
     po.add_argument("--ipd", type=float, default=0.064,
                     help="interpupillary distance in world units")
-    po.add_argument("--layout", choices=("top-bottom", "side-by-side"),
+    po.add_argument("--layout",
+                    choices=("top-bottom", "side-by-side", "anaglyph"),
                     default="top-bottom",
-                    help="stereo packing of the output frame")
+                    help="stereo packing of the output frame (anaglyph = "
+                         "red/cyan composite for paper 3D glasses)")
     po.set_defaults(fn=_cmd_ods)
 
     pb = sub.add_parser(

@@ -81,17 +81,22 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
     width/height: per-eye equirect resolution; defaults to the scene
         camera's screen size (height defaults to width // 2).
     layout: "top-bottom" (left eye on top — the common VR-video layout),
-        "side-by-side" (left eye on the left), or "separate" for a
-        (left, right) tuple.
+        "side-by-side" (left eye on the left), "anaglyph" (red/cyan
+        composite — left eye in the red channel — viewable with paper
+        3D glasses, no headset needed), or "separate" for a (left, right)
+        tuple.
     output: "pil" (8-bit sRGB image), "np" (uint8 array) or "linear"
         (float32 radiance, no tonemap).
     operator/exposure: display transform, as Scene.render.
     """
     if scene.camera is None:
         raise ValueError("scene has no camera; call add_Camera first")
-    if layout not in ("top-bottom", "side-by-side", "separate"):
-        raise ValueError("layout must be 'top-bottom', 'side-by-side' or "
-                         f"'separate', got {layout!r}")
+    if layout not in ("top-bottom", "side-by-side", "anaglyph", "separate"):
+        raise ValueError("layout must be 'top-bottom', 'side-by-side', "
+                         f"'anaglyph' or 'separate', got {layout!r}")
+    if layout == "anaglyph" and output == "linear":
+        raise ValueError("anaglyph is a display-space composite; use "
+                         "output='pil' or 'np'")
     if output not in ("pil", "np", "linear"):
         raise ValueError(f"output must be 'pil', 'np' or 'linear', got "
                          f"{output!r}")
@@ -151,6 +156,10 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
         pair = (left, right)
     elif layout == "top-bottom":
         pair = np.concatenate([left, right], axis=0)
+    elif layout == "anaglyph":
+        # left eye drives red, right eye green+blue (classic red/cyan)
+        pair = np.stack([left[..., 0], right[..., 1], right[..., 2]],
+                        axis=-1)
     else:
         pair = np.concatenate([left, right], axis=1)
     if output == "pil" and layout != "separate":

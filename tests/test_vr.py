@@ -73,6 +73,20 @@ def test_layouts_and_outputs():
     assert l.size == (64, 32) and r.size == (64, 32)
 
 
+def test_anaglyph():
+    """Red channel is the left eye, green/blue the right eye."""
+    sc = _scene(near=2.0)
+    left, right = render_ods(sc, samples_per_pixel=2, ipd=0.5, seed=1,
+                             layout="separate", output="np")
+    ana = render_ods(sc, samples_per_pixel=2, ipd=0.5, seed=1,
+                     layout="anaglyph", output="np")
+    assert ana.shape == left.shape
+    assert np.array_equal(ana[..., 0], left[..., 0])
+    assert np.array_equal(ana[..., 1:], right[..., 1:])
+    with pytest.raises(ValueError, match="anaglyph"):
+        render_ods(sc, layout="anaglyph", output="linear")
+
+
 def test_width_only_default_aspect():
     out = render_ods(_scene(), samples_per_pixel=1, width=40, output="np")
     assert out.shape == (40, 40, 3)      # per-eye 40x20, stacked
