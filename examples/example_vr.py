@@ -35,7 +35,8 @@ def build_scene(width=512, height=256):
     sc.add(Sphere(material=Diffuse(diff_color=rgb(0.3, 0.8, 0.3)),
                   center=vec3(-6.0, 0.5, 0.0), radius=1.0))      # far, -x
     sc.add(Sphere(material=Emissive(color=rgb(6, 6, 6)),
-                  center=vec3(0, 4.0, -2.0), radius=1.0))
+                  center=vec3(0, 4.0, -2.0), radius=1.0),
+           importance_sampled=True)
     sc.add_PointLight(pos=vec3(0, 2.5, 0), color=rgb(40, 40, 40))
     return sc
 

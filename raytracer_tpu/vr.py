@@ -31,10 +31,8 @@ from .core.integrator import RenderSettings, trace
 from .utils.colour import tonemap_display
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "static",
-                                   "settings"))
-def _ods_chunk(key, data, origin0, phi0, half_ipd, eye_sign,
-               width, height, spp, static, settings):
+def _ods_samples(key, data, origin0, phi0, half_ipd, eye_sign,
+                 width, height, spp, static, settings):
     """Sum of `spp` linear radiance samples per pixel for one eye.
 
     Pixel (u, v) maps to azimuth/elevation exactly as the equirect camera
@@ -70,9 +68,50 @@ def _ods_chunk(key, data, origin0, phi0, half_ipd, eye_sign,
     return L.reshape(spp, n_pix, 3).sum(axis=0)
 
 
+_ods_chunk = partial(jax.jit, static_argnames=("width", "height", "spp",
+                                               "static", "settings"))(
+    _ods_samples)
+
+
+def _build_ods_sharded(static, settings, mesh, width, height,
+                       spp_per_device):
+    """Compile a sample-sharded ODS eye render over `mesh`.
+
+    Same map-reduce shape as parallel/sharded.py: each device traces its
+    own spp slice of the full frame, one psum over the "sample" axis sums
+    the radiance (the multi-chip scale-out for production-size VR frames).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(key, data, origin0, phi0, half_ipd, eye_sign):
+        s_idx = jax.lax.axis_index("sample")
+        k = jax.random.fold_in(key, s_idx)
+        L = _ods_samples(k, data, origin0, phi0, half_ipd, eye_sign,
+                         width, height, spp_per_device, static, settings)
+        return jax.lax.psum(L, "sample")
+
+    @jax.jit
+    def run(key, data, origin0, phi0, half_ipd, eye_sign):
+        return jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=P(), check_vma=False,
+        )(key, data, origin0, phi0, half_ipd, eye_sign)
+
+    return run
+
+
+def _finish_eye(linear, output, operator, exposure):
+    if output == "linear":
+        return np.asarray(linear)
+    img = tonemap_display(linear, operator, exposure)
+    return np.asarray(
+        jnp.round(jnp.clip(img, 0.0, 1.0) * 255).astype(jnp.uint8))
+
+
 def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
                width=None, height=None, layout="top-bottom", output="pil",
-               operator="srgb", exposure=1.0):
+               operator="srgb", exposure=1.0, mesh=None):
     """Render a stereo 360 (ODS) frame of `scene`.
 
     samples_per_pixel: paths traced per pixel PER EYE (camera samples; the
@@ -88,6 +127,11 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
     output: "pil" (8-bit sRGB image), "np" (uint8 array) or "linear"
         (float32 radiance, no tonemap).
     operator/exposure: display transform, as Scene.render.
+    mesh: an optional jax.sharding.Mesh with a "sample" axis (e.g.
+        `parallel.sharded.make_mesh()`): each device traces its own spp
+        slice of the full frame, summed by one psum over the axis —
+        data-parallel scale-out for production-size VR frames.
+        samples_per_pixel rounds up to a multiple of the shard count.
     """
     if scene.camera is None:
         raise ValueError("scene has no camera; call add_Camera first")
@@ -122,6 +166,16 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
     origin0 = jnp.asarray(cam.origin, jnp.float32)
     half_ipd = jnp.float32(float(ipd) / 2.0)
 
+    run = None
+    if mesh is not None:
+        n_sample = mesh.shape["sample"]
+        if mesh.shape.get("pixel", 1) != 1:
+            raise ValueError("render_ods shards over the 'sample' axis "
+                             "only; use a mesh with pixel=1")
+        spp_dev = -(-spp // n_sample)
+        spp = spp_dev * n_sample        # rounded up to whole shards
+        run = _build_ods_sharded(static, settings, mesh, W, H, spp_dev)
+
     # chunk spp so one execution stays under the relay-friendly ray caps
     # (core/scene.py: 512k rays for clustered-mesh scenes, 4M otherwise;
     # the ODS path always runs the jnp wavefront)
@@ -130,6 +184,14 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
 
     eyes = []
     for eye_sign in (-1.0, 1.0):
+        if run is not None:
+            # the SAME key for both eyes: correlated grain; ipd=0 ->
+            # bit-identical eyes (as the single-chip loop below)
+            acc = run(jax.random.PRNGKey(seed), data, origin0, phi0,
+                      half_ipd, jnp.float32(eye_sign))
+            linear = (acc / spp).reshape(H, W, 3)
+            eyes.append(_finish_eye(linear, output, operator, exposure))
+            continue
         acc = jnp.zeros((W * H, 3), jnp.float32)
         done = 0
         ci = 0
@@ -144,12 +206,7 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
             done += s
             ci += 1
         linear = (acc / spp).reshape(H, W, 3)
-        if output == "linear":
-            eyes.append(np.asarray(linear))
-        else:
-            img = tonemap_display(linear, operator, exposure)
-            eyes.append(np.asarray(
-                jnp.round(jnp.clip(img, 0.0, 1.0) * 255).astype(jnp.uint8)))
+        eyes.append(_finish_eye(linear, output, operator, exposure))
     left, right = eyes
 
     if layout == "separate":

@@ -76,6 +76,22 @@ def main():
     img.save(str(OUT / "motion_blur.png"))
     print(f"motion_blur: {wall:.2f}s @ 64 spp x 32 slices", flush=True)
 
+    import numpy as np
+
+    from raytracer_tpu import render_ods
+    from example_vr import Sc as vr_scene
+
+    t0 = time.time()
+    left, right = render_ods(vr_scene, samples_per_pixel=32, ipd=0.2,
+                             seed=3, layout="separate", output="np")
+    wall = time.time() - t0
+    from PIL import Image
+    Image.fromarray(np.concatenate([left, right], 0)).save(
+        str(OUT / "vr_ods.png"))
+    Image.fromarray(np.stack([left[..., 0], right[..., 1], right[..., 2]],
+                             -1)).save(str(OUT / "vr_anaglyph.png"))
+    print(f"example_vr: {wall:.2f}s @ 32 spp x 2 eyes", flush=True)
+
     from raytracer_tpu import load_scene_file
 
     sc = load_scene_file(ROOT / "examples" / "example_scene.json")

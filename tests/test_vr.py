@@ -92,6 +92,34 @@ def test_width_only_default_aspect():
     assert out.shape == (40, 40, 3)      # per-eye 40x20, stacked
 
 
+def test_sharded_matches_single_chip():
+    """Sample-sharded ODS over the 8-device mesh agrees with the
+    single-chip path statistically, and keeps the zero-ipd eye equality."""
+    from raytracer_tpu.parallel.sharded import make_mesh
+
+    sc = _scene(near=2.0)
+    mesh = make_mesh()
+    single = render_ods(sc, samples_per_pixel=16, ipd=0.5, seed=0,
+                        layout="separate", output="linear")
+    sharded = render_ods(sc, samples_per_pixel=16, ipd=0.5, seed=0,
+                         layout="separate", output="linear", mesh=mesh)
+    for a, b in zip(single, sharded):
+        assert a.shape == b.shape
+        # the estimators share the lattice-free iid jitter but draw
+        # different streams: only sphere-edge pixels vary.  Means and
+        # marker positions must agree; interiors (zero-variance pixels,
+        # the vast majority) must match exactly.
+        assert abs(a.mean() - b.mean()) < 0.05 * max(a.mean(), 1e-6)
+        exact = np.isclose(a, b, atol=1e-6).mean()
+        assert exact > 0.9, f"only {exact:.2%} of pixels identical"
+    for ch in (0, 1):
+        assert abs(_centroid_col(single[0], ch)
+                   - _centroid_col(sharded[0], ch)) < 1.5
+    l, r = render_ods(sc, samples_per_pixel=8, ipd=0.0, seed=2,
+                      layout="separate", output="linear", mesh=mesh)
+    assert np.array_equal(l, r)
+
+
 def test_validation():
     sc = _scene()
     with pytest.raises(ValueError, match="layout"):
