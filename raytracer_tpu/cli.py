@@ -224,7 +224,7 @@ def _cmd_ods(args):
     out = args.out or str(Path(args.scene).with_suffix("")) + "_ods.png"
     t0 = time.time()
     img = render_ods(sc, samples_per_pixel=args.spp, ipd=args.ipd,
-                     seed=args.seed, layout=args.layout)
+                     seed=args.seed, layout=args.layout, clamp=args.clamp)
     wall = time.time() - t0
     img.save(out)
     print(json.dumps({"out": out, "wall_s": round(wall, 3), "spp": args.spp,
@@ -375,6 +375,8 @@ def main(argv=None):
                     default="top-bottom",
                     help="stereo packing of the output frame (anaglyph = "
                          "red/cyan composite for paper 3D glasses)")
+    po.add_argument("--clamp", type=float, default=None,
+                    help="per-sample firefly ceiling (as render --clamp)")
     po.set_defaults(fn=_cmd_ods)
 
     pb = sub.add_parser(

@@ -32,7 +32,7 @@ from .utils.colour import tonemap_display
 
 
 def _ods_samples(key, data, origin0, phi0, half_ipd, eye_sign,
-                 width, height, spp, static, settings):
+                 width, height, spp, static, settings, clamp=None):
     """Sum of `spp` linear radiance samples per pixel for one eye.
 
     Pixel (u, v) maps to azimuth/elevation exactly as the equirect camera
@@ -65,6 +65,8 @@ def _ods_samples(key, data, origin0, phi0, half_ipd, eye_sign,
     n_re = jnp.broadcast_to(data.scene_n_re, origin.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, origin.shape)
     L, _ = trace(k_trace, origin, d, n_re, n_im, data, static, settings)
+    if clamp is not None:
+        L = jnp.minimum(L, clamp)   # per-sample firefly ceiling (traced)
     return L.reshape(spp, n_pix, 3).sum(axis=0)
 
 
@@ -74,7 +76,7 @@ _ods_chunk = partial(jax.jit, static_argnames=("width", "height", "spp",
 
 
 def _build_ods_sharded(static, settings, mesh, width, height,
-                       spp_per_device):
+                       spp_per_device, clamp=None):
     """Compile a sample-sharded ODS eye render over `mesh`.
 
     Same map-reduce shape as parallel/sharded.py: each device traces its
@@ -87,7 +89,8 @@ def _build_ods_sharded(static, settings, mesh, width, height,
         s_idx = jax.lax.axis_index("sample")
         k = jax.random.fold_in(key, s_idx)
         L = _ods_samples(k, data, origin0, phi0, half_ipd, eye_sign,
-                         width, height, spp_per_device, static, settings)
+                         width, height, spp_per_device, static, settings,
+                         clamp=clamp)
         return jax.lax.psum(L, "sample")
 
     @jax.jit
@@ -111,7 +114,7 @@ def _finish_eye(linear, output, operator, exposure):
 
 def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
                width=None, height=None, layout="top-bottom", output="pil",
-               operator="srgb", exposure=1.0, mesh=None):
+               operator="srgb", exposure=1.0, mesh=None, clamp=None):
     """Render a stereo 360 (ODS) frame of `scene`.
 
     samples_per_pixel: paths traced per pixel PER EYE (camera samples; the
@@ -132,6 +135,8 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
         slice of the full frame, summed by one psum over the axis —
         data-parallel scale-out for production-size VR frames.
         samples_per_pixel rounds up to a multiple of the shard count.
+    clamp: optional per-sample linear-radiance ceiling (firefly clamping,
+        as Scene.render(clamp=...)); traced — retuning never recompiles.
     """
     if scene.camera is None:
         raise ValueError("scene has no camera; call add_Camera first")
@@ -166,6 +171,8 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
     origin0 = jnp.asarray(cam.origin, jnp.float32)
     half_ipd = jnp.float32(float(ipd) / 2.0)
 
+    if clamp is not None:
+        clamp = jnp.float32(clamp)
     run = None
     if mesh is not None:
         n_sample = mesh.shape["sample"]
@@ -174,7 +181,8 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
                              "only; use a mesh with pixel=1")
         spp_dev = -(-spp // n_sample)
         spp = spp_dev * n_sample        # rounded up to whole shards
-        run = _build_ods_sharded(static, settings, mesh, W, H, spp_dev)
+        run = _build_ods_sharded(static, settings, mesh, W, H, spp_dev,
+                                 clamp=clamp)
 
     # chunk spp so one execution stays under the relay-friendly ray caps
     # (core/scene.py: 512k rays for clustered-mesh scenes, 4M otherwise;
@@ -202,7 +210,7 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
             key = jax.random.fold_in(jax.random.PRNGKey(seed), ci)
             acc = acc + _ods_chunk(key, data, origin0, phi0, half_ipd,
                                    jnp.float32(eye_sign), W, H, s, static,
-                                   settings)
+                                   settings, clamp)
             done += s
             ci += 1
         linear = (acc / spp).reshape(H, W, 3)

@@ -82,8 +82,9 @@ def main():
     from example_vr import Sc as vr_scene
 
     t0 = time.time()
-    left, right = render_ods(vr_scene, samples_per_pixel=32, ipd=0.2,
-                             seed=3, layout="separate", output="np")
+    left, right = render_ods(vr_scene, samples_per_pixel=96, ipd=0.2,
+                             seed=3, layout="separate", output="np",
+                             clamp=6.0)
     wall = time.time() - t0
     from PIL import Image
     Image.fromarray(np.concatenate([left, right], 0)).save(

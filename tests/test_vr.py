@@ -120,6 +120,23 @@ def test_sharded_matches_single_chip():
     assert np.array_equal(l, r)
 
 
+def test_clamp():
+    """clamp caps per-sample radiance: a huge emitter's contribution drops;
+    clamp above the max radiance is bit-identical to off."""
+    sc = _scene(near=2.0)
+    sc.add(Sphere(material=Emissive(color=rgb(500, 500, 500)),
+                  center=vec3(0, 0, -3), radius=0.3))
+    base = render_ods(sc, samples_per_pixel=2, seed=0, layout="separate",
+                      output="linear")[0]
+    clamped = render_ods(sc, samples_per_pixel=2, seed=0, layout="separate",
+                         output="linear", clamp=1.0)[0]
+    assert clamped.max() <= 1.0 + 1e-6
+    assert base.max() > 100.0
+    loose = render_ods(sc, samples_per_pixel=2, seed=0, layout="separate",
+                       output="linear", clamp=1e6)[0]
+    assert np.array_equal(base, loose)
+
+
 def test_validation():
     sc = _scene()
     with pytest.raises(ValueError, match="layout"):
