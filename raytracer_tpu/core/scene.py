@@ -713,6 +713,14 @@ class Scene:
         img = np.asarray(grey).reshape(H, W, 3)
         return array_to_pil(img)
 
+    def render_ods(self, samples_per_pixel=8, **kwargs):
+        """Stereo 360 (omni-directional stereo) frame for VR playback —
+        see raytracer_tpu.vr.render_ods for the kwargs (ipd, layout,
+        output, mesh, clamp, ...)."""
+        from ..vr import render_ods
+
+        return render_ods(self, samples_per_pixel, **kwargs)
+
 
 def _ckpt_path(path):
     # np.savez appends '.npz' to bare names; normalize so save and load

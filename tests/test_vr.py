@@ -59,6 +59,15 @@ def test_parallax_sign_and_magnitude():
     assert abs(_centroid_col(left, 0) - W / 2) < W / 8
 
 
+def test_scene_method_delegates():
+    sc = _scene()
+    a = sc.render_ods(samples_per_pixel=1, seed=4, layout="separate",
+                      output="linear")
+    b = render_ods(sc, samples_per_pixel=1, seed=4, layout="separate",
+                   output="linear")
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
 def test_layouts_and_outputs():
     sc = _scene()
     tb = render_ods(sc, samples_per_pixel=1, layout="top-bottom",
