@@ -27,17 +27,13 @@ def build_scene(width=512, height=256):
                  u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, 1)))
     sc.add(Sphere(material=Diffuse(diff_color=rgb(0.9, 0.25, 0.2)),
                   center=vec3(1.2, 0.0, 0.0), radius=0.35))      # near, +x
-    sc.add(Sphere(material=Glossy(diff_color=rgb(0.2, 0.4, 0.9),
-                                  n=vec3(1.3, 1.3, 1.3),
-                                  roughness=0.1, spec_coeff=0.3,
-                                  diff_coeff=0.7),
+    sc.add(Sphere(material=Diffuse(diff_color=rgb(0.2, 0.4, 0.9)),
                   center=vec3(0.0, 0.0, 1.5), radius=0.4))       # near, +z
     sc.add(Sphere(material=Diffuse(diff_color=rgb(0.3, 0.8, 0.3)),
                   center=vec3(-6.0, 0.5, 0.0), radius=1.0))      # far, -x
     sc.add(Sphere(material=Emissive(color=rgb(6, 6, 6)),
                   center=vec3(0, 4.0, -2.0), radius=1.0),
            importance_sampled=True)
-    sc.add_PointLight(pos=vec3(0, 2.5, 0), color=rgb(40, 40, 40))
     return sc
 
 

@@ -82,7 +82,7 @@ def main():
     from example_vr import Sc as vr_scene
 
     t0 = time.time()
-    left, right = render_ods(vr_scene, samples_per_pixel=96, ipd=0.2,
+    left, right = render_ods(vr_scene, samples_per_pixel=128, ipd=0.2,
                              seed=3, layout="separate", output="np",
                              clamp=6.0)
     wall = time.time() - t0
