@@ -14,25 +14,34 @@ structure, sharing `compile_scene_cached`'s tables with `Scene.render`.
 Both eyes and every interpupillary distance reuse ONE executable: the eye
 sign, ipd and heading are traced scalars.  The same jitter key drives both
 eyes so their noise is correlated (matched grain between eyes avoids
-binocular rivalry) and `ipd=0` reproduces the plain equirect render
-bit-exactly in both.
+binocular rivalry) and `ipd=0` makes the two eyes bit-identical.  (The ODS
+generator draws i.i.d. jitter with its own keys, so a zero-ipd frame is
+statistically — not bitwise — equivalent to `Scene.render`'s equirect
+path, whose default is the R2 stratified lattice; see core/lds.py.)
+
+Render settings are derived from `scene.settings` exactly as
+`Scene._settings_for_render` does (max_bounces override, nudge_eps,
+split_k with full deterministic branch-pattern enumeration), so a scene
+tuned for `Scene.render` produces the same estimator here.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core.compile import compile_scene_cached, derive_max_bounces
+from .core.compile import (compile_scene_cached, derive_max_bounces,
+                           derive_split_k)
 from .core.integrator import RenderSettings, trace
 from .utils.colour import tonemap_display
 
 
 def _ods_samples(key, data, origin0, phi0, half_ipd, eye_sign,
-                 width, height, spp, static, settings, clamp=None):
+                 width, height, spp, static, settings, clamp=None,
+                 sample0=None):
     """Sum of `spp` linear radiance samples per pixel for one eye.
 
     Pixel (u, v) maps to azimuth/elevation exactly as the equirect camera
@@ -64,7 +73,16 @@ def _ods_samples(key, data, origin0, phi0, half_ipd, eye_sign,
 
     n_re = jnp.broadcast_to(data.scene_n_re, origin.shape)
     n_im = jnp.broadcast_to(data.scene_n_im, origin.shape)
-    L, _ = trace(k_trace, origin, d, n_re, n_im, data, static, settings)
+    # deterministic Fresnel branch patterns (RenderSettings.split_k): rays
+    # are [sample, pixel]-ordered; callers keep spp a multiple of 2^split_k
+    # so every pixel sees each pattern equally often (as Scene.render)
+    pattern = None
+    if settings.split_k > 0:
+        s_loc = (idx // jnp.uint32(n_pix)).astype(jnp.int32)
+        base = jnp.int32(0) if sample0 is None else sample0.astype(jnp.int32)
+        pattern = (base + s_loc) % (1 << settings.split_k)
+    L, _ = trace(k_trace, origin, d, n_re, n_im, data, static, settings,
+                 pattern=pattern)
     if clamp is not None:
         L = jnp.minimum(L, clamp)   # per-sample firefly ceiling (traced)
     return L.reshape(spp, n_pix, 3).sum(axis=0)
@@ -75,31 +93,35 @@ _ods_chunk = partial(jax.jit, static_argnames=("width", "height", "spp",
     _ods_samples)
 
 
-def _build_ods_sharded(static, settings, mesh, width, height,
-                       spp_per_device, clamp=None):
-    """Compile a sample-sharded ODS eye render over `mesh`.
+@lru_cache(maxsize=32)
+def _build_ods_sharded(static, settings, mesh, width, height, spp_chunk):
+    """Compile a sample-sharded ODS eye render over `mesh` (cached).
 
     Same map-reduce shape as parallel/sharded.py: each device traces its
     own spp slice of the full frame, one psum over the "sample" axis sums
     the radiance (the multi-chip scale-out for production-size VR frames).
+    `clamp` and `sample0` are traced arguments — retuning the firefly
+    ceiling or walking the chunk loop never recompiles; the build itself is
+    cached per (scene structure, settings, mesh, frame, chunk) key.
     """
     from jax.sharding import PartitionSpec as P
 
-    def per_device(key, data, origin0, phi0, half_ipd, eye_sign):
+    def per_device(key, data, origin0, phi0, half_ipd, eye_sign, clamp,
+                   sample0):
         s_idx = jax.lax.axis_index("sample")
         k = jax.random.fold_in(key, s_idx)
         L = _ods_samples(k, data, origin0, phi0, half_ipd, eye_sign,
-                         width, height, spp_per_device, static, settings,
-                         clamp=clamp)
+                         width, height, spp_chunk, static, settings,
+                         clamp=clamp, sample0=sample0)
         return jax.lax.psum(L, "sample")
 
     @jax.jit
-    def run(key, data, origin0, phi0, half_ipd, eye_sign):
+    def run(key, data, origin0, phi0, half_ipd, eye_sign, clamp, sample0):
         return jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=P(), check_vma=False,
-        )(key, data, origin0, phi0, half_ipd, eye_sign)
+        )(key, data, origin0, phi0, half_ipd, eye_sign, clamp, sample0)
 
     return run
 
@@ -119,6 +141,9 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
 
     samples_per_pixel: paths traced per pixel PER EYE (camera samples; the
         integrator entry here does not apply Scene.render's diffuse fan).
+        When the scene uses deterministic Fresnel splitting (split_k > 0,
+        auto-derived for Whitted-style scenes as in Scene.render), each
+        camera sample fans into 2^split_k branch-pattern paths.
     ipd: interpupillary distance in world units (0 -> both eyes identical).
     width/height: per-eye equirect resolution; defaults to the scene
         camera's screen size (height defaults to width // 2).
@@ -163,7 +188,21 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
         raise ValueError(f"invalid ODS frame size {W}x{H}")
 
     static, data = compile_scene_cached(scene)
-    settings = RenderSettings(max_bounces=derive_max_bounces(static))
+    # honor the scene's tuned settings exactly as Scene._settings_for_render
+    # (a user-set nudge_eps / max_bounces / split_k must not silently revert
+    # to defaults on the ODS path); sampler stays i.i.d. here (module doc)
+    base = scene.settings
+    max_b = base.max_bounces
+    if max_b == RenderSettings.max_bounces:
+        max_b = derive_max_bounces(static)
+    settings = RenderSettings(max_bounces=max_b,
+                              nudge_eps=base.nudge_eps,
+                              sampler="iid",
+                              split_k=base.split_k or derive_split_k(static))
+    split_fan = 1 << settings.split_k
+    # reference estimator parity: each camera sample fans into 2^split_k
+    # deterministic branch patterns (Scene.render does the same)
+    spp = spp * split_fan
 
     cam = scene.camera.params()
     fwd = np.asarray(cam.fwd)
@@ -173,30 +212,53 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
 
     if clamp is not None:
         clamp = jnp.float32(clamp)
+
+    # chunk spp so one execution stays under the relay-friendly ray caps
+    # (core/scene.py: 512k rays for clustered-mesh scenes, 4M otherwise;
+    # the ODS path always runs the jnp wavefront); chunks cover whole
+    # 2^split_k pattern blocks so enumerated branch weights average exactly
+    max_rays = (1 << 19) if data.geom.tri_cl_lo.shape[0] else (1 << 22)
+
     run = None
     if mesh is not None:
         n_sample = mesh.shape["sample"]
         if mesh.shape.get("pixel", 1) != 1:
             raise ValueError("render_ods shards over the 'sample' axis "
                              "only; use a mesh with pixel=1")
-        spp_dev = -(-spp // n_sample)
-        spp = spp_dev * n_sample        # rounded up to whole shards
-        run = _build_ods_sharded(static, settings, mesh, W, H, spp_dev,
-                                 clamp=clamp)
+        spp_dev = -(-spp // (n_sample * split_fan)) * split_fan
+        spp = spp_dev * n_sample        # rounded up to whole shards/blocks
+        # per-device chunk under the relay ray caps (each device traces
+        # chunk x W x H rays per execution, exactly as the single-chip loop)
+        chunk = max(1, min(spp_dev, 128, max_rays // (W * H)))
+        chunk = max(split_fan, chunk - chunk % split_fan)
+        run = _build_ods_sharded(static, settings, mesh, W, H, chunk)
+        # the final partial chunk gets its own (smaller) cached executable
+        rem = spp_dev % chunk
+        run_rem = (_build_ods_sharded(static, settings, mesh, W, H, rem)
+                   if rem else None)
+    else:
+        chunk = max(1, min(spp, 128, max_rays // (W * H)))
+        chunk = max(split_fan, chunk - chunk % split_fan)
 
-    # chunk spp so one execution stays under the relay-friendly ray caps
-    # (core/scene.py: 512k rays for clustered-mesh scenes, 4M otherwise;
-    # the ODS path always runs the jnp wavefront)
-    max_rays = (1 << 19) if data.geom.tri_cl_lo.shape[0] else (1 << 22)
-    chunk = max(1, min(spp, 128, max_rays // (W * H)))
-
+    inf = jnp.float32(np.inf)
     eyes = []
     for eye_sign in (-1.0, 1.0):
         if run is not None:
-            # the SAME key for both eyes: correlated grain; ipd=0 ->
-            # bit-identical eyes (as the single-chip loop below)
-            acc = run(jax.random.PRNGKey(seed), data, origin0, phi0,
-                      half_ipd, jnp.float32(eye_sign))
+            # the SAME key per (chunk, eye-independent) index: correlated
+            # grain; ipd=0 -> bit-identical eyes.  clamp/sample0 traced.
+            acc = jnp.zeros((W * H, 3), jnp.float32)
+            done = 0
+            ci = 0
+            while done < spp_dev:
+                s = min(chunk, spp_dev - done)
+                fn = run if s == chunk else run_rem
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), ci)
+                acc = acc + fn(key, data, origin0, phi0, half_ipd,
+                               jnp.float32(eye_sign),
+                               clamp if clamp is not None else inf,
+                               jnp.int32(done))
+                done += s
+                ci += 1
             linear = (acc / spp).reshape(H, W, 3)
             eyes.append(_finish_eye(linear, output, operator, exposure))
             continue
@@ -210,7 +272,7 @@ def render_ods(scene, samples_per_pixel=8, ipd=0.064, seed=0,
             key = jax.random.fold_in(jax.random.PRNGKey(seed), ci)
             acc = acc + _ods_chunk(key, data, origin0, phi0, half_ipd,
                                    jnp.float32(eye_sign), W, H, s, static,
-                                   settings, clamp)
+                                   settings, clamp, jnp.int32(done))
             done += s
             ci += 1
         linear = (acc / spp).reshape(H, W, 3)

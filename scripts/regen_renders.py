@@ -91,7 +91,7 @@ def main():
         str(OUT / "vr_ods.png"))
     Image.fromarray(np.stack([left[..., 0], right[..., 1], right[..., 2]],
                              -1)).save(str(OUT / "vr_anaglyph.png"))
-    print(f"example_vr: {wall:.2f}s @ 32 spp x 2 eyes", flush=True)
+    print(f"example_vr: {wall:.2f}s @ 128 spp x 2 eyes", flush=True)
 
     from raytracer_tpu import load_scene_file
 

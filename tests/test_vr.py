@@ -108,9 +108,9 @@ def test_sharded_matches_single_chip():
 
     sc = _scene(near=2.0)
     mesh = make_mesh()
-    single = render_ods(sc, samples_per_pixel=16, ipd=0.5, seed=0,
+    single = render_ods(sc, samples_per_pixel=64, ipd=0.5, seed=0,
                         layout="separate", output="linear")
-    sharded = render_ods(sc, samples_per_pixel=16, ipd=0.5, seed=0,
+    sharded = render_ods(sc, samples_per_pixel=64, ipd=0.5, seed=0,
                          layout="separate", output="linear", mesh=mesh)
     for a, b in zip(single, sharded):
         assert a.shape == b.shape
@@ -156,3 +156,35 @@ def test_validation():
         render_ods(sc, samples_per_pixel=0)
     with pytest.raises(ValueError, match="camera"):
         render_ods(Scene())
+
+
+def test_scene_settings_honored():
+    """render_ods derives settings from scene.settings like
+    Scene._settings_for_render (ADVICE r2): a user-set max_bounces / split_k
+    changes the ODS output; split_k > 0 renders with full branch-pattern
+    enumeration (spp fans by 2^split_k internally, mean stays normalized)."""
+    from dataclasses import replace
+
+    from raytracer_tpu import Glossy, Refractive
+
+    sc = _scene(near=2.0)
+    # a mirror-ish glossy floor + glass sphere: extra bounces change pixels
+    sc.add(Sphere(material=Refractive(n=vec3(1.5 + 0j, 1.5 + 0j, 1.5 + 0j)),
+                  center=vec3(2, 0, 2), radius=0.8))
+    sc.add(Sphere(material=Glossy(diff_color=rgb(0.2, 0.2, 0.2),
+                                  roughness=0.1, spec_coeff=2.0,
+                                  diff_coeff=0.3, n=vec3(1.5, 1.5, 1.5)),
+                  center=vec3(-2, 0, 0), radius=1.0))
+    deep = render_ods(sc, samples_per_pixel=4, seed=0, layout="separate",
+                      output="linear")[0]
+    sc.settings = replace(sc.settings, max_bounces=1)
+    shallow = render_ods(sc, samples_per_pixel=4, seed=0, layout="separate",
+                         output="linear")[0]
+    assert not np.array_equal(deep, shallow)
+    assert np.isfinite(shallow).all()
+    # explicit split_k: enumerated Fresnel branches, mean stays bounded
+    sc.settings = replace(sc.settings, max_bounces=4, split_k=2)
+    split = render_ods(sc, samples_per_pixel=2, seed=0, layout="separate",
+                       output="linear")[0]
+    assert np.isfinite(split).all()
+    assert split.max() <= max(2.0, deep.max() * 2.0)
