@@ -79,6 +79,23 @@ def bench_mesh_scene():
     return {"wall_s": round(time.time() - t0, 3), "tris": 5120, "spp": 4}
 
 
+def bench_sharded_block(timeout=1200):
+    """Sharded-path shape numbers on a virtual 8-CPU mesh (VERDICT r2 #7).
+
+    Runs in a SUBPROCESS: the host device-count flag must be set before jax
+    initializes, and this process already owns the TPU backend."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "scripts" /
+                             "bench_sharded.py")],
+        timeout=timeout, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.strip().splitlines()[-1] if r.stderr
+                           else f"rc={r.returncode}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def _wait_for_backend(attempts=6, probe_timeout=240, sleep_s=300):
     """The axon TPU relay has outages (observed: worker down for hours with
     jax.devices() hanging or raising 'Unable to initialize backend').  Probe
@@ -158,6 +175,10 @@ def main():
             result["mesh_icosphere"] = bench_mesh_scene()
         except Exception as e:
             result["mesh_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result["sharded_virtual8"] = bench_sharded_block()
+        except Exception as e:
+            result["sharded_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

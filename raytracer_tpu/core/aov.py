@@ -66,10 +66,12 @@ def _albedo_at_hit(mat_type, mat_slot, uv, data, static):
 
 
 @partial(jax.jit, static_argnames=("static", "width", "height", "spp",
-                                   "projection"))
+                                   "projection", "rows"))
 def _aov_chunk(key, data, cam, static, width, height, spp,
-               projection="pinhole"):
-    O, D = generate_rays(key, cam, width, height, spp, projection=projection)
+               projection="pinhole", row0=0.0, rows=None):
+    rows = height if rows is None else rows
+    O, D = generate_rays(key, cam, width, height, spp, projection=projection,
+                         row0=jnp.float32(row0), rows=rows)
     t, orient, P, N_geo, uv, obj = _first_hit_impl(O, D, data, static)
     hit = t < MISS_THRESHOLD
     h1 = hit[..., None]
@@ -90,7 +92,7 @@ def _aov_chunk(key, data, cam, static, width, height, spp,
     # emission color, which can exceed 1 arbitrarily
     is_src = (mat_type == MAT_EMISSIVE) | (mat_type == MAT_ENV)
 
-    n_pix = height * width
+    n_pix = rows * width
     sum_pix = lambda x: x.reshape((spp, n_pix) + x.shape[1:]).sum(axis=0)
     first = lambda x: x.reshape((spp, n_pix) + x.shape[1:])[0]
     return dict(
@@ -105,9 +107,9 @@ def _aov_chunk(key, data, cam, static, width, height, spp,
 
 
 @partial(jax.jit, static_argnames=("static", "width", "height", "spp",
-                                   "ao_samples", "projection"))
+                                   "ao_samples", "projection", "rows"))
 def _ao_chunk(key, data, cam, static, width, height, spp, ao_samples,
-              ao_dist, projection="pinhole"):
+              ao_dist, projection="pinhole", row0=0.0, rows=None):
     """Ambient-occlusion plane: per first hit, the fraction of `ao_samples`
     cosine-weighted hemisphere directions NOT blocked within `ao_dist`
     (traced; inf = sky visibility).  Shares the integrator's occlusion
@@ -116,9 +118,11 @@ def _ao_chunk(key, data, cam, static, width, height, spp, ao_samples,
     from ..utils.constants import NUDGE_EPS
     from . import rng as rng_mod
 
+    rows = height if rows is None else rows
     k_cam, k_ao = jax.random.split(key)
     O, D = generate_rays(k_cam, cam, width, height, spp,
-                         projection=projection)
+                         projection=projection, row0=jnp.float32(row0),
+                         rows=rows)
     t, orient, P, N_geo, uv, obj = _first_hit_impl(O, D, data, static)
     hit = t < MISS_THRESHOLD
     N = N_geo * orient[..., None]
@@ -132,11 +136,53 @@ def _ao_chunk(key, data, cam, static, width, height, spp, ao_samples,
                        static.use_tri_bvh)
         occ_sum = occ_sum + occ.astype(jnp.float32)
     ao = jnp.where(hit, 1.0 - occ_sum / ao_samples, 1.0)
-    return ao.reshape(spp, height * width).sum(axis=0)
+    return ao.reshape(spp, rows * width).sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("static", "width", "height", "spp",
+                                   "ao_samples", "projection", "mesh"))
+def _sharded_aovs(key, data, cam, static, width, height, spp, ao_samples,
+                  ao_dist, projection, mesh):
+    """AOV pass sharded over a ("sample", "pixel") mesh.
+
+    Each device computes the SAME per-chunk feature program (`_aov_chunk` /
+    `_ao_chunk`) on its sample slice and pixel band; sums psum over the
+    "sample" axis.  `obj_id` does not average — sample shard 0's plane is
+    selected (masked psum).  spp here is PER DEVICE.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_pixel = mesh.shape.get("pixel", 1)
+    rows = height // n_pixel
+
+    def per_device(key, data, cam, ao_dist):
+        s_idx = jax.lax.axis_index("sample")
+        p_idx = jax.lax.axis_index("pixel")
+        k = jax.random.fold_in(jax.random.fold_in(key, s_idx), p_idx)
+        out = _aov_chunk(k, data, cam, static, width, height, spp,
+                         projection=projection,
+                         row0=(p_idx * rows).astype(jnp.float32), rows=rows)
+        if ao_samples:
+            out["ao"] = _ao_chunk(
+                jax.random.fold_in(k, 1), data, cam, static, width, height,
+                spp, ao_samples, ao_dist, projection=projection,
+                row0=(p_idx * rows).astype(jnp.float32), rows=rows)
+        obj_id = out.pop("obj_id")
+        out = {k2: jax.lax.psum(v, "sample") for k2, v in out.items()}
+        # ids do not average: take sample shard 0's plane (others add 0)
+        out["obj_id"] = jax.lax.psum(
+            jnp.where(s_idx == 0, obj_id, jnp.zeros_like(obj_id)), "sample")
+        return out
+
+    return jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("pixel"), check_vma=False,
+    )(key, data, cam, ao_dist)
 
 
 def render_aovs(scene, samples_per_pixel=1, seed=0, ao_samples=0,
-                ao_radius=None):
+                ao_radius=None, mesh=None):
     """Render first-hit feature planes for `scene`.
 
     Returns a dict of numpy arrays:
@@ -159,25 +205,42 @@ def render_aovs(scene, samples_per_pixel=1, seed=0, ao_samples=0,
     that escape within `ao_radius` world units (None = unbounded sky
     visibility).  1 = fully open, 0 = fully blocked; misses are 1.
     `ao_radius` is traced (retuning never recompiles).
+
+    mesh: optional ("sample", "pixel") jax.sharding.Mesh — each device
+    computes its own sample slice / pixel band of every plane (psum over
+    the sample axis).  samples_per_pixel rounds up to whole sample shards.
     """
+    from ..utils.constants import FARAWAY
     from .compile import compile_scene_cached
 
     if scene.camera is None:
         raise RuntimeError("call add_Camera() first")
     W, H = scene.camera.screen_width, scene.camera.screen_height
     static, data = compile_scene_cached(scene)
-    out = _aov_chunk(jax.random.PRNGKey(seed), data, scene.camera.params(),
-                     static, W, H, int(samples_per_pixel),
-                     projection=scene.camera.projection)
-    out = {k: np.asarray(v) for k, v in out.items()}
-    if ao_samples:
-        from ..utils.constants import FARAWAY
-
-        dist = jnp.float32(FARAWAY if ao_radius is None else ao_radius)
-        out["ao"] = np.asarray(_ao_chunk(
-            jax.random.fold_in(jax.random.PRNGKey(seed), 1), data,
-            scene.camera.params(), static, W, H, int(samples_per_pixel),
-            int(ao_samples), dist, projection=scene.camera.projection))
+    dist = jnp.float32(FARAWAY if ao_radius is None else ao_radius)
+    if mesh is not None:
+        n_sample = mesh.shape["sample"]
+        n_pixel = mesh.shape.get("pixel", 1)
+        if H % n_pixel:
+            raise ValueError(f"height {H} % pixel shards {n_pixel} != 0")
+        spp_dev = -(-int(samples_per_pixel) // n_sample)
+        samples_per_pixel = spp_dev * n_sample
+        out = _sharded_aovs(jax.random.PRNGKey(seed), data,
+                            scene.camera.params(), static, W, H, spp_dev,
+                            int(ao_samples), dist,
+                            scene.camera.projection, mesh)
+        out = {k: np.asarray(v) for k, v in out.items()}
+    else:
+        out = _aov_chunk(jax.random.PRNGKey(seed), data,
+                         scene.camera.params(),
+                         static, W, H, int(samples_per_pixel),
+                         projection=scene.camera.projection)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if ao_samples:
+            out["ao"] = np.asarray(_ao_chunk(
+                jax.random.fold_in(jax.random.PRNGKey(seed), 1), data,
+                scene.camera.params(), static, W, H, int(samples_per_pixel),
+                int(ao_samples), dist, projection=scene.camera.projection))
     spp = float(samples_per_pixel)
     cov = out["coverage"]
     hits = np.maximum(cov, 1.0)

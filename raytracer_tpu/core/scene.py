@@ -296,7 +296,7 @@ class Scene:
                checkpoint_every=4, profile_dir=None, target_noise=None,
                noise_check_every=4, output="pil", with_variance=False,
                clamp=None, tonemap="srgb", exposure=0.0,
-               preview_path=None, preview_every=4):
+               preview_path=None, preview_every=4, mesh=None):
         """Render and return a PIL image (reference scene.py:71-140).
 
         output: "pil" (default, tonemapped PIL image) or "linear" (the raw
@@ -358,6 +358,18 @@ class Scene:
         defaults are bit-identical to the original pipeline.
         output="linear" always returns the raw radiance mean — apply
         utils.colour.tonemap_display yourself.
+
+        mesh: an optional jax.sharding.Mesh with a "sample" axis (and an
+        optional "pixel" axis — `parallel.sharded.make_mesh()`): every chunk
+        of the loop above runs as ONE sharded execution over the mesh —
+        each device traces its own sample slice (and pixel band), one psum
+        over the "sample" axis reduces the radiance.  All of the features
+        documented here (chunked executions under the relay caps, checkpoint
+        /resume, adaptive target_noise, clamp, with_variance, preview) work
+        unchanged across the mesh; checkpoints record the mesh shape and
+        resume bit-identically on an equal mesh.  batch_size becomes the
+        PER-DEVICE chunk spp.  The reference's analogue is the Pool's batch
+        loop (scene.py:80-116), whose whole job was bounding batch size.
         """
         if profile_dir is not None:
             from jax import profiler as _profiler
@@ -368,7 +380,7 @@ class Scene:
                                    checkpoint_every, None, target_noise,
                                    noise_check_every, output, with_variance,
                                    clamp, tonemap, exposure,
-                                   preview_path, preview_every)
+                                   preview_path, preview_every, mesh)
         if output not in ("pil", "linear"):
             raise ValueError(f"output must be 'pil' or 'linear', got {output!r}")
         if tonemap not in TONEMAP_OPERATORS:
@@ -419,11 +431,33 @@ class Scene:
         # 128 leaves every large-frame choice AND every small test render
         # (eff_spp <= 128 stays one chunk, so per-chunk RNG streams and the
         # checked-in goldens are unchanged) as they were.
-        chunk = batch_size or max(1, min(eff_spp, 128, max_rays // (W * H)))
-        # every chunk must cover whole pattern blocks, or the enumerated
-        # branch weights (2F / 2T) would not average back to F + T
-        chunk = max(split_fan, chunk - chunk % split_fan)
-        n_chunks = -(-eff_spp // chunk)
+        n_sample = n_pixel = 1
+        chunk_dev = None
+        if mesh is not None:
+            if "sample" not in mesh.shape:
+                raise ValueError("mesh must have a 'sample' axis "
+                                 "(parallel.sharded.make_mesh)")
+            n_sample = mesh.shape["sample"]
+            n_pixel = mesh.shape.get("pixel", 1)
+            if H % n_pixel:
+                raise ValueError(
+                    f"height {H} % pixel shards {n_pixel} != 0")
+            # per-DEVICE chunk spp under the same relay/HBM ray caps (each
+            # device traces chunk_dev x W x band rows per execution)
+            rows_dev = H // n_pixel
+            eff_dev = -(-eff_spp // n_sample)
+            chunk_dev = batch_size or max(
+                1, min(eff_dev, 128, max_rays // (W * rows_dev)))
+            chunk_dev = max(split_fan, chunk_dev - chunk_dev % split_fan)
+            chunk = chunk_dev * n_sample    # global samples per execution
+            n_chunks = -(-eff_dev // chunk_dev)
+        else:
+            chunk = batch_size or max(1, min(eff_spp, 128,
+                                             max_rays // (W * H)))
+            # every chunk must cover whole pattern blocks, or the enumerated
+            # branch weights (2F / 2T) would not average back to F + T
+            chunk = max(split_fan, chunk - chunk % split_fan)
+            n_chunks = -(-eff_spp // chunk)
 
         adaptive = target_noise is not None
         if adaptive and n_chunks < 2:
@@ -443,26 +477,37 @@ class Scene:
 
         if checkpoint_path is not None:
             loaded = _load_checkpoint(checkpoint_path, H * W, chunk, seed,
-                                      with_acc2=adaptive, clamp=clamp)
+                                      with_acc2=adaptive, clamp=clamp,
+                                      shards=(n_sample, n_pixel))
             if loaded is not None:
                 acc, start_chunk, loaded_acc2 = loaded
                 if adaptive:
                     acc2 = loaded_acc2
 
-        pallas_mode, pallas_interp = _use_pallas(static, settings)
-        # Large frames: when even a 1-spp chunk exceeds the ray cap (a 4K
-        # frame is 8.8M rays), split each chunk into horizontal row bands.
-        # The mega-kernel's per-ray footprint is tiny (paths never leave
-        # VMEM), so the solid path keeps full frames; the jnp wavefront's
-        # HBM state and the record path's per-bounce tables are what the cap
-        # protects, so those band (record falls back to the banded wavefront
-        # — its chunk cap is 1M rays and its record tables scale with rays).
-        band_rows = H
-        if pallas_mode != "solid" and W * H * chunk > max_rays:
-            if pallas_mode == "record":
-                pallas_mode = None
-            band_rows = max(1, max_rays // (W * chunk))
-        n_bands = -(-H // band_rows)
+        run_sharded = None
+        if mesh is not None:
+            from ..parallel.sharded import build_sharded_chunk
+
+            run_sharded = build_sharded_chunk(static, settings, mesh, W, H,
+                                              chunk_dev, with_variance)
+            pallas_mode, pallas_interp = None, False
+            n_bands, band_rows = 1, H   # pixel axis IS the banding
+        else:
+            pallas_mode, pallas_interp = _use_pallas(static, settings)
+            # Large frames: when even a 1-spp chunk exceeds the ray cap (a 4K
+            # frame is 8.8M rays), split each chunk into horizontal row bands.
+            # The mega-kernel's per-ray footprint is tiny (paths never leave
+            # VMEM), so the solid path keeps full frames; the jnp wavefront's
+            # HBM state and the record path's per-bounce tables are what the
+            # cap protects, so those band (record falls back to the banded
+            # wavefront — its chunk cap is 1M rays and its record tables
+            # scale with rays).
+            band_rows = H
+            if pallas_mode != "solid" and W * H * chunk > max_rays:
+                if pallas_mode == "record":
+                    pallas_mode = None
+                band_rows = max(1, max_rays // (W * chunk))
+            n_bands = -(-H // band_rows)
         if progress_bar:
             print("Rendering...")
         chunks_done = start_chunk
@@ -486,7 +531,12 @@ class Scene:
             k_i = jax.random.fold_in(base_key, i)
             s0 = jnp.int32(i * chunk)
             L2 = None
-            if pallas_mode == "solid":
+            if run_sharded is not None:
+                out_c = run_sharded(
+                    k_i, data, cam,
+                    clampv if clampv is not None else jnp.float32(np.inf),
+                    s0, strat_seed)
+            elif pallas_mode == "solid":
                 out_c = _render_chunk_pallas(k_i, data, cam, static,
                                              settings, W, H, chunk,
                                              pallas_interp, with_variance,
@@ -548,7 +598,8 @@ class Scene:
                     (i + 1) % checkpoint_every == 0 or i + 1 == n_chunks):
                 # each save is a device->host sync; amortize over N chunks
                 _save_checkpoint(checkpoint_path, acc, i + 1, chunk, seed,
-                                 acc2=acc2, clamp=clamp)
+                                 acc2=acc2, clamp=clamp,
+                                 shards=(n_sample, n_pixel))
             if preview_path is not None and i + 1 < n_chunks and (
                     (i + 1) % preview_every == 0):
                 pacc = acc if pmask is None else acc * pmask[:, None]
@@ -656,19 +707,21 @@ class Scene:
         return store
 
     def render_aovs(self, samples_per_pixel=1, seed=0, ao_samples=0,
-                    ao_radius=None):
+                    ao_radius=None, mesh=None):
         """First-hit feature planes (depth/normal/albedo/position/coverage/
         obj_id, plus ambient occlusion with ao_samples > 0) for denoising
         and debugging — see core/aov.py.  The reference's only diagnostic
-        is the depth map (scene.py:142-166)."""
+        is the depth map (scene.py:142-166).  mesh: optional device mesh —
+        planes shard over samples and pixel bands (core/aov.py)."""
         from .aov import render_aovs
 
         return render_aovs(self, samples_per_pixel, seed,
-                           ao_samples=ao_samples, ao_radius=ao_radius)
+                           ao_samples=ao_samples, ao_radius=ao_radius,
+                           mesh=mesh)
 
     def render_denoised(self, samples_per_pixel, seed=0, aov_samples=None,
                         output="pil", variance_guided=True, clamp=None,
-                        **denoise_kwargs):
+                        mesh=None, **denoise_kwargs):
         """Render at low spp, then reconstruct with the à-trous denoiser
         (raytracer_tpu.denoise) guided by this scene's AOV feature planes.
 
@@ -682,6 +735,8 @@ class Scene:
         falls back to the fixed-sigma weight at spp*fan == 1.
         clamp: forwarded to render() — firefly suppression before the
         filter ever sees the samples (see render()).
+        mesh: forwarded to render() AND render_aovs() — both the radiance
+        and the feature passes shard over the device mesh.
         """
         from ..denoise import denoise
 
@@ -689,12 +744,14 @@ class Scene:
         if variance_guided and samples_per_pixel * self._diffuse_fan() > 1:
             linear, variance = self.render(samples_per_pixel, seed=seed,
                                            output="linear",
-                                           with_variance=True, clamp=clamp)
+                                           with_variance=True, clamp=clamp,
+                                           mesh=mesh)
         else:
             linear = self.render(samples_per_pixel, seed=seed,
-                                 output="linear", clamp=clamp)
+                                 output="linear", clamp=clamp, mesh=mesh)
         aovs = self.render_aovs(
-            aov_samples or min(16, max(4, samples_per_pixel)), seed=seed + 1)
+            aov_samples or min(16, max(4, samples_per_pixel)), seed=seed + 1,
+            mesh=mesh)
         out = denoise(linear, aovs, variance=variance, **denoise_kwargs)
         if output == "linear":
             return out
@@ -730,22 +787,31 @@ def _ckpt_path(path):
 
 
 def _save_checkpoint(path, acc, chunks_done, chunk, seed, acc2=None,
-                     clamp=None):
+                     clamp=None, shards=(1, 1)):
     extra = {} if acc2 is None else {"acc2": np.asarray(acc2)}
     with open(_ckpt_path(path), "wb") as f:
         np.savez(f, acc=np.asarray(acc), chunks_done=chunks_done,
                  chunk=chunk, seed=seed,
                  clamp=np.float64(np.nan if clamp is None else clamp),
-                 **extra)
+                 shards=np.asarray(shards, np.int64), **extra)
 
 
-def _load_checkpoint(path, n_pix, chunk, seed, with_acc2=False, clamp=None):
+def _load_checkpoint(path, n_pix, chunk, seed, with_acc2=False, clamp=None,
+                     shards=(1, 1)):
     import os
     path = _ckpt_path(path)
     if not os.path.exists(path):
         return None
     z = np.load(path)
     if int(z["chunk"]) != chunk or int(z["seed"]) != seed or z["acc"].shape[0] != n_pix:
+        return None
+    # a checkpoint written on a different mesh shape carries different
+    # per-device RNG/lattice streams; resuming it would silently mix two
+    # sample sequences in one accumulator — restart instead (pre-mesh
+    # checkpoints lack the field and mean single-chip)
+    old_shards = (tuple(int(s) for s in z["shards"])
+                  if "shards" in z.files else (1, 1))
+    if old_shards != tuple(shards):
         return None
     # a resume under a different clamp would mix two estimators in one
     # accumulator; restart instead (pre-clamp checkpoints lack the field —

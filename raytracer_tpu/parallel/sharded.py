@@ -17,7 +17,7 @@ anywhere in the pipeline (pure map-reduce workload).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -140,33 +140,108 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
     return run
 
 
-def render_sharded(scene, samples_per_pixel, mesh=None, seed=0):
+@lru_cache(maxsize=64)
+def build_sharded_chunk(static, settings: RenderSettings, mesh,
+                        width: int, height: int, spp_dev: int,
+                        with_sq: bool = False):
+    """Compile ONE sharded spp-chunk of `Scene.render`'s accumulation loop.
+
+    This is the production multi-chip path: `Scene.render(mesh=...)` calls
+    the returned function once per chunk, so chunked execution (the relay
+    stall mitigation), checkpoint/resume, adaptive stopping, firefly clamp,
+    per-pixel variance and progressive preview all work across the mesh
+    exactly as they do single-chip.
+
+    Each device runs the SAME per-chunk program the single-chip loop uses
+    (`core.scene._render_chunk` / `_render_chunk_pallas`) on its own
+    `spp_dev` sample slice and pixel band — non-finite scrub, clamp,
+    R2-lattice continuation and branch-pattern enumeration included, with
+    zero logic drift between the paths — then one psum over the "sample"
+    axis reduces the radiance sums.
+
+    Returns run(key, data, cam, clamp, sample0, strat_seed) ->
+    (L_sum, [L2_sum,] stats) over n_sample_shards * spp_dev samples:
+      clamp:   traced per-sample radiance ceiling (+inf = off)
+      sample0: traced global sample index of this chunk's first sample
+               (device s continues the one global R2 lattice at
+               sample0 + s * spp_dev)
+      strat_seed: traced lattice rotation seed (constant across chunks)
+    """
+    from ..core.scene import _render_chunk, _render_chunk_pallas, _use_pallas
+
+    n_pixel = mesh.shape["pixel"]
+    assert height % n_pixel == 0, (
+        f"height {height} % pixel shards {n_pixel} != 0")
+    rows = height // n_pixel
+
+    mode, interp = _use_pallas(static, settings)
+    use_solid = mode == "solid" and n_pixel == 1
+    # the record path's replay tables scale with rays; it is validated
+    # single-chip only — textured scenes shard via the jnp wavefront
+
+    def per_device(key, data, cam, clamp, sample0, strat_seed):
+        s_idx = jax.lax.axis_index("sample")
+        p_idx = jax.lax.axis_index("pixel")
+        k = jax.random.fold_in(jax.random.fold_in(key, s_idx), p_idx)
+        s0 = sample0 + s_idx.astype(jnp.int32) * spp_dev
+        if use_solid:
+            out = _render_chunk_pallas(k, data, cam, static, settings,
+                                       width, height, spp_dev, interp,
+                                       with_sq, strat_seed=strat_seed,
+                                       sample0=s0, clamp=clamp)
+        else:
+            out = _render_chunk(k, data, cam, static, settings,
+                                width, height, spp_dev,
+                                row0=(p_idx * rows).astype(jnp.float32),
+                                rows=rows, with_sq=with_sq,
+                                strat_seed=strat_seed, sample0=s0,
+                                clamp=clamp)
+        if with_sq:
+            L, L2, stats = out
+        else:
+            L, stats = out
+        # the Pool's '+=' reduce as one collective (reference scene.py:100-116)
+        L = jax.lax.psum(L, "sample")
+        parts = (L,)
+        if with_sq:
+            parts = parts + (jax.lax.psum(L2, "sample"),)
+        # scalar counters sum over the WHOLE mesh (each device's band slice
+        # traced its own rays)
+        stats = {k2: jax.lax.psum(v, ("sample", "pixel"))
+                 for k2, v in stats.items()}
+        return parts + (stats,)
+
+    band_spec = (P("pixel"),) * (2 if with_sq else 1)
+
+    @jax.jit
+    def run(key, data, cam, clamp, sample0, strat_seed):
+        # check_vma off: pallas_call outputs carry no varying-axis metadata
+        return jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(),) * 6,
+            out_specs=band_spec + (P(),),
+            check_vma=False,
+        )(key, data, cam, clamp, sample0, strat_seed)
+
+    return run
+
+
+def render_sharded(scene, samples_per_pixel, mesh=None, seed=0, **kwargs):
     """Render `scene` across all local devices; returns (H, W, 3) sRGB array.
 
     samples_per_pixel is rounded up to a multiple of the sample-shard count.
-    """
-    from ..core.compile import (compile_scene_cached, derive_max_bounces,
-                                derive_split_k)
 
+    This is now a thin wrapper over `Scene.render(mesh=...)` — the full
+    production render loop (chunked executions under the relay caps,
+    checkpoint/resume, adaptive `target_noise`, `clamp`, `with_variance`,
+    progressive preview) runs across the mesh; extra kwargs are forwarded
+    to `Scene.render`.  Use `Scene.render(mesh=...)` directly for PIL
+    output or the variance/stats returns.
+    """
     mesh = mesh or make_mesh()
-    n_sample = mesh.shape["sample"]
-    W, H = scene.camera.screen_width, scene.camera.screen_height
-    static, data = compile_scene_cached(scene)
-    # shared derivations — sharded and single-chip renders of the same scene
-    # must trace identical path lengths with the same estimator
-    split_k = derive_split_k(static)
-    settings = RenderSettings(max_bounces=derive_max_bounces(static),
-                              split_k=split_k,
-                              sampler=scene.settings.sampler,
-                              projection=scene.camera.projection)
-    spp_per_device = plan_spp_per_device(samples_per_pixel,
-                                         scene._diffuse_fan(), split_k,
-                                         n_sample)
-    run = build_sharded_render(static, settings, mesh, W, H, spp_per_device)
-    acc = run(jax.random.PRNGKey(seed), data, scene.camera.params())
-    linear = acc / (n_sample * spp_per_device)
-    pmask = projection_mask(settings.projection, W, H)
-    if pmask is not None:               # fisheye image circle
-        linear = linear * pmask[:, None]
-    img = srgb_linear_to_srgb(linear).reshape(H, W, 3)
+    out = scene.render(samples_per_pixel, seed=seed, mesh=mesh,
+                       output="linear", **kwargs)
+    linear = out[0] if isinstance(out, tuple) else out
+    img = srgb_linear_to_srgb(jnp.asarray(linear.reshape(-1, 3))) \
+        .reshape(linear.shape)
     return np.asarray(jax.device_get(img))

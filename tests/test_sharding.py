@@ -201,3 +201,118 @@ def test_sharded_cornell_mean_and_variance():
     var_sh = sh.std(0).mean()
     var_sg = sg.std(0).mean()
     assert 0.6 < (var_sh + 1e-4) / (var_sg + 1e-4) < 1.6, (var_sh, var_sg)
+
+
+# ---- production-parity sharded rendering (Scene.render(mesh=...)) ---------
+# VERDICT r2 item 3: the sharded path must be a first-class citizen of the
+# render loop — chunked executions, checkpoint/resume, adaptive stopping,
+# clamp, variance, AOVs — not a minimal one-shot twin.
+
+def diffuse_scene(W=16, H=16):
+    # a PARTIAL light dome: diffuse bounce rays sometimes hit the bright
+    # sphere, sometimes the black sky -> real per-sample variance (the
+    # checkpoint/adaptive/variance tests below need a noisy estimator)
+    from raytracer_tpu import Diffuse
+
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -1),
+                  screen_width=W, screen_height=H)
+    sc.add(Plane(material=Diffuse(diff_color=rgb(0.5, 0.5, 0.5),
+                                  diffuse_rays=1),
+                 center=vec3(0, 0, -2), width=100.0, height=100.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 1, 0)))
+    sc.add(Sphere(material=Emissive(color=rgb(4, 4, 4)),
+                  center=vec3(0, 12, -2), radius=6.0, shadow=False))
+    return sc
+
+
+def test_sharded_chunked_checkpoint_resume(tmp_path):
+    """Chunked sharded render: a mid-render checkpoint resumes
+    BIT-IDENTICALLY on the same mesh, and a mismatched mesh restarts."""
+    mesh = make_mesh(n_sample_shards=8, n_pixel_shards=1)
+    ck = str(tmp_path / "shard_ckpt.npz")
+    sc = diffuse_scene()
+    # batch_size = per-device chunk spp -> 32 eff spp = 4 chunks of 8
+    partial16 = sc.render(samples_per_pixel=16, seed=9, batch_size=1,
+                          mesh=mesh, checkpoint_path=ck, checkpoint_every=1,
+                          output="linear")
+    full = sc.render(samples_per_pixel=32, seed=9, batch_size=1,
+                     mesh=mesh, checkpoint_path=ck, output="linear")
+    fresh = sc.render(samples_per_pixel=32, seed=9, batch_size=1,
+                      mesh=mesh, output="linear")
+    assert np.array_equal(full, fresh)
+    assert not np.array_equal(partial16, fresh)
+    # the mesh-shape tag: a single-chip render must NOT resume from the
+    # sharded accumulator (different per-device streams)
+    single = sc.render(samples_per_pixel=32, seed=9, batch_size=8,
+                       checkpoint_path=ck, output="linear")
+    single_fresh = sc.render(samples_per_pixel=32, seed=9, batch_size=8,
+                             output="linear")
+    assert np.array_equal(single, single_fresh)
+
+
+def test_sharded_adaptive_stopping():
+    """target_noise stops a sharded render early; spp is the budget cap."""
+    mesh = make_mesh(n_sample_shards=8, n_pixel_shards=1)
+    sc = diffuse_scene()
+    linear, stats = sc.render(samples_per_pixel=256, seed=0, batch_size=1,
+                              mesh=mesh, target_noise=0.15,
+                              noise_check_every=1, output="linear",
+                              return_stats=True)
+    assert stats["noise_q99"] <= 0.15
+    assert stats["samples"] < 256          # stopped before the budget
+    assert stats["samples"] % 8 == 0       # whole sharded chunks
+    assert np.isfinite(linear).all()
+
+
+def test_sharded_variance_and_clamp():
+    """with_variance and clamp work across the mesh and agree with the
+    single-chip path statistically."""
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    sc = diffuse_scene()
+    lin_m, var_m = sc.render(samples_per_pixel=32, seed=1, mesh=mesh,
+                             output="linear", with_variance=True)
+    lin_s, var_s = sc.render(samples_per_pixel=32, seed=1,
+                             output="linear", with_variance=True)
+    assert var_m.shape == var_s.shape == lin_m.shape
+    assert np.allclose(lin_m.mean(), lin_s.mean(), atol=0.02)
+    # same estimator -> same variance scale (different streams)
+    assert 0.5 < (var_m.mean() + 1e-8) / (var_s.mean() + 1e-8) < 2.0
+    # clamp caps every sample; a loose clamp is bit-identical to off
+    capped = sc.render(samples_per_pixel=8, seed=1, mesh=mesh,
+                       output="linear", clamp=0.25)
+    assert capped.max() <= 0.25 + 1e-6
+    loose = sc.render(samples_per_pixel=8, seed=1, mesh=mesh,
+                      output="linear", clamp=1e9)
+    base = sc.render(samples_per_pixel=8, seed=1, mesh=mesh,
+                     output="linear")
+    assert np.array_equal(loose, base)
+
+
+def test_sharded_aovs():
+    """render_aovs(mesh=...) produces the same planes as single-chip
+    (deterministic at the interior; obj_id exact)."""
+    mesh = make_mesh(n_sample_shards=4, n_pixel_shards=2)
+    sc = diffuse_scene()
+    a = sc.render_aovs(samples_per_pixel=4, mesh=mesh)
+    b = sc.render_aovs(samples_per_pixel=4)
+    assert set(a) == set(b)
+    assert a["obj_id"].shape == b["obj_id"].shape
+    # the plane fills the frame: coverage/albedo/depth deterministic
+    assert np.array_equal(a["obj_id"], b["obj_id"])
+    assert np.allclose(a["coverage"], b["coverage"])
+    assert np.allclose(a["albedo"], b["albedo"], atol=1e-5)
+    # depth averages over each path's own AA jitter stream: statistical
+    assert np.allclose(a["depth"], b["depth"], rtol=0.05)
+    # AO plane shards too
+    ao = sc.render_aovs(samples_per_pixel=2, ao_samples=2, mesh=mesh)["ao"]
+    assert ao.shape == a["coverage"].shape
+    assert (ao >= 0).all() and (ao <= 1 + 1e-6).all()
+
+
+def test_sharded_denoised():
+    mesh = make_mesh(n_sample_shards=8, n_pixel_shards=1)
+    sc = diffuse_scene()
+    img = sc.render_denoised(samples_per_pixel=8, mesh=mesh, output="linear")
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
