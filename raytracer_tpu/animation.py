@@ -50,7 +50,6 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
     pallas_mode = ("solid" if static.pallas_ok
                    else "record" if static.pallas_tex_ok else None)
     use_pallas = (pallas_mode is not None
-                  and settings.projection == "pinhole"
                   and jax.default_backend() in ("tpu", "axon"))
 
     def per_frame(key, data_nt, cam_vec, textures, strat):
@@ -64,19 +63,18 @@ def _build_frame_step(static, settings, mesh, width, height, spp):
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1,
                                       dtype=jnp.int32)
             seed_vec = jnp.stack([seed, strat[0], strat[1]])
-            kvec = cam_vec[:16]     # the kernels' pinhole camera packing
             if pallas_mode == "solid":
                 from .ops.pallas_trace import pallas_trace_chunk
                 L, _ = pallas_trace_chunk(
-                    seed_vec, data, kvec, static, width, height, spp,
+                    seed_vec, data, cam_vec, static, width, height, spp,
                     settings.max_bounces, False, settings.split_k,
-                    settings.sampler)
+                    settings.sampler, settings.projection)
             else:
                 from .ops.pallas_record import pallas_record_chunk
                 L, _ = pallas_record_chunk(
-                    seed_vec, data, kvec, static, width, height, spp,
+                    seed_vec, data, cam_vec, static, width, height, spp,
                     settings.max_bounces, False, settings.split_k,
-                    settings.sampler)
+                    settings.sampler, settings.projection)
         else:
             k_ray, k_trace = jax.random.split(key)
             O, D = generate_rays(k_ray, _cam_from_vec(cam_vec),

@@ -462,17 +462,14 @@ class SceneStatic:
     n_boxes: int
     n_tris: int
     n_objects: int
-    # discs / cylinders (beyond the reference); such scenes render on the
-    # jnp wavefront.  Object-id order: spheres, planes, boxes, discs,
-    # cylinders, triangles LAST (the triangle id space is virtual under
-    # MeshInstances and must stay at the end).
+    # discs / cylinders (beyond the reference).  Object-id order: spheres,
+    # planes, boxes, discs, cylinders, triangles LAST (the triangle id
+    # space is virtual under MeshInstances and must stay at the end).
     n_discs: int
     n_cylinders: int
     n_dir_lights: int
     n_point_lights: int
     n_is_targets: int
-    # spot-lit scenes render on the jnp wavefront (the kernels' glossy
-    # blocks handle directional/point lights only)
     n_spot_lights: int
     mat_types_present: Tuple[int, ...]
     diffuse_tex: Tuple[TexRef, ...]
@@ -514,6 +511,12 @@ class SceneStatic:
     # (0, 0) when off.  Such scenes render on the jnp wavefront (the Diffuse
     # mixture gains an env component, materials/shade.py shade_diffuse).
     env_is_shape: Tuple[int, int] = (0, 0)
+    # per-thin-film-slot cubic fit (np.polyfit order, highest power first)
+    # of the channel-mean film reflectance over cos_i at the material's mean
+    # thickness: the record kernel's F-proportional branch-selection
+    # probability (ops/pallas_record.py).  Any clipped q is unbiased — the
+    # replay weights by F/q — matching F just minimizes variance.
+    tf_selp: Tuple[Tuple[float, float, float, float], ...] = ()
 
 
 def _bvh_depth(left, right, count):
@@ -568,6 +571,17 @@ def derive_split_k(static: "SceneStatic", cap: int = 3) -> int:
     depths = [r.max_depth for r in static.obj_records
               if r.mat_type in (MAT_REFRACTIVE, MAT_THINFILM) and not r.mc]
     return min(max(depths or [0]), cap)
+
+
+def _tf_sel_poly(m):
+    """Branch-selection cubic for a thin-film material (see
+    SceneStatic.tf_selp): least-squares fit in cos_i of the channel-mean
+    Airy reflectance at the mean film thickness."""
+    from ..utils.thin_film import thin_film_reflectance
+
+    cos = np.linspace(1e-3, 1.0, 256)
+    F = thin_film_reflectance(cos, m.thickness, m.film_n).mean(axis=-1)
+    return tuple(float(c) for c in np.polyfit(cos, F, 3))
 
 
 def _custom_param_fp(m) -> str:
@@ -1450,14 +1464,16 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
         _row(list(np.asarray(basis).reshape(-1)) + list(np.asarray(lbl))
              + list(np.asarray(rtl)) + list(np.asarray(c)) + list(np.asarray(whl)))
-    for props in b.props["disc"]:
+    for (c, n, u, v, ro, ri), props in zip(b.discs, b.props["disc"]):
         obj_records.append(ObjRecord("disc", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
-        _row([0.0])   # id-alignment only; disc scenes never take a Pallas path
-    for props in b.props["cyl"]:
+        _row(list(np.asarray(c)) + list(np.asarray(n)) + list(np.asarray(u))
+             + list(np.asarray(v)) + [ro, ri])
+    for (c, a, u, v, r, hh, cp), props in zip(b.cyls, b.props["cyl"]):
         obj_records.append(ObjRecord("cyl", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
-        _row([0.0])
+        _row(list(np.asarray(c)) + list(np.asarray(a)) + list(np.asarray(u))
+             + list(np.asarray(v)) + [r, hh, float(cp)])
     for props in b.props["tri"]:
         obj_records.append(ObjRecord("tri", props["mat_type"], props["mat_slot"],
                                      min(props["max_depth"], 1023), props["mc"], props["shadow"]))
@@ -1515,8 +1531,6 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
                   and len(scene.importance_sampled_list) <= 8
                   and tri_bvh is None
                   and not has_dispersion
-                  and not slts   # spot lights shade on the jnp wavefront
-                  and not b.discs and not b.cyls  # jnp-wavefront-only types
                   and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
                                      # jnp wavefront (interp in attrs.py)
@@ -1567,6 +1581,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         has_dispersion=has_dispersion,
         tri_interp=CVN is not None,
         env_is_shape=env_is_shape,
+        tf_selp=tuple(_tf_sel_poly(m) for m in tfi),
     )
 
     data = SceneData(

@@ -107,10 +107,12 @@ def _render_chunk_pallas(key, data, cam, static, settings, width, height, spp,
                           jnp.asarray(sample0, jnp.int32)])
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
-        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
     L, rays = pallas_trace_chunk(seed_vec, data, cam_vec, static, width,
                                  height, spp, settings.max_bounces, interpret,
-                                 settings.split_k, settings.sampler)
+                                 settings.split_k, settings.sampler,
+                                 settings.projection)
     finite = jnp.isfinite(L)
     stats = {}
     if settings.collect_stats:
@@ -143,11 +145,12 @@ def _render_chunk_record(key, data, cam, static, settings, width, height, spp,
                           jnp.asarray(sample0, jnp.int32)])
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
-        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
     L, rays = pallas_record_chunk(seed_vec, data, cam_vec, static, width,
                                   height, spp, settings.max_bounces,
                                   interpret, settings.split_k,
-                                  settings.sampler)
+                                  settings.sampler, settings.projection)
     finite = jnp.isfinite(L)
     stats = {}
     if settings.collect_stats:
@@ -165,8 +168,6 @@ def _use_pallas(static, settings):
     """Returns (mode, interpret): mode in {None, 'solid', 'record'}."""
     if settings.use_pallas == "never":
         return None, False
-    if settings.projection != "pinhole":
-        return None, False      # in-kernel raygen is pinhole-only
     mode = ("solid" if static.pallas_ok
             else "record" if static.pallas_tex_ok else None)
     if mode is None:

@@ -19,8 +19,12 @@ scenes split into:
    with one cheap (N, 3) pass per bounce.
 
 Thin-film branch selection needs its LUT value *during* traversal; the
-recorder instead picks reflect/transmit with a fair coin and defers the F/T
-weight (unbiased, slightly higher variance; flagged in the group word).
+recorder instead picks reflect with probability q from a static per-slot
+cubic fit of the mean reflectance over cos_i (SceneStatic.tf_selp), records
+the 1/q | 1/(1-q) selection weight, and defers the exact F/T factor to the
+replay — unbiased for any q, with variance close to the wavefront's
+F-proportional chooser (a fair coin measured 6.5x worse on a stochastic
+thin-film scene; branch flagged in the group word).
 
 Record layout per bounce: int32 word `gid | (branch_flag << 16)` and 12
 floats `[u, v, cos_i, add_base(3), add_texcoef(3), beta_base(3)]`.
@@ -41,8 +45,9 @@ from ..materials.base import (MAT_DIFFUSE, MAT_EMISSIVE, MAT_ENV, MAT_GLOSSY,
 from ..utils.constants import MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM
 from ..core import lds
 from .pallas_trace import (FARAWAY, TILE_ROWS, _INV_2_24, _ISECT, _TileRng,
-                           _cabs2, _cdiv, _cmul, _csqrt, _normal_for,
-                           _normalize3, _orthobasis, _pad_rows)
+                           _asin, _atan2, _cabs2, _cdiv, _cmul, _csqrt,
+                           _cyl_local, _light_table, _normal_for,
+                           _normalize3, _orthobasis, _pad_rows, _raygen)
 
 
 def _shading_groups(static):
@@ -56,23 +61,6 @@ def _shading_groups(static):
             order.append(key)
         groups[key]["ids"].append(i)
     return groups, order
-
-
-def _atan2(y, x):
-    """Polynomial atan2 (~1e-5 rad) — Mosaic has no atan2/asin lowering."""
-    ax, ay = jnp.abs(x), jnp.abs(y)
-    a = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
-    s = a * a
-    r = a * (0.9998660 + s * (-0.3302995 + s * (0.1801410
-             + s * (-0.0851330 + s * 0.0208351))))
-    r = jnp.where(ay > ax, (math.pi / 2) - r, r)
-    r = jnp.where(x < 0, math.pi - r, r)
-    return jnp.where(y < 0, -r, r)
-
-
-def _asin(x):
-    x = jnp.clip(x, -1.0, 1.0)
-    return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
 
 
 def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
@@ -115,6 +103,25 @@ def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
             jnp.where(top, (pl_[2] * s + 1.0) / 2.0 + 2.0,
                       (pl_[1] * s + 1.0) / 2.0 + 1.0))
         return u / 4.0, v / 3.0
+    if rec.kind == "disc":
+        # planar uv over the bounding square (attrs.py disc_attrs twin)
+        cx, cy, cz = g[0], g[1], g[2]
+        r = g[12]
+        mx, my, mz = px - cx, py - cy, pz - cz
+        u = ((g[6] * mx + g[7] * my + g[8] * mz) / r + 1.0) / 2.0
+        v = ((g[9] * mx + g[10] * my + g[11] * mz) / r + 1.0) / 2.0
+        return u, v
+    if rec.kind == "cyl":
+        # side: (azimuth, height); caps: planar (attrs.py cylinder_attrs)
+        r, hh, cap_on = g[12], g[13], g[14] > 0.5
+        x, y, z = _cyl_local(g, px, py, pz)
+        rho = jnp.sqrt(jnp.maximum(x * x + z * z, 1e-20))
+        is_cap = cap_on & (jnp.abs(y) / hh >= rho / r)
+        u_side = (_atan2(z, x) + math.pi) / (2.0 * math.pi)
+        v_side = (y / hh + 1.0) / 2.0
+        u = jnp.where(is_cap, (x / r + 1.0) / 2.0, u_side)
+        v = jnp.where(is_cap, (z / r + 1.0) / 2.0, v_side)
+        return u, v
     # triangle: barycentric (the reference's get_uv is broken; attrs.py note)
     p1 = g[0:3]
     p2 = g[3:6]
@@ -131,8 +138,25 @@ def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
     return (d22 * dp1 - d12 * dp2) / det, (d11 * dp2 - d12 * dp1) / det
 
 
+def _tile_rows(max_bounces):
+    """Record-kernel tile rows under the 16M scoped-VMEM budget.
+
+    The per-program record block is max_bounces * 13 plane-tiles of
+    (rows, 128) f32/i32 plus ~30 kernel temporaries; 256 rows is
+    hardware-validated to 6 bounces, while 8 bounces measured 18.96M > 16M
+    (scoped-vmem OOM at compile).  Halve the tile instead of failing — the
+    tile-size knob measured performance-flat (scripts/probe_tile_rows.py:
+    64/128/256 rows within 2%)."""
+    if max_bounces <= 6:
+        return TILE_ROWS
+    if max_bounces <= 13:
+        return max(TILE_ROWS // 2, 8)
+    return max(TILE_ROWS // 4, 8)
+
+
 def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
-                        lam=WAVELENGTHS_NM, sampler="iid"):
+                        lam=WAVELENGTHS_NM, sampler="iid",
+                        projection="pinhole"):
     records = static.obj_records
     groups, order = _shading_groups(static)
     shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
@@ -140,25 +164,22 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
     image_slots |= {(MAT_GLOSSY, r.slot) for r in static.glossy_tex}
     image_slots |= {(MAT_EMISSIVE, r.slot) for r in static.emissive_tex}
 
+    tile_rows = _tile_rows(max_bounces)
+
     def kernel(seed_ref, cam_ref, geom_ref, dif_ref, glo_ref, refr_ref,
                emi_ref, light_ref, is_ref, const_ref, rec_g_ref, rec_f_ref,
                cnt_ref):
         pid = pl.program_id(0)
-        shape = (TILE_ROWS, 128)
+        shape = (tile_rows, 128)
         rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = (pid * TILE_ROWS + rows) * 128 + lanes
+        idx = (pid * tile_rows + rows) * 128 + lanes
         rng = _TileRng(idx, seed_ref[0])
         pix = jnp.remainder(idx, n_pix)
         py_i = pix // width
         px_i = pix - py_i * width
 
         cam = lambda j: cam_ref[0, j]
-        o0x, o0y, o0z = cam(0), cam(1), cam(2)
-        fwx, fwy, fwz = cam(3), cam(4), cam(5)
-        rix, riy, riz = cam(6), cam(7), cam(8)
-        upx, upy, upz = cam(9), cam(10), cam(11)
-        cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
 
         if sampler == "r2":
             # same R2 lattice as the jnp wavefront / trace kernel (lds.py)
@@ -172,19 +193,8 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
         else:
             u1, u2, u3, u4 = (rng.uniform() for _ in range(4))
             sb_mix = sb_phi = sb_r2 = None
-        x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
-        y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
-        r_d = jnp.sqrt(u3)
-        phi_d = u4 * (2.0 * math.pi)
-        rx = r_d * jnp.cos(phi_d) * lens_r
-        ry = r_d * jnp.sin(phi_d) * lens_r
-        ox = o0x + rix * rx + upx * ry
-        oy = o0y + riy * rx + upy * ry
-        oz = o0z + riz * rx + upz * ry
-        dx, dy, dz = _normalize3(
-            o0x + upx * (y * focal) + rix * (x * focal) + fwx * focal - ox,
-            o0y + upy * (y * focal) + riy * (x * focal) + fwy * focal - oy,
-            o0z + upz * (y * focal) + riz * (x * focal) + fwz * focal - oz)
+        ox, oy, oz, dx, dy, dz = _raygen(cam, px_i, py_i, width, height,
+                                         u1, u2, u3, u4, projection, shape)
 
         c = lambda j: const_ref[0, j]
         ambient = (c(0), c(1), c(2))
@@ -457,20 +467,30 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                     new_alive = new_alive | gc
 
                 elif mt == MAT_THINFILM:
-                    # branch selection; the F/T weight is ALWAYS deferred to
-                    # the LUT replay as 2F / 2T, which is simultaneously the
-                    # fair-coin importance weight and the deterministic
-                    # pattern-block weight — only the chooser differs
+                    # branch selection; the exact F/T factor is ALWAYS
+                    # deferred to the LUT replay (beta_tex = F or 1-F).
+                    # Stochastic lanes choose reflect with probability
+                    # q ~ F_mean(cos_i) — the static per-slot cubic fitted
+                    # at compile (SceneStatic.tf_selp) — and record weight
+                    # 1/q | 1/(1-q), so the total F/q | (1-F)/(1-q) is the
+                    # unbiased importance estimator with near the jnp
+                    # wavefront's variance (a fair coin measured 6.5x worse).
+                    # Deterministic pattern-block lanes keep weight 2.
                     cos_i = jnp.clip(-(dx * nx + dy * ny + dz * nz), 0.0, 1.0)
                     cont = depth < maxd
                     gc = g & cont
-                    take_refl = ru[0] < 0.5
+                    c3, c2, c1, c0 = static.tf_selp[slot]
+                    q = jnp.clip(((c3 * cos_i + c2) * cos_i + c1) * cos_i
+                                 + c0, 0.05, 0.95)
+                    take_refl = ru[0] < q
+                    w_sel = jnp.where(take_refl, 1.0 / q, 1.0 / (1.0 - q))
                     if split_k and not mc:
                         det = scnt < split_k
                         bit = jnp.bitwise_and(
                             jnp.right_shift(pattern, scnt), 1) == 1
                         # mask logic, not where() — see the refractive note
                         take_refl = (det & bit) | (~det & take_refl)
+                        w_sel = jnp.where(det, 2.0, w_sel)
                         scnt = scnt + (gc & det).astype(jnp.int32)
                     ddn = dx * nx + dy * ny + dz * nz
                     rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
@@ -479,7 +499,7 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                     for k in range(3):
                         # add = ambient * F (reflect side of the reference sum)
                         addt[k] = jnp.where(gc, ambient[k], addt[k])
-                        betab[k] = jnp.where(gc, 2.0, betab[k])
+                        betab[k] = jnp.where(gc, w_sel, betab[k])
                     cos_out = jnp.where(g, cos_i, cos_out)
                     gid_out = jnp.where(
                         g, gid | jnp.where(take_refl, 1 << 16, 0), gid_out)
@@ -504,11 +524,13 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                     nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
                     lam_acc = [ambient[k] * diff_c for k in range(3)]  # x tex
                     spec_acc = [zf, zf, zf]
-                    n_lights = static.n_dir_lights + static.n_point_lights
+                    n_lights = (static.n_dir_lights + static.n_point_lights
+                                + static.n_spot_lights)
                     for li in range(n_lights):
                         lx_, ly_, lz_ = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
                         lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
                         is_point = li >= static.n_dir_lights
+                        is_spot = li >= static.n_dir_lights + static.n_point_lights
                         if is_point:
                             wx, wy, wz = lx_ - px, ly_ - py, lz_ - pz
                             dist = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20))
@@ -520,9 +542,20 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                             dist = jnp.full(shape, SKYBOX_DISTANCE)
                         ndl = jnp.maximum(nx * lxn + ny * lyn + nz * lzn, 0.0)
                         if is_point:
-                            lv = [lr * ndl / (dist * dist) * 100.0,
-                                  lg * ndl / (dist * dist) * 100.0,
-                                  lb * ndl / (dist * dist) * 100.0]
+                            fall = ndl / (dist * dist) * 100.0
+                            if is_spot:
+                                # point falloff x smooth cone factor
+                                # (materials/shade.py spot-light twin)
+                                sdx, sdy, sdz = (light_ref[li, 6],
+                                                 light_ref[li, 7],
+                                                 light_ref[li, 8])
+                                ci, co = light_ref[li, 9], light_ref[li, 10]
+                                cos_t = -(lxn * sdx + lyn * sdy + lzn * sdz)
+                                tt = jnp.clip((cos_t - co)
+                                              / jnp.maximum(ci - co, 1e-6),
+                                              0.0, 1.0)
+                                fall = fall * (tt * tt * (3.0 - 2.0 * tt))
+                            lv = [lr * fall, lg * fall, lb * fall]
                         else:
                             lv = [lr * ndl, lg * ndl, lb * ndl]
                         occ = jnp.zeros(shape, bool)
@@ -784,12 +817,14 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
 
 
 def _record_call(seed, data, cam_vec, static, width, height, spp,
-                 max_bounces, interpret=False, split_k=0, sampler="iid"):
+                 max_bounces, interpret=False, split_k=0, sampler="iid",
+                 projection="pinhole"):
     """Run the Pallas record kernel; returns raw (rec_g, rec_f, cnt)."""
     n_pix = width * height
     n = spp * n_pix
     R = -(-n // 128)
-    G = -(-R // TILE_ROWS)
+    tile_rows = _tile_rows(max_bounces)
+    G = -(-R // tile_rows)
 
     mats = data.mats
     dif = jnp.concatenate([_pad_rows(mats.diffuse_color),
@@ -802,11 +837,7 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
     refr = jnp.concatenate([_pad_rows(mats.refr_n_re),
                             _pad_rows(mats.refr_n_im)], axis=1)
     emi = _pad_rows(mats.emissive_color)
-    nl = data.lights.dir_l.shape[0] + data.lights.point_pos.shape[0]
-    lights = (jnp.concatenate([
-        jnp.concatenate([data.lights.dir_l, data.lights.dir_color], axis=1),
-        jnp.concatenate([data.lights.point_pos, data.lights.point_color], axis=1),
-    ], axis=0) if nl else jnp.zeros((1, 6), jnp.float32))
+    lights = _light_table(data.lights)
     is_tab = (jnp.concatenate([data.is_center, data.is_radius[:, None]], axis=1)
               if data.is_center.shape[0] else jnp.zeros((1, 4), jnp.float32))
     consts = jnp.concatenate([data.ambient_color, data.scene_n_re,
@@ -814,7 +845,8 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
     kernel = _make_record_kernel(static, width, height, max_bounces, n_pix,
-                                 split_k, sampler=sampler)
+                                 split_k, sampler=sampler,
+                                 projection=projection)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -822,22 +854,22 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            rep(1, 16),
+            rep(1, 17),
             rep(*data.pallas_geom.shape),
             rep(*dif.shape), rep(*glo.shape), rep(*refr.shape), rep(*emi.shape),
             rep(*lights.shape), rep(*is_tab.shape), rep(1, 16),
         ],
         out_specs=[
-            pl.BlockSpec((max_bounces, TILE_ROWS, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((max_bounces, tile_rows, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_bounces, 12, TILE_ROWS, 128),
+            pl.BlockSpec((max_bounces, 12, tile_rows, 128),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((max_bounces, G * TILE_ROWS, 128), jnp.int32),
-            jax.ShapeDtypeStruct((max_bounces, 12, G * TILE_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((max_bounces, G * tile_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((max_bounces, 12, G * tile_rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
@@ -852,10 +884,11 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
 
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
-                                             "split_k", "sampler"))
+                                             "split_k", "sampler",
+                                             "projection"))
 def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
                         max_bounces, interpret=False, split_k=0,
-                        sampler="iid"):
+                        sampler="iid", projection="pinhole"):
     """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
@@ -867,7 +900,7 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
     n = spp * width * height
     rec_g, rec_f, cnt = _record_call(seed, data, cam_vec, static, width,
                                      height, spp, max_bounces, interpret,
-                                     split_k, sampler)
+                                     split_k, sampler, projection)
     rec_g = rec_g.reshape(max_bounces, -1)[:, :n]
     rec_f = rec_f.reshape(max_bounces, 12, -1)[:, :, :n]
     L = _replay(rec_g, rec_f, data, static, max_bounces, n)

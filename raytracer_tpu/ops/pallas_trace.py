@@ -103,6 +103,96 @@ def _cabs2(a):
     return a[0] * a[0] + a[1] * a[1]
 
 
+def _atan2(y, x):
+    """Polynomial atan2 (~1e-5 rad) — Mosaic has no atan2/asin lowering."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    a = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    s = a * a
+    r = a * (0.9998660 + s * (-0.3302995 + s * (0.1801410
+             + s * (-0.0851330 + s * 0.0208351))))
+    r = jnp.where(ay > ax, (math.pi / 2) - r, r)
+    r = jnp.where(x < 0, math.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _asin(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
+
+
+def _raygen(cam, px_i, py_i, width, height, u1, u2, u3, u4, projection,
+            shape):
+    """Per-lane camera ray generation, all projections (core/camera.py
+    generate_rays twin — same pixel/jitter conventions per projection, so
+    kernels and the jnp wavefront consume the identical sample set; the
+    angular projections use the polynomial atan2, directions agree to
+    ~1e-5 rad).  cam: j -> cam_ref[0, j] accessor over the 17-float packed
+    camera (origin, fwd, right, up, cam_w, cam_h, lens_r, focal, half_fov).
+    Returns (ox, oy, oz, dx, dy, dz) tile planes."""
+    o0x, o0y, o0z = cam(0), cam(1), cam(2)
+    fwx, fwy, fwz = cam(3), cam(4), cam(5)
+    rix, riy, riz = cam(6), cam(7), cam(8)
+    upx, upy, upz = cam(9), cam(10), cam(11)
+    cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
+    zf = jnp.zeros(shape, jnp.float32)
+
+    if projection in ("fisheye", "equirect"):
+        # angular projections: pixel index -> direction; thin lens no-op
+        half_fov = cam(16)
+        col = px_i.astype(jnp.float32)
+        grw = py_i.astype(jnp.float32)
+        if projection == "fisheye":
+            # circular equidistant (camera.py generate_rays fisheye branch)
+            m = float(min(width, height))
+            xn = (2.0 * (col + u1) - width) / m
+            yn = (height - 2.0 * (grw + u2)) / m
+            r = jnp.sqrt(xn * xn + yn * yn)
+            theta = r * half_fov
+            phi = _atan2(yn, xn)
+            sin_t = jnp.sin(theta)
+            cos_t = jnp.cos(theta)
+            cp, sp = jnp.cos(phi), jnp.sin(phi)
+            dx = cos_t * fwx + sin_t * cp * rix + sin_t * sp * upx
+            dy = cos_t * fwy + sin_t * cp * riy + sin_t * sp * upy
+            dz = cos_t * fwz + sin_t * cp * riz + sin_t * sp * upz
+        else:
+            # equirect 360x180: column -> azimuth around look_at's heading,
+            # row -> elevation; directions in WORLD axes
+            u_img = (col + u1) / width
+            el = math.pi * (0.5 - (grw + u2) / height)
+            phi0 = _atan2(fwz, fwx)
+            phi = phi0 + (2.0 * math.pi) * (u_img - 0.5)
+            rho = jnp.cos(el)
+            dx = rho * jnp.cos(phi)
+            dy = jnp.sin(el)
+            dz = rho * jnp.sin(phi)
+        return zf + o0x, zf + o0y, zf + o0z, dx, dy, dz
+
+    x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw \
+        + (u1 - 0.5) * (cw / width)
+    y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch \
+        + (u2 - 0.5) * (ch / height)
+    if projection == "orthographic":
+        # parallel rays along fwd over the pinhole's focal-plane footprint
+        ox = o0x + rix * (x * focal) + upx * (y * focal)
+        oy = o0y + riy * (x * focal) + upy * (y * focal)
+        oz = o0z + riz * (x * focal) + upz * (y * focal)
+        return ox, oy, oz, zf + fwx, zf + fwy, zf + fwz
+    # pinhole + thin lens
+    r_d = jnp.sqrt(u3)
+    phi_d = u4 * (2.0 * math.pi)
+    rx = r_d * jnp.cos(phi_d) * lens_r
+    ry = r_d * jnp.sin(phi_d) * lens_r
+    ox = o0x + rix * rx + upx * ry
+    oy = o0y + riy * rx + upy * ry
+    oz = o0z + riz * rx + upz * ry
+    tx = o0x + upx * (y * focal) + rix * (x * focal) + fwx * focal - ox
+    ty = o0y + upy * (y * focal) + riy * (x * focal) + fwy * focal - oy
+    tz = o0z + upz * (y * focal) + riz * (x * focal) + fwz * focal - oz
+    dx, dy, dz = _normalize3(tx, ty, tz)
+    return ox, oy, oz, dx, dy, dz
+
+
 def _orthobasis(nx, ny, nz):
     """(u, v) orthonormal to n — reference random.py:63-66 construction."""
     big = jnp.abs(nx) > 0.9
@@ -211,8 +301,88 @@ def _isect_tri(g, ox, oy, oz, dx, dy, dz):
     return t, orient
 
 
+def _isect_disc(g, ox, oy, oz, dx, dy, dz):
+    """Disc/annulus (geometry/intersect.py intersect_discs twin).
+    g: [center(3), normal(3), u_axis(3), v_axis(3), r_out, r_in]."""
+    cx, cy, cz = g[0], g[1], g[2]
+    nx, ny, nz = g[3], g[4], g[5]
+    r_out, r_in = g[12], g[13]
+    ndd = nx * dx + ny * dy + nz * dz
+    ndd = jnp.where(ndd == 0.0, ndd + 1e-4, ndd)
+    ndco = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
+    tt = ndco / ndd
+    mx, my, mz = ox + dx * tt - cx, oy + dy * tt - cy, oz + dz * tt - cz
+    rho2 = mx * mx + my * my + mz * mz
+    hit = ((rho2 <= r_out * r_out) & (rho2 >= r_in * r_in)
+           & (ndco * ndd > 0))
+    t = jnp.where(hit, jnp.abs(tt), FARAWAY)
+    orient = jnp.where(ndd < 0, 1.0, -1.0)
+    return t, orient
+
+
+def _cyl_local(g, px, py, pz):
+    """Hit point -> cylinder local coords (x radial-u, y axial, z radial-v)."""
+    cx, cy, cz = g[0], g[1], g[2]
+    mx, my, mz = px - cx, py - cy, pz - cz
+    x = g[6] * mx + g[7] * my + g[8] * mz
+    y = g[3] * mx + g[4] * my + g[5] * mz
+    z = g[9] * mx + g[10] * my + g[11] * mz
+    return x, y, z
+
+
+def _isect_cyl(g, ox, oy, oz, dx, dy, dz):
+    """Finite (optionally capped) cylinder (intersect_cylinders twin).
+    g: [center(3), axis(3), u_axis(3), v_axis(3), radius, half_h, capped]."""
+    r, hh, cap_on = g[12], g[13], g[14] > 0.5
+    lox, loy, loz = _cyl_local(g, ox, oy, oz)
+    ldx = g[6] * dx + g[7] * dy + g[8] * dz
+    ldy = g[3] * dx + g[4] * dy + g[5] * dz
+    ldz = g[9] * dx + g[10] * dy + g[11] * dz
+    r2 = r * r
+
+    a = ldx * ldx + ldz * ldz
+    a_s = jnp.maximum(a, 1e-12)
+    hb = lox * ldx + loz * ldz
+    c = lox * lox + loz * loz - r2
+    disc = hb * hb - a_s * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-hb - sq) / a_s
+    t1 = (-hb + sq) / a_s
+    side_ok = disc > 0
+
+    def side_valid(t):
+        y = loy + ldy * t
+        return side_ok & (t > 0) & (jnp.abs(y) <= hh)
+
+    ldy_s = jnp.where(jnp.abs(ldy) < 1e-12, 1e-12, ldy)
+
+    def cap_t(y_plane):
+        t = (y_plane - loy) / ldy_s
+        x = lox + ldx * t
+        z = loz + ldz * t
+        return t, cap_on & (t > 0) & (x * x + z * z <= r2)
+
+    t_top, v_top = cap_t(hh)
+    t_bot, v_bot = cap_t(-hh)
+
+    t = jnp.where(side_valid(t0), t0, FARAWAY)
+    t = jnp.minimum(t, jnp.where(side_valid(t1), t1, FARAWAY))
+    t = jnp.minimum(t, jnp.where(v_top, t_top, FARAWAY))
+    t = jnp.minimum(t, jnp.where(v_bot, t_bot, FARAWAY))
+
+    x = lox + ldx * t
+    y = loy + ldy * t
+    z = loz + ldz * t
+    rho_hat = jnp.sqrt(jnp.maximum((x * x + z * z) / r2, 0.0))
+    is_cap = cap_on & (jnp.abs(y) / hh >= rho_hat)
+    nd = jnp.where(is_cap, jnp.sign(y) * ldy, x * ldx + z * ldz)
+    orient = jnp.where(nd < 0, 1.0, -1.0)
+    return t, orient
+
+
 _ISECT = {"sphere": _isect_sphere, "plane": _isect_plane,
-          "box": _isect_box, "tri": _isect_tri}
+          "box": _isect_box, "tri": _isect_tri,
+          "disc": _isect_disc, "cyl": _isect_cyl}
 
 
 def _normal_for(rec, g, px, py, pz):
@@ -225,6 +395,21 @@ def _normal_for(rec, g, px, py, pz):
     if rec.kind == "tri":
         shp = px.shape
         return (jnp.full(shp, g[9]), jnp.full(shp, g[10]), jnp.full(shp, g[11]))
+    if rec.kind == "disc":
+        shp = px.shape
+        return (jnp.full(shp, g[3]), jnp.full(shp, g[4]), jnp.full(shp, g[5]))
+    if rec.kind == "cyl":
+        # side radial / cap axial, classified by the intersector's rule
+        # (geometry/attrs.py cylinder_attrs twin)
+        r, hh, cap_on = g[12], g[13], g[14] > 0.5
+        x, y, z = _cyl_local(g, px, py, pz)
+        rho = jnp.sqrt(jnp.maximum(x * x + z * z, 1e-20))
+        is_cap = cap_on & (jnp.abs(y) / hh >= rho / r)
+        sy = jnp.sign(y)
+        nx = jnp.where(is_cap, sy * g[3], (x * g[6] + z * g[9]) / rho)
+        ny = jnp.where(is_cap, sy * g[4], (x * g[7] + z * g[10]) / rho)
+        nz = jnp.where(is_cap, sy * g[5], (x * g[8] + z * g[11]) / rho)
+        return nx, ny, nz
     # box: max-|axis| face normal in the local frame (reference cuboid.py:142-151)
     b = g[:9]
     cx, cy, cz = g[15], g[16], g[17]
@@ -246,7 +431,7 @@ def _normal_for(rec, g, px, py, pz):
 
 
 def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
-                 lam=WAVELENGTHS_NM, sampler="iid"):
+                 lam=WAVELENGTHS_NM, sampler="iid", projection="pinhole"):
     records = static.obj_records
     # shading groups: objects sharing (material, depth-cap, mc) shade together
     groups = {}
@@ -269,11 +454,6 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
         px_i = pix - py_i * width
 
         cam = lambda j: cam_ref[0, j]
-        o0x, o0y, o0z = cam(0), cam(1), cam(2)
-        fwx, fwy, fwz = cam(3), cam(4), cam(5)
-        rix, riy, riz = cam(6), cam(7), cam(8)
-        upx, upy, upz = cam(9), cam(10), cam(11)
-        cw, ch, lens_r, focal = cam(12), cam(13), cam(14), cam(15)
 
         if sampler == "r2":
             # Cranley-Patterson-rotated R2 lattice (core/lds.py): the SAME
@@ -294,19 +474,8 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             u3 = rng.uniform()
             u4 = rng.uniform()
             sb_mix = sb_phi = sb_r2 = None
-        x = (px_i.astype(jnp.float32) / (width - 1) - 0.5) * cw + (u1 - 0.5) * (cw / width)
-        y = (0.5 - py_i.astype(jnp.float32) / (height - 1)) * ch + (u2 - 0.5) * (ch / height)
-        r_d = jnp.sqrt(u3)
-        phi_d = u4 * (2.0 * math.pi)
-        rx = r_d * jnp.cos(phi_d) * lens_r
-        ry = r_d * jnp.sin(phi_d) * lens_r
-        ox = o0x + rix * rx + upx * ry
-        oy = o0y + riy * rx + upy * ry
-        oz = o0z + riz * rx + upz * ry
-        tx = o0x + upx * (y * focal) + rix * (x * focal) + fwx * focal - ox
-        ty = o0y + upy * (y * focal) + riy * (x * focal) + fwy * focal - oy
-        tz = o0z + upz * (y * focal) + riz * (x * focal) + fwz * focal - oz
-        dx, dy, dz = _normalize3(tx, ty, tz)
+        ox, oy, oz, dx, dy, dz = _raygen(cam, px_i, py_i, width, height,
+                                         u1, u2, u3, u4, projection, shape)
 
         c = lambda j: const_ref[0, j]
         ambient = (c(0), c(1), c(2))
@@ -580,11 +749,13 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     vx, vy, vz = -dx, -dy, -dz
                     nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
                     acc = [ambient[k] * dc[k] for k in range(3)]
-                    n_lights = static.n_dir_lights + static.n_point_lights
+                    n_lights = (static.n_dir_lights + static.n_point_lights
+                                + static.n_spot_lights)
                     for li in range(n_lights):
                         lx_, ly_, lz_ = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
                         lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
                         is_point = li >= static.n_dir_lights
+                        is_spot = li >= static.n_dir_lights + static.n_point_lights
                         if is_point:
                             wx, wy, wz = lx_ - px, ly_ - py, lz_ - pz
                             dist = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20))
@@ -596,9 +767,20 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                             dist = jnp.full(shape, SKYBOX_DISTANCE)
                         ndl = jnp.maximum(nx * lxn + ny * lyn + nz * lzn, 0.0)
                         if is_point:
-                            lv = [lr * ndl / (dist * dist) * 100.0,
-                                  lg * ndl / (dist * dist) * 100.0,
-                                  lb * ndl / (dist * dist) * 100.0]
+                            fall = ndl / (dist * dist) * 100.0
+                            if is_spot:
+                                # point falloff x smooth cone factor
+                                # (materials/shade.py spot-light twin)
+                                sdx, sdy, sdz = (light_ref[li, 6],
+                                                 light_ref[li, 7],
+                                                 light_ref[li, 8])
+                                ci, co = light_ref[li, 9], light_ref[li, 10]
+                                cos_t = -(lxn * sdx + lyn * sdy + lzn * sdz)
+                                tt = jnp.clip((cos_t - co)
+                                              / jnp.maximum(ci - co, 1e-6),
+                                              0.0, 1.0)
+                                fall = fall * (tt * tt * (3.0 - 2.0 * tt))
+                            lv = [lr * fall, lg * fall, lb * fall]
                         else:
                             lv = [lr * ndl, lg * ndl, lb * ndl]
                         # shadow: any shadow-flagged object closer than the light
@@ -692,17 +874,39 @@ def _pad_rows(a, min_rows=1):
     return a
 
 
+def _light_table(lt):
+    """(L, 11) packed light rows for the kernels: [pos_or_dir(3), color(3),
+    spot_dir(3), cos_inner, cos_outer] — directional rows first, then point,
+    then spot (the kernels' unrolled loops classify by static light counts;
+    the trailing 5 floats are zero for dir/point rows)."""
+    nd = lt.dir_l.shape[0]
+    npt = lt.point_pos.shape[0]
+    ns = lt.spot_pos.shape[0]
+    if nd + npt + ns == 0:
+        return jnp.zeros((1, 11), jnp.float32)
+    z = lambda n: jnp.zeros((n, 5), jnp.float32)
+    return jnp.concatenate([
+        jnp.concatenate([lt.dir_l, lt.dir_color, z(nd)], axis=1),
+        jnp.concatenate([lt.point_pos, lt.point_color, z(npt)], axis=1),
+        jnp.concatenate([lt.spot_pos, lt.spot_color, lt.spot_dir,
+                         lt.spot_cos_in[:, None], lt.spot_cos_out[:, None]],
+                        axis=1),
+    ], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
-                                             "split_k", "sampler"))
+                                             "split_k", "sampler",
+                                             "projection"))
 def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                        max_bounces, interpret=False, split_k=0,
-                       sampler="iid"):
+                       sampler="iid", projection="pinhole"):
     """Trace one spp-chunk with the mega-kernel.
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
     index of the chunk's first sample] when sampler="r2" (core/lds.py);
-    cam_vec: (16,) f32.
+    cam_vec: (17,) f32 (see _raygen; trailing half_fov used by the angular
+    projections).
     split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
     spp must then be a multiple of 2^split_k.
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
@@ -723,13 +927,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
     refr = jnp.concatenate([_pad_rows(mats.refr_n_re),
                             _pad_rows(mats.refr_n_im)], axis=1)
     emi = _pad_rows(mats.emissive_color)
-    lights = jnp.concatenate([
-        jnp.concatenate([_pad_rows(data.lights.dir_l, 0),
-                         _pad_rows(data.lights.dir_color, 0)], axis=1),
-        jnp.concatenate([_pad_rows(data.lights.point_pos, 0),
-                         _pad_rows(data.lights.point_color, 0)], axis=1),
-    ], axis=0) if (data.lights.dir_l.shape[0] + data.lights.point_pos.shape[0]) \
-        else jnp.zeros((1, 6), jnp.float32)
+    lights = _light_table(data.lights)
     is_tab = (jnp.concatenate([data.is_center, data.is_radius[:, None]], axis=1)
               if data.is_center.shape[0] else jnp.zeros((1, 4), jnp.float32))
     consts = jnp.concatenate([data.ambient_color, data.scene_n_re,
@@ -737,7 +935,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
     kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
-                          split_k, sampler=sampler)
+                          split_k, sampler=sampler, projection=projection)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -745,7 +943,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # seed (3,)
-            rep(1, 16),                                      # cam
+            rep(1, 17),                                      # cam
             rep(*data.pallas_geom.shape),                    # geom
             rep(*dif.shape), rep(*glo.shape), rep(*refr.shape), rep(*emi.shape),
             rep(*lights.shape), rep(*is_tab.shape), rep(1, 16),

@@ -74,7 +74,6 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
     # fused Pallas mega-kernel; pixel-sharded or non-qualifying scenes (and
     # the CPU dry run) use the jnp wavefront.
     use_pallas = (static.pallas_ok and n_pixel == 1 and not force_jnp
-                  and settings.projection == "pinhole"
                   and jax.default_backend() in ("tpu", "axon"))
 
     def per_device(key, data, cam):
@@ -95,11 +94,13 @@ def build_sharded_render(static, settings: RenderSettings, mesh,
             seed_vec = jnp.stack([seed, strat_seed, sample0])
             cam_vec = jnp.concatenate([
                 cam.origin, cam.fwd, cam.right, cam.up,
-                jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+                jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                           cam.half_fov])])
             L, _ = pallas_trace_chunk(seed_vec, data, cam_vec, static, width,
                                       height, spp_per_device,
                                       settings.max_bounces, False,
-                                      settings.split_k, settings.sampler)
+                                      settings.split_k, settings.sampler,
+                                      settings.projection)
         else:
             k_ray, k_trace = jax.random.split(k)
             O, D = generate_rays(k_ray, cam, width, height, spp_per_device,

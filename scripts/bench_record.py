@@ -40,7 +40,8 @@ def main(spp=32):
     cam = sc.camera.params()
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
-        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
     seed = jnp.asarray(7, jnp.int32)
 
     def timed(name, fn, *args):

@@ -37,7 +37,8 @@ def main(spp=128):
     cam = sc.camera.params()
     cam_vec = jnp.concatenate([
         cam.origin, cam.fwd, cam.right, cam.up,
-        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal])])
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
     seed = jnp.asarray(3, jnp.int32)
     n = spp * W * H
     print(f"Cornell {W}x{H} spp={spp} max_bounces={max_b} rays/chunk={n}",

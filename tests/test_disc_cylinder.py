@@ -179,7 +179,8 @@ def test_render_shadows_and_routing():
                     height=0.6))
     static, _ = compile_scene(sc)
     assert static.n_cylinders == 1
-    assert not static.pallas_ok and not static.pallas_tex_ok
+    # round 3: disc/cylinder intersectors live in the kernels too
+    assert static.pallas_ok or static.pallas_tex_ok
     # shade two floor points directly: one whose path to the (+x, up)
     # light crosses the cylinder (shadowed), one clear of it (lit); both
     # probe rays drop vertically well outside the cylinder's footprint
