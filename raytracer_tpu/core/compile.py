@@ -576,11 +576,14 @@ def derive_split_k(static: "SceneStatic", cap: int = 3) -> int:
 def _tf_sel_poly(m):
     """Branch-selection cubic for a thin-film material (see
     SceneStatic.tf_selp): least-squares fit in cos_i of the channel-mean
-    Airy reflectance at the mean film thickness."""
-    from ..utils.thin_film import thin_film_reflectance
-
+    reflectance of the material's OWN LUT (reference PNG, analytic table or
+    user array alike) at the mean film thickness."""
+    lut = np.asarray(m.lut, np.float64)
+    H, W = lut.shape[:2]
     cos = np.linspace(1e-3, 1.0, 256)
-    F = thin_film_reflectance(cos, m.thickness, m.film_n).mean(axis=-1)
+    rows = np.clip((cos * H).astype(int), 0, H - 1)
+    col = int(np.clip(m.thickness, 0, W - 1))
+    F = lut[rows, col, :3].mean(axis=-1)
     return tuple(float(c) for c in np.polyfit(cos, F, 3))
 
 

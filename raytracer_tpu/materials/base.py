@@ -182,10 +182,32 @@ class ThinFilmInterference(Material):
         if lut is not None:
             self.lut = np.asarray(lut, dtype=np.float32)
         else:
-            from ..utils.thin_film import thin_film_lut
-            self.lut = thin_film_lut(film_n)
+            # prefer the reference's shipped LUT when the asset root has it
+            # (thin_film_interference.py:17-19 — raw PNG values /256, NOT
+            # linearized) so film colors match the reference's renders
+            # bit-close; the analytic Airy table is the no-asset fallback.
+            try:
+                from PIL import Image
+
+                from ..utils.image_io import resolve_asset
+                p = resolve_asset(f"thin_film_interference_n={film_n:g}.png",
+                                  subdir_hint="textures")
+                self.lut = (np.asarray(Image.open(p), dtype=np.float32)
+                            / 256.0)[..., :3]
+            except FileNotFoundError:
+                from ..utils.thin_film import thin_film_lut
+                self.lut = thin_film_lut(film_n)
         if noise_texture is not None:
             self.noise_texture = np.asarray(noise_texture, dtype=np.float32)
         else:
-            from ..utils.thin_film import default_noise_texture
-            self.noise_texture = default_noise_texture()
+            # prefer the reference's shipped jitter asset when the asset
+            # root provides it (thin_film_interference.py:20-22 reads
+            # sightpy/textures/noise.png channel 0) so thickness patterns
+            # match the reference's renders; procedural fallback otherwise
+            try:
+                from ..utils.image_io import load_image
+                self.noise_texture = np.ascontiguousarray(
+                    load_image("noise.png", subdir_hint="textures")[..., 0])
+            except FileNotFoundError:
+                from ..utils.thin_film import default_noise_texture
+                self.noise_texture = default_noise_texture()
