@@ -441,6 +441,12 @@ class EnvSlot:
     kind: str                    # 'box' | 'sphere'
     tex: int                     # texture index (blurred variant if blur != 0)
     lightmap: Optional[int]      # texture index or None
+    # display + light_intensity * lightmap, prebaked on the display grid:
+    # the record replay fetches THIS for secondary rays so the whole replay
+    # is one gather round (ops/pallas_record.py).  Baking folds the traced
+    # light_intensity into texture content — retuning it re-uploads the
+    # table (content fingerprint) but never recompiles.
+    combined: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -477,6 +483,9 @@ class SceneStatic:
     emissive_tex: Tuple[TexRef, ...]
     thinfilm_lut: Tuple[TexRef, ...]     # per thin-film slot: LUT texture
     thinfilm_noise: Tuple[TexRef, ...]   # per thin-film slot: noise texture
+    # composed reflectance tables (see _tf_composed; repeat = LUT rows);
+    # slots past TF_COMP_LIMIT are absent and replay via two rounds
+    thinfilm_comp: Tuple[TexRef, ...]
     env_slots: Tuple[EnvSlot, ...]
     normal_maps: Tuple[NormalMapRef, ...]
     has_shadow_objects: bool
@@ -571,6 +580,72 @@ def derive_split_k(static: "SceneStatic", cap: int = 3) -> int:
     depths = [r.max_depth for r in static.obj_records
               if r.mat_type in (MAT_REFRACTIVE, MAT_THINFILM) and not r.mc]
     return min(max(depths or [0]), cap)
+
+
+# largest composed thin-film table (texels): LUT rows x noise texels.
+# MEASURED (scripts/probe_gather.py + /tmp/ab_comp interleaved A/B on the
+# example4 chunk, TPU v5e 2026-08-19): gathers cost ~13 ns/row on tables
+# up to ~8M rows but ~18 ns/row past ~32M, so composing the reference's
+# 400x300x300 = 36M-texel table LOSES to the two dependent small-table
+# rounds (0.201 s vs 0.149 s per 960k-ray chunk).  Compose only when the
+# table stays small — noiseless films (LUT column slice) and small custom
+# tables — where one small-table sweep strictly beats two.
+TF_COMP_LIMIT = 2_000_000
+
+
+def _tf_composed(mat):
+    """Composed thin-film reflectance table C, or None when too large.
+
+    C[(row * nH + rn) * nW + cn] = lut[row, col(noise[rn, cn])] with
+    col(v) = clip(int(thickness + noise_factor * (v - 0.5)), 0, LW-1) —
+    EXACTLY the chained noise->LUT fetch both execution paths perform
+    (materials/shade.py shade_thinfilm rows/cols), precomposed so the
+    record replay resolves a thin-film hit with ONE gather instead of two
+    dependent rounds (ops/pallas_record.py).  Cached on the material: the
+    table is large (LUT rows x noise texels) and per-compile rebuilds
+    would dominate compile_scene.
+    """
+    lut = np.asarray(mat.lut, np.float32)
+    LH, LW = lut.shape[:2]
+    key = (id(mat.lut), id(mat.noise_texture), float(mat.thickness),
+           float(mat.noise_factor))
+    cached = getattr(mat, "_tf_comp_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    if mat.noise_factor == 0.0:
+        col = int(np.clip(float(mat.thickness), 0, LW - 1))
+        comp = np.ascontiguousarray(lut[:, col:col + 1, :3])   # (LH, 1, 3)
+    else:
+        noise = np.asarray(mat.noise_texture, np.float32)
+        nH, nW = noise.shape[:2]
+        if LH * nH * nW > TF_COMP_LIMIT:
+            mat._tf_comp_cache = (key, None)
+            return None
+        th = mat.thickness + mat.noise_factor * (noise - 0.5)
+        col = np.clip(th.astype(np.int32), 0, LW - 1)           # (nH, nW)
+        comp = lut[:, col, :3].reshape(LH * nH, nW, 3)
+    mat._tf_comp_cache = (key, comp)
+    return comp
+
+
+def _env_combined(mat, display):
+    """display + light_intensity * lightmap, on the display grid (see
+    EnvSlot.combined).  Nearest-resampled when the lightmap grid differs;
+    identical to the separate fetches when the grids match (the SkyBox
+    blur pipeline always produces matching grids)."""
+    key = (id(display), id(mat.lightmap), float(mat.light_intensity))
+    cached = getattr(mat, "_env_comb_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    disp = np.asarray(display, np.float32)[..., :3]
+    lm = np.asarray(mat.lightmap, np.float32)[..., :3]
+    if lm.shape[:2] != disp.shape[:2]:
+        ys = np.arange(disp.shape[0]) * lm.shape[0] // disp.shape[0]
+        xs = np.arange(disp.shape[1]) * lm.shape[1] // disp.shape[1]
+        lm = lm[ys][:, xs]
+    out = (disp + np.float32(mat.light_intensity) * lm).astype(np.float32)
+    mat._env_comb_cache = (key, out)
+    return out
 
 
 def _tf_sel_poly(m):
@@ -782,6 +857,7 @@ class _Builder:
         self.emissive_tex = []
         self.thinfilm_lut = []
         self.thinfilm_noise = []
+        self.thinfilm_comp = []
         self.env_slots = []
         self.normal_maps = []      # (type_key, local_id, tex, repeat, kind)
 
@@ -820,12 +896,23 @@ class _Builder:
         elif t == MAT_THINFILM:
             self.thinfilm_lut.append(TexRef(slot, self.add_texture(mat.lut), 1.0))
             self.thinfilm_noise.append(TexRef(slot, self.add_texture(mat.noise_texture), 1.0))
+            comp = _tf_composed(mat)
+            if comp is not None:
+                # repeat carries the LUT row count so the replay can split
+                # the composed index (see ops/pallas_record.py)
+                self.thinfilm_comp.append(
+                    TexRef(slot, self.add_texture(comp), float(comp.shape[0]
+                           // (1 if mat.noise_factor == 0.0
+                               else mat.noise_texture.shape[0]))))
         elif t == MAT_ENV:
             tex = mat.blur_texture if mat.blur_texture is not None else mat.texture
             lm = self.add_texture(mat.lightmap) if mat.lightmap is not None else None
+            cm = (self.add_texture(_env_combined(mat, tex))
+                  if mat.lightmap is not None else None)
             self.has_hdr_env |= bool(getattr(mat, "is_hdr", False))
             # kind is patched by the caller (depends on the carrier geometry)
-            self.env_slots.append(EnvSlot(slot, "box", self.add_texture(tex), lm))
+            self.env_slots.append(EnvSlot(slot, "box", self.add_texture(tex),
+                                          lm, cm))
         return (t, slot)
 
     # -- primitives --------------------------------------------------------
@@ -1568,6 +1655,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         emissive_tex=tuple(b.emissive_tex),
         thinfilm_lut=tuple(b.thinfilm_lut),
         thinfilm_noise=tuple(b.thinfilm_noise),
+        thinfilm_comp=tuple(b.thinfilm_comp),
         env_slots=tuple(b.env_slots),
         normal_maps=nmaps,
         tex_shapes=tex_shapes,

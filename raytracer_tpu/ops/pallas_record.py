@@ -643,13 +643,14 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
 def _replay(rec_g, rec_f, data, static, max_bounces, n):
     """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3).
 
-    The whole replay performs exactly TWO gathers over the (B*N) record set,
-    both from the 10-10-10-bit packed texture atlas (core/compile.py):
-
-      round 1  wrap-around uv fetch (env cubemap / image textures /
-               thin-film noise)
-      round 2  dependent fetch (env lightmap at the same uv; thin-film LUT
-               at (cos_theta, noise-jittered thickness))
+    The whole replay performs ONE gather over the (B*N) record set from the
+    10-10-10-bit packed texture atlas (core/compile.py): wrap-around uv
+    fetches (env cubemap / image textures), the prebaked
+    display+intensity*lightmap table for secondary env rays
+    (EnvSlot.combined) and the composed (cos row, noise texel) thin-film
+    reflectance tables (_tf_composed) — every former round-2 dependency is
+    precomposed into table content.  A second dependent round survives only
+    for thin-film slots past TF_COMP_LIMIT.
 
     Measured on TPU v5e, XLA's gather costs ~13 ns/element regardless of
     dtype — fetching per texture AND per channel (the previous layout) made
@@ -666,6 +667,7 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     env_by_slot = {e.slot: e for e in static.env_slots}
     tf_lut = {r.slot: r for r in static.thinfilm_lut}
     tf_noise = {r.slot: r for r in static.thinfilm_noise}
+    tf_comp = {r.slot: r for r in static.thinfilm_comp}
 
     B = max_bounces
     M = B * n
@@ -697,6 +699,8 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             self.grep = f0
             self.scale = f0
             self.used = False       # python-static: did any group set()?
+            self.direct = i0        # texture-local index override
+            self.dmask = None       # where the override applies
 
         def set(self, m, tex_id, repeat=1.0):
             self.used = True
@@ -708,10 +712,23 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             self.grep = jnp.where(m, Hh * repeat, self.grep)
             self.scale = jnp.where(m, data.tex_scale[tex_id], self.scale)
 
+        def set_direct(self, m, tex_id, local_idx):
+            """Fetch texture-local element `local_idx` instead of the uv
+            wrap — the composed thin-film tables index by
+            (cos row, noise texel), not by uv alone."""
+            self.used = True
+            self.off = jnp.where(m, static.tex_offsets[tex_id], self.off)
+            self.scale = jnp.where(m, data.tex_scale[tex_id], self.scale)
+            self.direct = jnp.where(m, local_idx, self.direct)
+            self.dmask = m if self.dmask is None else (self.dmask | m)
+
         def uv_index(self):
             iu = jnp.remainder((u_ * self.frep).astype(jnp.int32), self.W)
             iv = jnp.remainder((v_ * self.grep).astype(jnp.int32), self.H)
-            return jnp.remainder(-iv, self.H) * self.W + iu + self.off
+            idx = jnp.remainder(-iv, self.H) * self.W + iu
+            if self.dmask is not None:
+                idx = jnp.where(self.dmask, self.direct, idx)
+            return idx + self.off
 
         def decode(self, w):
             s = self.scale * (1.0 / 1023.0)
@@ -722,15 +739,35 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     r1, r2 = Round(), Round()
     lut_rows = i0          # thin-film LUT row (cos_theta axis), round 2
     lut_mode = jnp.zeros((M,), bool)
+    sec = bounce_ix > 0    # secondary rays (env lightmaps apply here only)
     for key in order:
         mt, slot, _maxd, _mc = key
         m = gid == groups[key]["gid"]
         if mt == MAT_ENV:
             env = env_by_slot[slot]
-            r1.set(m, env.tex)
-            if env.lightmap is not None:
-                r2.set(m, env.lightmap)
+            if env.combined is not None:
+                # one round: display for camera rays, the prebaked
+                # display + intensity*lightmap table for secondary rays
+                r1.set(m & ~sec, env.tex)
+                r1.set(m & sec, env.combined)
+            else:
+                r1.set(m, env.tex)
+        elif mt == MAT_THINFILM and slot in tf_comp:
+            # one round: composed (cos row, noise texel) reflectance table
+            # (core/compile.py _tf_composed; TexRef.repeat = LUT rows).
+            # Same noise-uv wrap as the two-round path, same row/col
+            # quantization as shade_thinfilm — values are bit-identical.
+            comp = tf_comp[slot]
+            LH = int(comp.repeat)
+            cH, cW = static.tex_shapes[comp.tex]
+            nH, nW = cH // LH, cW
+            iu = jnp.remainder((u_ * (nW * 0.5)).astype(jnp.int32), nW)
+            iv = jnp.remainder((v_ * (nH * 0.5)).astype(jnp.int32), nH)
+            rn = jnp.remainder(-iv, nH)
+            row = jnp.clip((cos_i * LH).astype(jnp.int32), 0, LH - 1)
+            r1.set_direct(m, comp.tex, (row * nH + rn) * nW + iu)
         elif mt == MAT_THINFILM:
+            # fallback past TF_COMP_LIMIT: dependent two-round fetch
             r1.set(m, tf_noise[slot].tex, 0.5)
             r2.set(m, tf_lut[slot].tex)
             Hh = static.tex_shapes[tf_lut[slot].tex][0]
@@ -781,18 +818,19 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
         m = gid == groups[key]["gid"]
         if mt == MAT_ENV:
             e = rgb1
-            if env_by_slot[slot].lightmap is not None:
+            if (env_by_slot[slot].lightmap is not None
+                    and env_by_slot[slot].combined is None):
                 li = data.mats.env_light_intensity[slot]
-                sec = bounce_ix > 0
                 e = [rgb1[c] + jnp.where(sec, li * rgb2[c], 0.0)
                      for c in range(3)]
             tex = [jnp.where(m, e[c], tex[c]) for c in range(3)]
         elif mt == MAT_THINFILM:
             refl = flag == 1
+            F = rgb1 if slot in tf_comp else rgb2
             for c in range(3):
-                tex[c] = jnp.where(m, rgb2[c], tex[c])   # add = ambient * F
+                tex[c] = jnp.where(m, F[c], tex[c])      # add = ambient * F
                 beta_tex[c] = jnp.where(
-                    m, jnp.where(refl, rgb2[c], 1.0 - rgb2[c]), beta_tex[c])
+                    m, jnp.where(refl, F[c], 1.0 - F[c]), beta_tex[c])
         elif mt == MAT_DIFFUSE and slot in dif_tex:
             beta_tex = [jnp.where(m, rgb1[c], beta_tex[c]) for c in range(3)]
         elif mt == MAT_GLOSSY and slot in glo_tex:

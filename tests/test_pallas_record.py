@@ -64,6 +64,44 @@ def test_thinfilm_ibl_statistical_match():
                        atol=0.03)
 
 
+def test_thinfilm_composed_table_matches_jnp():
+    """Small custom LUT + noise compose under TF_COMP_LIMIT, so the replay
+    resolves thin-film hits with its single-round composed table
+    (core/compile.py _tf_composed) — estimator must match the wavefront's
+    chained noise->LUT fetch (same quantization by construction)."""
+    from raytracer_tpu.core.compile import compile_scene
+
+    rng = np.random.default_rng(11)
+    lut = rng.random((64, 128, 3)).astype(np.float32) * 0.9
+    noise = rng.random((32, 32)).astype(np.float32)
+
+    def build():
+        sc = Scene(ambient_color=rgb(0.02, 0.02, 0.02))
+        sc.add_Camera(screen_height=16, screen_width=20,
+                      look_from=vec3(-4, 0, 0), look_at=vec3(0, 0.05, 0))
+        sc.add(Sphere(material=ThinFilmInterference(
+                          thickness=60, noise=40.0, lut=lut,
+                          noise_texture=noise),
+                      center=vec3(1.0, 0.0, 1.5), radius=1.7, shadow=False,
+                      max_ray_depth=4))
+        sc.add_Background(procedural_sky(128, 96), light_intensity=2.0,
+                          blur=4.0)
+        return sc
+
+    static, _ = compile_scene(build())
+    assert static.pallas_tex_ok
+    assert len(static.thinfilm_comp) == 1    # composed, not fallback
+
+    sc = build()
+    a = np.asarray(sc.render(samples_per_pixel=32, seed=4), np.float32) / 255
+    sc = build()
+    sc.settings = RenderSettings(use_pallas="always")
+    b = np.asarray(sc.render(samples_per_pixel=32, seed=4), np.float32) / 255
+    assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
+                       atol=0.03)
+    assert np.abs(a - b).mean() < 0.03
+
+
 def test_thinfilm_variance_matches_jnp():
     """Variance-matched cross-path CI (round-3 VERDICT item 8): the record
     kernel's thin-film branch chooser is q-proportional (SceneStatic.tf_selp
