@@ -132,8 +132,7 @@ def _ao_chunk(key, data, cam, static, width, height, spp, ao_samples,
     occ_sum = jnp.zeros((O.shape[0],), jnp.float32)
     for s in range(ao_samples):     # python-static: ao_samples sweeps
         d_s = rng_mod.cosine_sample(jax.random.fold_in(k_ao, s), N)
-        occ = occluded(nudged, d_s, data.geom, data.obj.shadow, md,
-                       static.use_tri_bvh)
+        occ = occluded(nudged, d_s, data.geom, data.obj.shadow, md)
         occ_sum = occ_sum + occ.astype(jnp.float32)
     ao = jnp.where(hit, 1.0 - occ_sum / ao_samples, 1.0)
     return ao.reshape(spp, rows * width).sum(axis=0)

@@ -275,14 +275,6 @@ class GeometryTables:
     tri_n31: Any
     tri_n12: Any
     tri_n23: Any
-    # BVH over the triangle tables (empty when n_tris < BVH_THRESHOLD);
-    # triangle tables are permuted into leaf order at compile time
-    bvh_lo: Any = None
-    bvh_hi: Any = None
-    bvh_left: Any = None
-    bvh_right: Any = None
-    bvh_first: Any = None
-    bvh_count: Any = None
     # per-cluster AABBs + start rows for the two-level clustered sweep
     # (empty when n_tris < TRI_CLUSTER_THRESHOLD); triangles are permuted
     # into SAH-BVH leaf order and clustered as fixed TRI_CLUSTER_SIZE runs
@@ -491,9 +483,6 @@ class SceneStatic:
     has_shadow_objects: bool
     max_object_depth: int
     needs_uv: bool = True
-    # 0 = flat triangle sweep; > 0 = traverse the BVH with this per-ray stack
-    # size (measured tree depth + 2, so DFS can never overflow the stack)
-    use_tri_bvh: int = 0
     obj_records: Tuple[ObjRecord, ...] = ()
     # texture-atlas geometry for the replay's single-gather fetch
     tex_shapes: Tuple[Tuple[int, int], ...] = ()
@@ -526,19 +515,6 @@ class SceneStatic:
     # probability (ops/pallas_record.py).  Any clipped q is unbiased — the
     # replay weights by F/q — matching F just minimizes variance.
     tf_selp: Tuple[Tuple[float, float, float, float], ...] = ()
-
-
-def _bvh_depth(left, right, count):
-    """Depth of a flat-array BVH (iterative DFS, host-side)."""
-    depth = 0
-    stack = [(0, 1)]
-    while stack:
-        node, d = stack.pop()
-        depth = max(depth, d)
-        if count[node] == 0:
-            stack.append((int(left[node]), d + 1))
-            stack.append((int(right[node]), d + 1))
-    return depth
 
 
 def derive_max_bounces(static: "SceneStatic", cap: int = 12) -> int:
@@ -1060,21 +1036,26 @@ class _Builder:
 PALLAS_MAX_OBJECTS = 48
 PALLAS_MAX_GROUPS = 36
 
-# Triangle count at which the scene compiler builds a BVH (the reference has
-# none at all; its mesh header begs for one, triangle_mesh.py:7-9).
-# Measured on TPU v5e: the data-parallel flat intersection sweep beats the
-# divergent per-ray stack traversal by >10x at 5k triangles (the while-loop
-# serializes all rays to the worst traversal depth and scatters stack
-# entries).  The BVH is now OPT-IN only: bisection on hardware (2026-08-18,
-# scripts/repro_200k_crash.py) isolated the >=200k-triangle TPU-worker
-# crashes to the BVH traversal — bvh nearest at 327k tris x 480k rays
-# reliably kills the worker ("kernel fault"), while the clustered sweep at
-# the SAME scale passes nearest AND occlusion and was validated to 1.31M
-# triangles (sublinear: 2.9 s @ 327k, 3.6 s @ 655k, 3.9 s @ 1.31M per
-# 480k-ray nearest sweep).  Lower this (e.g. monkeypatch in tests) to force
-# the BVH path; do not re-enable it as a default without re-running the
-# repro matrix on hardware.
-BVH_THRESHOLD = 10 ** 9
+# The per-ray-stack BVH traversal is RETIRED (round 3).  The reference has
+# no acceleration structure at all (its mesh header begs for one,
+# triangle_mesh.py:7-9); here the binned-SAH build survives only as the
+# compile-time leaf ORDER feeding the clustered sweep.  Two independent
+# reasons the on-device traversal is gone:
+#   1. Measured on TPU v5e: the data-parallel sweeps beat the divergent
+#      per-ray stack traversal by >10x at 5k triangles (the while-loop
+#      serializes all rays to the worst traversal depth and scatters
+#      stack entries).
+#   2. It reliably CRASHED the TPU worker ("kernel fault") at >=327k tris
+#      x 480k rays (bisection 2026-08-18, scripts/repro_200k_crash.py).
+#      Root-caused 2026-08-19: the crash reproduces with NO raytracer code
+#      — a jnp-only lax.while_loop carrying a (480k, 64) int32 per-ray
+#      stack mutated by data-dependent .at[rows, sp].set scatters over a
+#      163k-node synthetic tree kills the worker on rep 0
+#      (scripts/repro_bvh_minimal.py) — an XLA:TPU / tpu-runtime fault in
+#      the compiled while_loop+scatter pattern at scale, not a geometry
+#      bug.  The clustered sweep at the SAME scale passes nearest AND
+#      occlusion and is hardware-validated to 1.31M triangles (sublinear:
+#      2.9 s @ 327k, 3.6 s @ 655k, 3.9 s @ 1.31M per 480k-ray sweep).
 
 # Triangle count at which the compiler switches the jnp sweep to the
 # two-level clustered form (geometry/intersect.py): triangles permuted into
@@ -1082,7 +1063,7 @@ BVH_THRESHOLD = 10 ** 9
 # cluster scan with lax.cond skipping pairs whose tile misses the AABB.
 # Below this the flat blocked sweep wins (a single cluster can't skip).
 # The clustered sweep is the production path for ALL large meshes
-# (hardware-validated to 1.31M triangles; see BVH_THRESHOLD note).
+# (hardware-validated to 1.31M triangles; see the retirement note above).
 TRI_CLUSTER_THRESHOLD = 1024
 
 
@@ -1284,10 +1265,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         for a_start, a_count, a_ref in b.tri_nm_blocks:
             TNM[a_start:a_start + a_count] = a_ref
 
-    # ---- triangle BVH (built natively; tables permuted to leaf order) -----
+    # ---- triangle leaf order (native binned-SAH build) + cluster AABBs ----
     perm = None
-    tri_bvh = None
-    tri_bvh_stack = 0
     tri_cl_lo = np.zeros((0, 3), F32)
     tri_cl_hi = np.zeros((0, 3), F32)
     tri_cl_start = np.zeros((0,), I32)
@@ -1302,16 +1281,6 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         TV, CVN, CUV, TNM = lay["TV"], lay["CVN"], lay["CUV"], lay["TNM"]
         tri_cl_lo, tri_cl_hi = lay["cl_lo"], lay["cl_hi"]
         tri_cl_start = lay["cl_start"]
-    elif len(b.tris) >= BVH_THRESHOLD:
-        from ..native import build_bvh
-        tri_bvh = build_bvh(TV)
-        perm = tri_bvh["order"]
-        TV = TV[perm]
-        b.props["tri"] = [b.props["tri"][i] for i in perm]
-        # size the traversal stack from the real tree depth (+2 margin) so
-        # unbalanced SAH trees can never silently drop subtrees
-        tri_bvh_stack = _bvh_depth(tri_bvh["left"], tri_bvh["right"],
-                                   tri_bvh["count"]) + 2
     elif len(b.tris) >= TRI_CLUSTER_THRESHOLD:
         from ..geometry.intersect import TRI_CLUSTER_SIZE
         from ..native import build_bvh
@@ -1401,12 +1370,6 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         tri_n31=tri_n31,
         tri_n12=tri_n12,
         tri_n23=tri_n23,
-        bvh_lo=(tri_bvh["bbox_lo"] if tri_bvh else np.zeros((0, 3), F32)),
-        bvh_hi=(tri_bvh["bbox_hi"] if tri_bvh else np.zeros((0, 3), F32)),
-        bvh_left=(tri_bvh["left"] if tri_bvh else np.zeros((0,), I32)),
-        bvh_right=(tri_bvh["right"] if tri_bvh else np.zeros((0,), I32)),
-        bvh_first=(tri_bvh["first"] if tri_bvh else np.zeros((0,), I32)),
-        bvh_count=(tri_bvh["count"] if tri_bvh else np.zeros((0,), I32)),
         tri_cl_lo=tri_cl_lo,
         tri_cl_hi=tri_cl_hi,
         tri_cl_start=tri_cl_start,
@@ -1619,7 +1582,6 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     _common_ok = (0 < n_obj_total <= PALLAS_MAX_OBJECTS
                   and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
-                  and tri_bvh is None
                   and not has_dispersion
                   and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
@@ -1666,7 +1628,6 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         obj_records=tuple(obj_records),
         pallas_ok=pallas_ok,
         pallas_tex_ok=pallas_tex_ok,
-        use_tri_bvh=tri_bvh_stack,
         custom_mats=tuple(b.mat_rows[MAT_CUSTOM]),
         custom_fp=tuple(_custom_param_fp(m) for m in b.mat_rows[MAT_CUSTOM]),
         has_dispersion=has_dispersion,

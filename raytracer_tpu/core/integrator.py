@@ -213,7 +213,7 @@ def trace(key, origin, direction, n_re, n_im, data, static, settings,
         (L, beta, alive, depth, diffuse_refl, split_cnt,
          O, D, n_re, n_im, rays_traced) = carry
 
-        t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+        t, orient, obj = nearest_hit(O, D, data.geom)
         miss = t >= MISS_THRESHOLD
 
         P = O + D * t[..., None]

@@ -138,7 +138,7 @@ def _first_hit_impl(O, D, data, static):
     from ..geometry.intersect import nearest_hit
     from ..utils.constants import MISS_THRESHOLD
 
-    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    t, orient, obj = nearest_hit(O, D, data.geom)
     miss = (t >= MISS_THRESHOLD)[..., None]
     P = jnp.where(miss, 0.0, O + D * t[..., None])
     N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)

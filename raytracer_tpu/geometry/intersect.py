@@ -477,13 +477,16 @@ def _type_blocks(geom, skip_tris=False):
     return blocks
 
 
-def nearest_hit(O, D, geom, use_tri_bvh=False):
+def nearest_hit(O, D, geom):
     """Fused nearest-hit: (t, orient, obj_id) each (N,).
 
     Running min across primitive types — never materializes the full
     (num_objects, N) distance matrix (the naive concatenate+argmin costs two
-    (O, N) round-trips to HBM per bounce).  Large triangle sets traverse the
-    compile-time BVH instead of the flat table (geometry/bvh.py).
+    (O, N) round-trips to HBM per bounce).  Large triangle sets use the
+    two-level clustered sweep (tri_cl_* tables).  A per-ray-stack BVH
+    traversal was measured >10x slower than the data-parallel sweeps AND
+    its while_loop/scatter pattern faults the TPU worker at >=327k tris
+    (minimal jnp-only repro: scripts/repro_bvh_minimal.py) — retired.
     """
     n = O.shape[0]
     best_t = jnp.full((n,), FARAWAY, O.dtype)
@@ -501,16 +504,6 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
         best_id = jnp.where(better, am.astype(jnp.int32) + off, best_id)
         off += count
     if not geom.tri_p1.shape[0]:
-        return best_t, best_o, best_id
-    if use_tri_bvh:
-        from .bvh import STACK_DEPTH, bvh_traverse
-        # use_tri_bvh > 1 carries the compile-time stack size (tree depth + 2)
-        sd = int(use_tri_bvh) if int(use_tri_bvh) > 1 else STACK_DEPTH
-        t, o, tid = bvh_traverse(O, D, geom, stack_depth=sd)
-        better = t < best_t
-        best_t = jnp.where(better, t, best_t)
-        best_o = jnp.where(better, o, best_o)
-        best_id = jnp.where(better, tid + off, best_id)
         return best_t, best_o, best_id
     if geom.tri_cl_lo.shape[0]:
         tri_t, tri_code = _clustered_nearest(O, D, geom)
@@ -550,7 +543,7 @@ def nearest_hit(O, D, geom, use_tri_bvh=False):
     return best_t, best_o, best_id
 
 
-def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
+def occluded(O, D, geom, shadow_obj_mask, max_dist):
     """Any-hit test for shadow rays: True where some shadow-casting object
     lies closer than max_dist along D (reference glossy.py:53-59).
 
@@ -566,12 +559,6 @@ def occluded(O, D, geom, shadow_obj_mask, max_dist, use_tri_bvh=False):
         off += count
     if not geom.tri_p1.shape[0]:
         return hit
-    if use_tri_bvh:
-        from .bvh import STACK_DEPTH, bvh_traverse
-        sd = int(use_tri_bvh) if int(use_tri_bvh) > 1 else STACK_DEPTH
-        t, _, _ = bvh_traverse(O, D, geom, tri_mask=shadow_obj_mask[off:],
-                               stack_depth=sd)
-        return hit | (t < max_dist)
     if geom.tri_cl_lo.shape[0]:
         # the triangle portion of the object-id space is VIRTUAL under
         # instancing (longer than the physical tables); it always runs to the

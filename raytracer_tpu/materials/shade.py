@@ -237,8 +237,7 @@ def shade_glossy(ctx):
         lv = irradiance(NdotL)
         if static.has_shadow_objects:
             d = jnp.broadcast_to(jnp.asarray(dist_light, N.dtype), NdotL.shape)
-            occ = occluded(nudged, L, data.geom, data.obj.shadow, d,
-                           static.use_tri_bvh)
+            occ = occluded(nudged, L, data.geom, data.obj.shadow, d)
             seelight = 1.0 - occ.astype(N.dtype)
         else:
             seelight = jnp.ones_like(NdotL)

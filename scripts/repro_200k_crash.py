@@ -43,7 +43,7 @@ def plan():
     print("# run each line in its own process; stop at the first crash:")
     while t < KNOWN_BAD:
         t = int(t * 1.3)
-        for path in ("clustered", "flat", "bvh"):
+        for path in ("clustered", "flat"):
             print(f"timeout 900 python scripts/repro_200k_crash.py probe {t} {path}")
 
 
@@ -79,40 +79,38 @@ def probe(T, path="clustered", rays=16384, op="nearest"):
                             p1=vec3(*(p1 + off)), p2=vec3(*(p2 + off)),
                             p3=vec3(*(p3 + off))))
             n_added += 1
-    if path == "bvh":
-        C_thresh = (0, 10 ** 9)       # force BVH on, clusters off
-    elif path == "clustered":
-        C_thresh = (10 ** 9, 32)      # force clusters on, BVH off
+    # "bvh" is retired: the per-ray-stack traversal was deleted after the
+    # crash was root-caused to its while_loop/scatter pattern with a
+    # geometry-free repro (scripts/repro_bvh_minimal.py).
+    if path == "clustered":
+        C_thresh = 32                  # force clusters on
     else:
-        C_thresh = (10 ** 9, 10 ** 9)  # flat blocked sweep
-    old = (C.BVH_THRESHOLD, C.TRI_CLUSTER_THRESHOLD)
-    C.BVH_THRESHOLD, C.TRI_CLUSTER_THRESHOLD = C_thresh
+        C_thresh = 10 ** 9             # flat blocked sweep
+    old = C.TRI_CLUSTER_THRESHOLD
+    C.TRI_CLUSTER_THRESHOLD = C_thresh
     try:
         static, data = compile_scene(sc)
     finally:
-        C.BVH_THRESHOLD, C.TRI_CLUSTER_THRESHOLD = old
+        C.TRI_CLUSTER_THRESHOLD = old
     spp = max(1, rays // (64 * 64))
     O, D = generate_rays(jax.random.PRNGKey(0), sc.camera.params(),
                          64, 64, spp)[:2]
     print(f"T={n_added} path={path} rays={O.shape[0]} op={op} "
-          f"bvh={static.use_tri_bvh} clusters={data.geom.tri_cl_lo.shape[0]}",
-          flush=True)
+          f"clusters={data.geom.tri_cl_lo.shape[0]}", flush=True)
     import time
 
     if op == "occl":
         mask = jnp.ones((len(sc.scene_primitives),), bool)
         fn = jax.jit(lambda O, D: I.occluded(
             O, D, data.geom, mask,
-            jnp.full(O.shape[0], 1e3, jnp.float32),
-            static.use_tri_bvh))
+            jnp.full(O.shape[0], 1e3, jnp.float32)))
         hit = fn(O, D)
         print("occluded frac:", float(np.asarray(hit).mean()), flush=True)
         t0 = time.time()
         np.asarray(fn(O, D))
         print(f"second-run wall {time.time() - t0:.3f}s OK", flush=True)
     else:
-        fn = jax.jit(lambda O, D: I.nearest_hit(
-            O, D, data.geom, static.use_tri_bvh))
+        fn = jax.jit(lambda O, D: I.nearest_hit(O, D, data.geom))
         t, o, i = fn(O, D)
         print("min t:", float(np.asarray(t).min()), flush=True)
         t0 = time.time()

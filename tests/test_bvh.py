@@ -1,14 +1,19 @@
-"""BVH traversal correctness: identical results to flat triangle intersection."""
+"""SAH leaf-order build + clustered-sweep correctness.
 
-import jax.numpy as jnp
+The on-device per-ray-stack BVH traversal is RETIRED (round 3): it measured
+>10x slower than the data-parallel sweeps and its while_loop/scatter pattern
+faults the TPU worker at >=327k triangles — reproduced with NO raytracer
+code in scripts/repro_bvh_minimal.py (see core/compile.py retirement note).
+The binned-SAH build survives as the compile-time leaf ORDER feeding the
+two-level clustered sweep; these tests pin the build's validity and the
+clustered sweep's equivalence to the flat sweep.
+"""
+
 import numpy as np
-import pytest
 
 from raytracer_tpu import Emissive, Scene, TriangleMesh, rgb, vec3
 from raytracer_tpu.core.compile import compile_scene
-from raytracer_tpu.geometry.bvh import bvh_traverse
-from raytracer_tpu.geometry.intersect import intersect_triangles
-from raytracer_tpu.utils.constants import MISS_THRESHOLD
+from raytracer_tpu.native import build_bvh
 
 
 def make_sphere_obj(tmp_path, n_seg=12):
@@ -32,36 +37,40 @@ def make_sphere_obj(tmp_path, n_seg=12):
     return str(p)
 
 
-def test_bvh_matches_flat(tmp_path, monkeypatch):
-    import raytracer_tpu.core.compile as C
-    monkeypatch.setattr(C, "BVH_THRESHOLD", 32)
-    obj = make_sphere_obj(tmp_path)
-    sc = Scene()
-    sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),
-                  screen_width=8, screen_height=8)
-    mesh = TriangleMesh(obj, center=vec3(0, 0, 0),
-                        material=Emissive(color=rgb(1, 1, 1)))
-    sc.add(mesh)
-    static, data = compile_scene(sc)
-    assert static.use_tri_bvh
+def test_sah_build_is_valid_tree():
+    """The native/fallback SAH build emits a valid flat tree: `order` is a
+    permutation, leaves partition the triangle range, children stay in
+    bounds, and every leaf's triangles sit inside its AABB."""
+    rng = np.random.default_rng(3)
+    cen = rng.uniform(-4, 4, size=(3000, 1, 3))
+    tv = (cen + rng.normal(scale=0.1, size=(3000, 3, 3))).astype(np.float32)
+    t = build_bvh(tv)
+    n = tv.shape[0]
+    assert sorted(t["order"].tolist()) == list(range(n))
 
-    rng = np.random.default_rng(0)
-    O = jnp.asarray(rng.normal(size=(512, 3)) * 3, jnp.float32)
-    D = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
-    D = D / jnp.linalg.norm(D, axis=-1, keepdims=True)
-
-    t_flat, o_flat = intersect_triangles(
-        O, D, data.geom.tri_p1, data.geom.tri_normal, data.geom.tri_centroid,
-        data.geom.tri_n31, data.geom.tri_n12, data.geom.tri_n23,
-        data.geom.tri_p2, data.geom.tri_p3)
-    t_ref = np.asarray(jnp.min(t_flat, axis=0))
-    t_bvh, o_bvh, _ = bvh_traverse(O, D, data.geom)
-    t_bvh = np.asarray(t_bvh)
-
-    hit_ref = t_ref < MISS_THRESHOLD
-    hit_bvh = t_bvh < MISS_THRESHOLD
-    assert np.array_equal(hit_ref, hit_bvh)
-    assert np.allclose(t_ref[hit_ref], t_bvh[hit_bvh], rtol=1e-4, atol=1e-4)
+    perm = tv[t["order"]]
+    lo, hi = t["bbox_lo"], t["bbox_hi"]
+    left, right = t["left"], t["right"]
+    first, count = t["first"], t["count"]
+    n_nodes = lo.shape[0]
+    covered = np.zeros(n, bool)
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        c = int(count[node])
+        if c > 0:
+            f = int(first[node])
+            assert 0 <= f and f + c <= n
+            assert not covered[f:f + c].any()      # leaves don't overlap
+            covered[f:f + c] = True
+            v = perm[f:f + c].reshape(-1, 3)
+            assert (v >= lo[node] - 1e-4).all()
+            assert (v <= hi[node] + 1e-4).all()
+        else:
+            l, r = int(left[node]), int(right[node])
+            assert 0 < l < n_nodes and 0 < r < n_nodes
+            stack.extend((l, r))
+    assert covered.all()                           # leaves cover every tri
 
 
 def test_mesh_render_clustered_matches_flat(tmp_path, monkeypatch):
@@ -92,9 +101,10 @@ def test_mesh_render_clustered_matches_flat(tmp_path, monkeypatch):
     assert np.abs(cl - flat).max() <= 1.0      # 8-bit output: <= 1 count
 
 
-def test_mesh_render_with_bvh(tmp_path, monkeypatch):
+def test_mesh_render_leaf_ordered(tmp_path, monkeypatch):
+    """A leaf-ordered clustered mesh renders correctly end-to-end."""
     import raytracer_tpu.core.compile as C
-    monkeypatch.setattr(C, "BVH_THRESHOLD", 32)
+    monkeypatch.setattr(C, "TRI_CLUSTER_THRESHOLD", 32)
     obj = make_sphere_obj(tmp_path)
     sc = Scene()
     sc.add_Camera(look_from=vec3(0, 0, 3), look_at=vec3(0, 0, 0),

@@ -164,8 +164,7 @@ def test_instanced_smooth_normals(tmp_path):
                   np.full(n, 4.0)], -1)
     D = np.asarray([[0.0, 0.0, -1.0]] * n)
     t, orient, obj = nearest_hit(jnp.asarray(O, jnp.float32),
-                                 jnp.asarray(D, jnp.float32),
-                                 data.geom, static.use_tri_bvh)
+                                 jnp.asarray(D, jnp.float32), data.geom)
     assert (np.asarray(t) < 1e30).all()
     P = np.asarray(O + np.asarray(t)[:, None] * D)
     N, _ = hit_attributes(jnp.asarray(P, jnp.float32), obj, data.geom, static)
@@ -297,7 +296,7 @@ f 1/1 2/2 4/4 3/3
 
     O = jnp.asarray([[-0.5, 0.5, 2.0]], jnp.float32)
     D = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
-    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    t, orient, obj = nearest_hit(O, D, data.geom)
     assert float(t[0]) < 1e30
     P = O + t[:, None] * D
     N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)

@@ -71,7 +71,7 @@ def _first_hit_normals(sc):
     D = np.asarray([[0.0, 0.0, -1.0]] * n)
     O = jnp.asarray(O, jnp.float32)
     D = jnp.asarray(D, jnp.float32)
-    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    t, orient, obj = nearest_hit(O, D, data.geom)
     P = O + t[:, None] * D
     N, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
     exact = P / jnp.linalg.norm(P, axis=-1, keepdims=True)
@@ -235,7 +235,7 @@ f 1/1 2/2 4/4 3/3
 
     O = jnp.asarray([[0.5, 0.5, 2.0], [0.25, 0.75, 2.0]], jnp.float32)
     D = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32)
-    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    t, orient, obj = nearest_hit(O, D, data.geom)
     P = O + t[:, None] * D
     N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
     N = np.asarray(_apply_normal_maps(N_geo, P, uv, obj, data, static))
@@ -292,7 +292,7 @@ f 1/1 2/2 4/4 3/3
         static, data = compile_scene(sc)
         O = jnp.asarray([[0.5, 0.5, 2.0]], jnp.float32)
         D = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
-        t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+        t, orient, obj = nearest_hit(O, D, data.geom)
         P = O + t[:, None] * D
         N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
         N = np.asarray(_apply_normal_maps(N_geo, P, uv, obj, data, static))

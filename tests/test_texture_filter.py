@@ -83,7 +83,7 @@ def test_sphere_normal_map_tilts_in_tangent_frame():
 
     O = jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32)
     D = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
-    t, orient, obj = nearest_hit(O, D, data.geom, static.use_tri_bvh)
+    t, orient, obj = nearest_hit(O, D, data.geom)
     P = O + t[:, None] * D
     N_geo, uv = hit_attributes(P, obj, data.geom, static, force_uv=True)
     N = np.asarray(_apply_normal_maps(N_geo, P, uv, obj, data, static))
