@@ -36,10 +36,11 @@ class EnvironmentMaterial(Material):
         is_hdr = (not isinstance(img, np.ndarray)
                   and str(img).lower().endswith((".hdr", ".rgbe"))) \
             or (isinstance(img, np.ndarray) and linear)
-        # HDR environments keep full f32 range only on the jnp wavefront;
-        # the record path's 10-bit packed atlas normalizes by the texture
-        # max, which would band dim sky regions next to a bright sun peak
-        # (core/compile.py gates pallas_tex_ok on this flag)
+        # HDR maps keep full f32 range on the jnp wavefront; the record
+        # path's packed atlas stores them RGB9E5 (shared exponent, <=2^-9
+        # relative error per texel — core/compile.py E5_PACK_LIMIT), so HDR
+        # scenes ride the fast path too (the 10-bit global-scale encoding
+        # would band dim sky regions next to a bright sun peak)
         self.is_hdr = is_hdr
         # export metadata (scene_io.scene_to_dict): source filename when the
         # map came from disk, plus the constructor knobs

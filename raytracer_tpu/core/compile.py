@@ -101,14 +101,36 @@ def _texture_to_device(arr):
     return hit[1]
 
 
-# 10-bit-packed texture atlas for the record-path replay: XLA's TPU gather
-# costs ~13 ns/element regardless of dtype, so fetching an RGB texel as THREE
-# f32 gathers is 3x the irreducible cost.  Each texture packs to one uint32
-# per texel (10 bits/channel over a per-texture scale); the replay does ONE
-# gather per fetch round and decodes with VPU shifts.  Quantization error
-# <= scale/2046 — below the 8-bit granularity of the source images.
+# Packed texture atlas for the record-path replay: XLA's TPU gather costs
+# ~13 ns/element regardless of dtype, so fetching an RGB texel as THREE f32
+# gathers is 3x the irreducible cost.  Each texture packs to one 32-bit word
+# per texel; the replay does ONE gather per fetch round and decodes with VPU
+# shifts.  Two encodings, chosen per texture by content:
+#   enc 0 — 10-10-10 bits/channel over a per-texture scale.  Quantization
+#     error <= scale/2046 — below the 8-bit granularity of LDR source
+#     images.
+#   enc 1 — RGB9E5 shared-exponent ([e:5][r:9][g:9][b:9], value
+#     m * 2^(e-24)) for high-dynamic-range maps (max > E5_PACK_LIMIT): a
+#     10-bit global scale over a max-5000 Radiance env steps by ~5 radiance
+#     units for EVERY texel, while RGB9E5 keeps each texel's error at
+#     <= 2^-9 of its own dominant channel (the same tradeoff as the
+#     GL/Vulkan RGB9E5 HDR format).
 _TEX_PACKED_CACHE = {}
 _ATLAS_CACHE = {}
+
+E5_PACK_LIMIT = 4.0     # max value above which a texture packs as RGB9E5
+_E5_BIAS = 15           # exponent bias; value = m * 2^(e - _E5_BIAS - 9)
+
+
+def _pack_e5(a):
+    """(H, W, 3) f32 >= 0 -> (H, W) int32 RGB9E5 words."""
+    a = np.clip(a, 0.0, (511.0 / 512.0) * 2.0 ** 16)
+    maxc = np.maximum(a.max(axis=-1), 1e-30)
+    e = np.clip(np.floor(np.log2(maxc)) + _E5_BIAS + 1, 0, 31).astype(np.uint32)
+    denom = np.exp2(e.astype(np.float64) - _E5_BIAS - 9)
+    m = np.clip(a / denom[..., None] + 0.5, 0, 511).astype(np.uint32)
+    return ((e << 27) | (m[..., 0] << 18) | (m[..., 1] << 9)
+            | m[..., 2]).view(np.int32)
 
 
 def _texture_packed(arr):
@@ -119,35 +141,42 @@ def _texture_packed(arr):
         if a.ndim == 2:
             a = a[..., None].repeat(3, axis=-1)
         a = np.ascontiguousarray(a[..., :3])
-        scale = float(max(1.0, np.max(a) if a.size else 1.0))
-        q = np.clip(a / scale * 1023.0 + 0.5, 0.0, 1023.0).astype(np.uint32)
-        packed = (q[..., 0] << 20) | (q[..., 1] << 10) | q[..., 2]
-        hit = (arr, jnp.asarray(packed.reshape(-1).astype(np.int32)), scale,
-               (int(a.shape[0]), int(a.shape[1])))
+        amax = float(np.max(a)) if a.size else 1.0
+        if amax > E5_PACK_LIMIT:
+            packed, scale, enc = _pack_e5(a), 1.0, 1
+        else:
+            scale, enc = float(max(1.0, amax)), 0
+            q = np.clip(a / scale * 1023.0 + 0.5, 0.0, 1023.0).astype(np.uint32)
+            packed = ((q[..., 0] << 20) | (q[..., 1] << 10)
+                      | q[..., 2]).astype(np.int32)
+        hit = (arr, jnp.asarray(packed.reshape(-1)), scale,
+               (int(a.shape[0]), int(a.shape[1])), enc)
         _TEX_PACKED_CACHE[key] = hit
-    return hit[1], hit[2], hit[3]
+    return hit[1], hit[2], hit[3], hit[4]
 
 
 def _texture_atlas(arrs):
-    """(atlas (total,) int32 device array, scales (T,) f32, shapes, offsets)."""
+    """(atlas (total,) int32 device array, scales (T,) f32, shapes, offsets,
+    encodings) — encodings[t] is 0 (10-10-10 x scale) or 1 (RGB9E5)."""
     key = tuple(id(a) for a in arrs)
     hit = _ATLAS_CACHE.get(key)
     if hit is None:
-        parts, scales, shapes, offsets = [], [], [], []
+        parts, scales, shapes, offsets, encs = [], [], [], [], []
         off = 0
         for a in arrs:
-            p, s, shp = _texture_packed(a)
+            p, s, shp, enc = _texture_packed(a)
             parts.append(p)
             scales.append(s)
             shapes.append(shp)
             offsets.append(off)
+            encs.append(enc)
             off += shp[0] * shp[1]
         atlas = (jnp.concatenate(parts) if parts
                  else jnp.zeros((1,), jnp.int32))
         hit = (arrs, atlas, np.asarray(scales or [1.0], F32),
-               tuple(shapes), tuple(offsets))
+               tuple(shapes), tuple(offsets), tuple(encs))
         _ATLAS_CACHE[key] = hit
-    return hit[1], hit[2], hit[3], hit[4]
+    return hit[1], hit[2], hit[3], hit[4], hit[5]
 
 
 # Environment importance sampling: alias tables over an equirect map's
@@ -487,6 +516,8 @@ class SceneStatic:
     # texture-atlas geometry for the replay's single-gather fetch
     tex_shapes: Tuple[Tuple[int, int], ...] = ()
     tex_offsets: Tuple[int, ...] = ()
+    # per-texture atlas encoding: 0 = 10-10-10 x scale, 1 = RGB9E5 (HDR)
+    tex_enc: Tuple[int, ...] = ()
     pallas_tex_ok: bool = False
     # the Pallas mega-kernel handles solid-color scenes with modest object
     # counts; textured / env / LUT scenes use the jnp wavefront path
@@ -816,9 +847,6 @@ class _Builder:
         # Their triangles are NOT in self.tris — compile_scene lays each
         # group out as its own object-space region (see _layout_instanced).
         self.mesh_groups = []
-        # any EnvironmentMaterial loaded from a Radiance .hdr: unbounded
-        # linear radiance, excluded from the 10-bit packed-atlas record path
-        self.has_hdr_env = False
         # per-type object property rows (merged in type order at the end)
         self.props = {k: [] for k in ("sphere", "plane", "box", "disc",
                                       "cyl", "tri")}
@@ -885,7 +913,6 @@ class _Builder:
             lm = self.add_texture(mat.lightmap) if mat.lightmap is not None else None
             cm = (self.add_texture(_env_combined(mat, tex))
                   if mat.lightmap is not None else None)
-            self.has_hdr_env |= bool(getattr(mat, "is_hdr", False))
             # kind is patched by the caller (depends on the carrier geometry)
             self.env_slots.append(EnvSlot(slot, "box", self.add_texture(tex),
                                           lm, cm))
@@ -1589,15 +1616,15 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)
     # path-recording variant: image textures / env maps / thin-film LUTs are
     # applied in a jnp pass over the recorded path vertices; normal maps
-    # perturb sampling directions and cannot be deferred
-    any_bilinear = any(r.bilinear for r in (b.diffuse_tex + b.glossy_tex
-                                            + b.emissive_tex))
+    # perturb sampling directions and cannot be deferred.  HDR envs ride the
+    # RGB9E5 atlas encoding; bilinear textures take a 4-tap replay round
+    # (ops/pallas_record.py) — neither forces the wavefront anymore (r3).
     pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
-                     and not b.has_hdr_env and not any_bilinear
                      and not _is_envs    # env-IS mixture: jnp wavefront only
                      and set(present) <= _PALLAS_TEX_TYPES)
 
-    atlas, tex_scale, tex_shapes, tex_offsets = _texture_atlas(tuple(b.textures))
+    (atlas, tex_scale, tex_shapes, tex_offsets,
+     tex_enc) = _texture_atlas(tuple(b.textures))
 
     # triangle object-id space is VIRTUAL under instancing: region-0 rows
     # then one id per (instance, row) — see _layout_instanced
@@ -1621,6 +1648,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         env_slots=tuple(b.env_slots),
         normal_maps=nmaps,
         tex_shapes=tex_shapes,
+        tex_enc=tex_enc,
         tex_offsets=tex_offsets,
         has_shadow_objects=bool(shadow_a.any()),
         max_object_depth=int(_d_raw.max()) if _d_raw.size else 5,

@@ -688,6 +688,8 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     i0 = jnp.zeros((M,), jnp.int32)
     f0 = jnp.zeros((M,), jnp.float32)
 
+    b0 = jnp.zeros((M,), bool)
+
     class Round:
         """Per-element fetch parameters, built by group-masked selects."""
 
@@ -701,8 +703,19 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             self.used = False       # python-static: did any group set()?
             self.direct = i0        # texture-local index override
             self.dmask = None       # where the override applies
+            self.e5m = b0           # RGB9E5-encoded atlas words (HDR maps)
+            self.any_e5 = False     # python-static: any set() saw enc 1?
+            self.bilm = b0          # 4-tap bilinear interpolation
+            self.any_bil = False    # python-static: any bilinear set()?
 
-        def set(self, m, tex_id, repeat=1.0):
+        def _set_enc(self, m, tex_id):
+            if static.tex_enc[tex_id]:
+                self.any_e5 = True
+            # exact last-writer-wins (group masks are disjoint, but keep
+            # the semantics of the other where-chains anyway)
+            self.e5m = jnp.where(m, bool(static.tex_enc[tex_id]), self.e5m)
+
+        def set(self, m, tex_id, repeat=1.0, bilinear=False):
             self.used = True
             Hh, Ww = static.tex_shapes[tex_id]
             self.off = jnp.where(m, static.tex_offsets[tex_id], self.off)
@@ -711,6 +724,10 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             self.frep = jnp.where(m, Ww * repeat, self.frep)
             self.grep = jnp.where(m, Hh * repeat, self.grep)
             self.scale = jnp.where(m, data.tex_scale[tex_id], self.scale)
+            self._set_enc(m, tex_id)
+            if bilinear:
+                self.any_bil = True
+            self.bilm = jnp.where(m, bool(bilinear), self.bilm)
 
         def set_direct(self, m, tex_id, local_idx):
             """Fetch texture-local element `local_idx` instead of the uv
@@ -721,6 +738,7 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             self.scale = jnp.where(m, data.tex_scale[tex_id], self.scale)
             self.direct = jnp.where(m, local_idx, self.direct)
             self.dmask = m if self.dmask is None else (self.dmask | m)
+            self._set_enc(m, tex_id)
 
         def uv_index(self):
             iu = jnp.remainder((u_ * self.frep).astype(jnp.int32), self.W)
@@ -732,9 +750,50 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
 
         def decode(self, w):
             s = self.scale * (1.0 / 1023.0)
-            return [((w >> 20) & 1023).astype(jnp.float32) * s,
-                    ((w >> 10) & 1023).astype(jnp.float32) * s,
-                    (w & 1023).astype(jnp.float32) * s]
+            ten = [((w >> 20) & 1023).astype(jnp.float32) * s,
+                   ((w >> 10) & 1023).astype(jnp.float32) * s,
+                   (w & 1023).astype(jnp.float32) * s]
+            if not self.any_e5:
+                return ten
+            # RGB9E5 ([e:5][r:9][g:9][b:9], value m * 2^(e-24)): the
+            # arithmetic >> then & is exact for int32 words (top bit is
+            # exponent payload, not sign)
+            es = jnp.exp2(((w >> 27) & 31).astype(jnp.float32) - 24.0)
+            e5 = [((w >> 18) & 511).astype(jnp.float32) * es,
+                  ((w >> 9) & 511).astype(jnp.float32) * es,
+                  (w & 511).astype(jnp.float32) * es]
+            return [jnp.where(self.e5m, e5[c], ten[c]) for c in range(3)]
+
+        def fetch(self, atlas):
+            """Gather + decode this round's texels: ONE sweep normally,
+            four weighted sweeps when any group fetches bilinear (elements
+            of non-bilinear groups ride tap 0 at weight 1)."""
+            if not self.any_bil:
+                return self.decode(jnp.take(atlas, self.uv_index(),
+                                            mode="clip"))
+            x = u_ * self.frep - 0.5
+            y = v_ * self.grep - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx, fy = x - x0, y - y0
+            ix = x0.astype(jnp.int32)
+            iy = y0.astype(jnp.int32)
+            idx_n = self.uv_index()
+            one = jnp.ones((M,), jnp.float32)
+            out = [f0, f0, f0]
+            for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                                (1, 0, fx * (1 - fy)),
+                                (0, 1, (1 - fx) * fy),
+                                (1, 1, fx * fy)):
+                col = jnp.remainder(ix + dx, self.W)
+                row = jnp.remainder(-(iy + dy), self.H)
+                idx = jnp.where(self.bilm, row * self.W + col + self.off,
+                                idx_n)
+                rgb = self.decode(jnp.take(atlas, idx, mode="clip"))
+                w_el = jnp.where(self.bilm, wgt,
+                                 one if (dx, dy) == (0, 0) else f0)
+                out = [out[c] + w_el * rgb[c] for c in range(3)]
+            return out
 
     r1, r2 = Round(), Round()
     lut_rows = i0          # thin-film LUT row (cos_theta axis), round 2
@@ -774,11 +833,14 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             lut_rows = jnp.where(m, (cos_i * Hh).astype(jnp.int32), lut_rows)
             lut_mode = lut_mode | m
         elif mt == MAT_DIFFUSE and slot in dif_tex:
-            r1.set(m, dif_tex[slot].tex, dif_tex[slot].repeat)
+            r1.set(m, dif_tex[slot].tex, dif_tex[slot].repeat,
+                   dif_tex[slot].bilinear)
         elif mt == MAT_GLOSSY and slot in glo_tex:
-            r1.set(m, glo_tex[slot].tex, glo_tex[slot].repeat)
+            r1.set(m, glo_tex[slot].tex, glo_tex[slot].repeat,
+                   glo_tex[slot].bilinear)
         elif mt == MAT_EMISSIVE and slot in emi_tex:
-            r1.set(m, emi_tex[slot].tex, emi_tex[slot].repeat)
+            r1.set(m, emi_tex[slot].tex, emi_tex[slot].repeat,
+                   emi_tex[slot].bilinear)
 
     ones = jnp.ones((M,), jnp.float32)
     # each gather sweeps all B*N record elements (~13 ns/element on TPU):
@@ -786,8 +848,7 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
     # (round 2 is unused for any scene without env lightmaps or thin-film —
     # e.g. a plain SkyBox — halving the replay's gather cost).  The `used`
     # flags and every consumer below are python-static group structure.
-    rgb1 = (r1.decode(jnp.take(data.tex_atlas, r1.uv_index(), mode="clip"))
-            if r1.used else [ones, ones, ones])
+    rgb1 = r1.fetch(data.tex_atlas) if r1.used else [ones, ones, ones]
 
     rgb2 = None
     if r2.used:

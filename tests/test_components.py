@@ -217,8 +217,8 @@ def test_hdr_round_trip(tmp_path):
 
 def test_hdr_environment_is_linear_and_gated(tmp_path):
     """A Radiance .hdr Panorama is consumed as LINEAR radiance (no EOTF,
-    values above 1 preserved) and such scenes skip the 10-bit packed-atlas
-    record path."""
+    values above 1 preserved); since r3 such scenes KEEP the record path
+    (the atlas stores them RGB9E5 — core/compile.py E5_PACK_LIMIT)."""
     import numpy as np
 
     from raytracer_tpu import Panorama, Scene, save_hdr, vec3
@@ -234,7 +234,8 @@ def test_hdr_environment_is_linear_and_gated(tmp_path):
                   screen_width=8, screen_height=8)
     sc.add(Panorama(str(p)))
     static, _ = compile_scene(sc)
-    assert not static.pallas_tex_ok and not static.pallas_ok
+    assert static.pallas_tex_ok and not static.pallas_ok
+    assert any(static.tex_enc)
     lin = np.asarray(sc.render(samples_per_pixel=1, seed=0, output="linear"))
     assert np.allclose(lin[..., 0], 5.0, rtol=0.02)
     assert np.allclose(lin[..., 1], 2.0, rtol=0.02)

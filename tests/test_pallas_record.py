@@ -168,3 +168,93 @@ def test_deterministic_split_record_matches_jnp():
     b = np.asarray(sc.render(samples_per_pixel=2, seed=0), np.float32) / 255.0
     assert np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max() < 0.02, (
         np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max())
+
+
+def test_rgb9e5_pack_accuracy():
+    """Host-side RGB9E5 pack: every texel decodes within 2^-9 of its own
+    dominant channel (the shared-exponent error bound), including bright
+    HDR outliers that a 10-bit global scale would band to ~max/1023."""
+    from raytracer_tpu.core.compile import _pack_e5
+
+    rng = np.random.default_rng(0)
+    a = rng.lognormal(mean=-1, sigma=2, size=(64, 128, 3)).astype(np.float32)
+    a[5, 7] = (5000.0, 4.0, 0.25)              # sun texel, saturated hue
+    a[6, 8] = 0.0
+    w = np.asarray(_pack_e5(a)).view(np.uint32)
+    e = (w >> 27) & 31
+    s = np.exp2(e.astype(np.float32) - 24.0)
+    dec = np.stack([((w >> 18) & 511).astype(np.float32) * s,
+                    ((w >> 9) & 511).astype(np.float32) * s,
+                    (w & 511).astype(np.float32) * s], -1)
+    dom = np.maximum(a.max(axis=-1, keepdims=True), 1e-30)
+    assert (np.abs(dec - a) <= dom * (2.0 ** -9) + 1e-7).all()
+    assert (dec[6, 8] == 0.0).all()
+
+
+def _hdr_env_scene():
+    rng = np.random.default_rng(2)
+    env = (0.05 + rng.random((64, 128, 3)).astype(np.float32) * 0.4)
+    env[10:14, 30:36] = 40.0                   # small bright sun
+    sc = Scene(ambient_color=rgb(0.02, 0.02, 0.02))
+    sc.add_Camera(screen_height=16, screen_width=20,
+                  look_from=vec3(-4, 0, 0), look_at=vec3(0, 0.05, 0))
+    gold = Glossy(diff_color=rgb(1.0, 0.572, 0.184),
+                  n=vec3(0.15 + 3.58j, 0.4 + 2.37j, 1.54 + 1.91j),
+                  roughness=0.1, spec_coeff=0.3, diff_coeff=0.7)
+    sc.add(Sphere(material=gold, center=vec3(1.0, 0.0, 1.5), radius=1.7,
+                  max_ray_depth=3))
+    sc.add_Background(env, spherical=True, linear=True, light_intensity=0.5)
+    return sc
+
+
+def test_hdr_env_routes_to_record_path():
+    """HDR environments no longer force the wavefront: the atlas stores
+    them RGB9E5 (core/compile.py), keeping per-texel precision next to a
+    bright sun."""
+    static, _ = compile_scene(_hdr_env_scene())
+    assert static.pallas_tex_ok
+    assert any(static.tex_enc)                 # some texture packed as e5
+
+
+def test_hdr_env_statistical_match():
+    a, b = both(_hdr_env_scene(), 32)
+    assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
+                       atol=0.03)
+    assert np.abs(a - b).mean() < 0.03
+
+
+def _bilinear_scene():
+    sc = textured_scene()
+    floor = Glossy(diff_color=image(checkerboard(64), repeat=40.0,
+                                    filter="bilinear"),
+                   n=vec3(1.2 + 0.3j, 1.2 + 0.3j, 1.1 + 0.3j),
+                   roughness=0.2, spec_coeff=0.3, diff_coeff=0.9)
+    sc2 = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    sc2.add_Camera(look_from=vec3(0, 0.25, 1), look_at=vec3(0, 0.25, -3),
+                   screen_width=20, screen_height=16)
+    sc2.add_DirectionalLight(Ldir=vec3(0.52, 0.45, -0.5),
+                             color=rgb(0.15, 0.15, 0.15))
+    gold = Glossy(diff_color=rgb(1.0, 0.572, 0.184),
+                  n=vec3(0.15 + 3.58j, 0.4 + 2.37j, 1.54 + 1.91j),
+                  roughness=0.0, spec_coeff=0.2, diff_coeff=0.8)
+    sc2.add(Sphere(material=gold, center=vec3(-0.5, 0.1, -3.0), radius=0.6,
+                   max_ray_depth=3))
+    sc2.add(Plane(material=floor, center=vec3(0, -0.5, -3.0), width=120.0,
+                  height=120.0, u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1),
+                  max_ray_depth=3))
+    sc2.add_Background(procedural_sky(128, 96))
+    return sc2
+
+
+def test_bilinear_routes_to_record_path():
+    """Bilinear-filtered textures replay with a 4-tap fetch instead of
+    forcing the whole scene onto the wavefront."""
+    static, _ = compile_scene(_bilinear_scene())
+    assert static.pallas_tex_ok
+
+
+def test_bilinear_statistical_match():
+    a, b = both(_bilinear_scene(), 16)
+    assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
+                       atol=0.02)
+    assert np.abs(a - b).mean() < 0.03

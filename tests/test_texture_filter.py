@@ -34,7 +34,10 @@ def test_bilinear_matches_nearest_on_constant():
     assert np.allclose(a, b, atol=1e-6)
 
 
-def test_bilinear_scene_routes_to_wavefront():
+def test_bilinear_scene_keeps_record_path():
+    """Since r3 bilinear textures replay as a 4-tap fetch on the record
+    path (ops/pallas_record.py Round.fetch) — the filter changes the
+    fingerprint but no longer forces the wavefront."""
     tex = np.zeros((8, 8, 3), np.float32)
     tex[::2, :] = 1.0
     sc = Scene()
@@ -44,7 +47,7 @@ def test_bilinear_scene_routes_to_wavefront():
                  center=vec3(0, 0, 0), width=4.0, height=4.0,
                  u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
     static, _ = compile_scene(sc)
-    assert not static.pallas_tex_ok and not static.pallas_ok
+    assert static.pallas_tex_ok and not static.pallas_ok
     img = sc.render(samples_per_pixel=2, seed=0, output="linear")
     assert np.isfinite(np.asarray(img)).all()
 
