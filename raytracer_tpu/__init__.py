@@ -19,7 +19,15 @@ import numpy as np
 # Persistent XLA compilation cache: TPU compiles of the wavefront program take
 # minutes (remote-compile tunnel); caching them across processes makes every
 # re-run after the first instant.  Opt out with RAYTRACER_TPU_NO_CACHE=1.
-if not _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
+# CPU-forced runs (tests, bench_sharded, dryrun_multichip — they all export
+# JAX_PLATFORMS=cpu before importing this package) NEVER enable it: XLA:CPU
+# AOT executables embed the build host's machine features, and loading an
+# entry cached on a different host segfaults the process (observed: the
+# full test suite dying inside compilation_cache.get_executable_and_time
+# with cpu_aot_loader "machine type ... doesn't match" warnings).  CPU
+# compiles are fast; the cache only ever paid for the TPU tunnel anyway.
+_cpu_forced = _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+if not _os.environ.get("RAYTRACER_TPU_NO_CACHE") and not _cpu_forced:
     import jax as _jax
 
     _cache_dir = _os.environ.get(

@@ -530,8 +530,12 @@ class SceneStatic:
     custom_mats: Tuple[Any, ...] = ()
     custom_fp: Tuple[str, ...] = ()
     # any Refractive(dispersion=True) in the scene: hero-wavelength Snell
-    # runs in shade_refractive; such scenes stay on the jnp wavefront
+    # (shade_refractive on the wavefront; the Pallas kernels unroll it per
+    # dispersive slot via refr_disp — r3, no longer a wavefront-only gate)
     has_dispersion: bool = False
+    # per-refractive-slot dispersion flags, static so the kernels' unrolled
+    # object dispatch emits the hero-wavelength block only where needed
+    refr_disp: Tuple[bool, ...] = ()
     # any TriangleMesh with vertex normals / texture coordinates: triangle
     # attrs interpolate the per-corner tables barycentrically (jnp wavefront
     # only — the Pallas kernels shade flat triangles)
@@ -1609,7 +1613,6 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     _common_ok = (0 < n_obj_total <= PALLAS_MAX_OBJECTS
                   and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
-                  and not has_dispersion
                   and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
                                      # jnp wavefront (interp in attrs.py)
@@ -1659,6 +1662,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         custom_mats=tuple(b.mat_rows[MAT_CUSTOM]),
         custom_fp=tuple(_custom_param_fp(m) for m in b.mat_rows[MAT_CUSTOM]),
         has_dispersion=has_dispersion,
+        refr_disp=tuple(bool(getattr(m, "dispersion", False)) for m in ref),
         tri_interp=CVN is not None,
         env_is_shape=env_is_shape,
         tf_selp=tuple(_tf_sel_poly(m) for m in tfi),

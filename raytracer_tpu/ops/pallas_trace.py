@@ -680,9 +680,24 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         n2r_l.append(n2r)
                         n2i_l.append(n2i)
                     T = [1.0 - F[k] for k in range(3)]
-                    ratio_avg = (nre[0] / jnp.maximum(n2r_l[0], 1e-9)
-                                 + nre[1] / jnp.maximum(n2r_l[1], 1e-9)
-                                 + nre[2] / jnp.maximum(n2r_l[2], 1e-9)) / 3.0
+                    # spectral dispersion (static per slot): transmitted
+                    # paths refract at ONE uniformly-chosen channel's IoR
+                    # and carry 3x that channel's throughput — the same
+                    # hero-wavelength estimator as shade_refractive
+                    disp = bool(static.refr_disp[slot])
+                    if disp:
+                        hu = rng.uniform()
+                        h0 = hu < (1.0 / 3.0)
+                        h1 = (hu >= (1.0 / 3.0)) & (hu < (2.0 / 3.0))
+                        hero = (h0, h1, ~(h0 | h1))
+                        rat = [nre[k] / jnp.maximum(n2r_l[k], 1e-9)
+                               for k in range(3)]
+                        ratio_avg = jnp.where(h0, rat[0],
+                                              jnp.where(h1, rat[1], rat[2]))
+                    else:
+                        ratio_avg = (nre[0] / jnp.maximum(n2r_l[0], 1e-9)
+                                     + nre[1] / jnp.maximum(n2r_l[1], 1e-9)
+                                     + nre[2] / jnp.maximum(n2r_l[2], 1e-9)) / 3.0
                     sin2t = ratio_avg * ratio_avg * (1.0 - cos_i * cos_i)
                     non_tir = sin2t <= 1.0
                     croot = jnp.sqrt(1.0 - jnp.clip(sin2t, 0.0, 1.0))
@@ -725,6 +740,10 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         else:
                             w_r = T[k] / jnp.maximum(p_refr, 1e-9)
                             w_l = F[k] / jnp.maximum(1.0 - p_refr, 1e-9)
+                        if disp:
+                            # hero channel carries 3x, the others zero; the
+                            # channel-independent mirror branch is untouched
+                            w_r = w_r * jnp.where(hero[k], 3.0, 0.0)
                         bmul[k] = jnp.where(gc, absorb[k] * jnp.where(take_refr, w_r, w_l),
                                             bmul[k])
                         new_nre[k] = jnp.where(gc & take_refr, n2r_l[k], new_nre[k])

@@ -27,6 +27,20 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _bound_jit_cache():
+    """Release compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in-process;
+    on small hosts the accumulation eventually segfaults a LATER compile
+    inside backend_compile_and_load (observed deterministically at
+    test_spotlight after the ~280th test, 2026-08-19).  Each module mostly
+    compiles its own program shapes, so per-module clearing costs little.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def key():
     import jax

@@ -52,13 +52,42 @@ def test_dispersive_channels_separate():
     assert sep(disp) > 4.0 * sep(plain), (sep(plain), sep(disp))
 
 
-def test_dispersive_scene_routes_to_wavefront():
+def test_dispersive_scene_keeps_pallas_path():
+    """Since r3 hero-wavelength dispersion is unrolled in the kernels
+    (static.refr_disp) — a solid dispersive scene keeps the mega-kernel."""
     n = vec3(1.3, 1.5, 1.8)
     static, _ = compile_scene(glass_scene(n, True))
     assert static.has_dispersion
-    assert not static.pallas_ok and not static.pallas_tex_ok
+    assert static.pallas_ok
+    assert static.refr_disp == (True,)
     static2, _ = compile_scene(glass_scene(n, False))
     assert not static2.has_dispersion
+    assert static2.refr_disp == (False,)
+
+
+def test_dispersion_kernel_matches_wavefront():
+    """Cross-path statistical equivalence of the hero-wavelength estimator:
+    kernel (interpreter) vs jnp wavefront on a strongly dispersive glass."""
+    from raytracer_tpu import RenderSettings
+
+    n = vec3(1.3 + 1e-8j, 1.5 + 1e-8j, 1.8 + 1e-8j)
+    sc = glass_scene(n, True, W=24, H=18)
+    a = np.asarray(sc.render(samples_per_pixel=48, seed=0, output="linear"))
+    a1 = np.asarray(sc.render(samples_per_pixel=48, seed=1, output="linear"))
+    sc.settings = RenderSettings(use_pallas="always")
+    b = np.asarray(sc.render(samples_per_pixel=48, seed=0, output="linear"))
+    assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
+                       atol=0.03), (a.mean((0, 1)), b.mean((0, 1)))
+    # hero-wavelength sampling is high-variance per pixel (3x one-hot
+    # weights): bound the cross-path pixel difference by the wavefront's
+    # OWN seed-to-seed scatter instead of a fixed tolerance
+    noise = np.abs(a - a1).mean()
+    assert np.abs(a - b).mean() < 1.5 * noise + 0.01, (
+        np.abs(a - b).mean(), noise)
+    # the kernel path must actually separate the channels inside the glass
+    region = np.s_[6:12, 8:16]
+    sep = float(np.abs(np.diff(b[region], axis=-1)).mean())
+    assert sep > 0.01, sep
 
 
 def test_dispersion_flag_in_compile_cache_fingerprint():
