@@ -585,6 +585,15 @@ def derive_split_k(static: "SceneStatic", cap: int = 3) -> int:
     the reference's own cost model.  In MC path-traced scenes the diffuse fan
     dominates variance, so the single-branch stochastic estimator is kept
     (set Scene.settings.split_k explicitly to force splitting there).
+
+    Past the cap the stochastic fallback is unbiased (branch picked with
+    probability p, weighted 1/p), so the capped estimator matches the
+    reference's full 2^depth tree IN EXPECTATION for every Whitted scene —
+    pinned statistically by tests/test_split_equivalence.py, which compares
+    a depth-5 scene at k=3 against the exact k=5 full enumeration.  Raise
+    `cap` (or set Scene.settings.split_k) for exact enumeration at any
+    depth; the 2^k sample multiplier is the price, exactly as it is for the
+    reference.
     """
     if MAT_DIFFUSE in static.mat_types_present:
         return 0

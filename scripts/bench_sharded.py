@@ -1,22 +1,31 @@
 #!/usr/bin/env python
-"""Sharded-path bench on a virtual 8-device CPU mesh (VERDICT r2 item 7).
+"""Sharded-path bench on a virtual 8-device CPU mesh (VERDICT r3 #5).
 
-Prints ONE JSON line with the sharded render's throughput shape so the
-first real multi-chip run has a baseline to compare against:
+Production-shaped workload — Cornell box 256x256 through the FULL
+`Scene.render(mesh=...)` chunk loop (4 chunks per device, checkpointable
+accumulation, one psum per chunk) — replacing the round-3 64x64 toy block.
 
-* wall_s_single: one chip's wall for S effective samples/pixel (the same
-  per-device work the sharded run gives each device)
-* wall_s_sharded: the 8-device mesh's wall for 8*S samples/pixel via
-  Scene.render(mesh=...) — each device traces S, one psum reduces
-* sharded_vs_8x_single: wall_s_sharded / (8 * wall_s_single).  The 8
-  virtual devices SERIALIZE on this one-core host, so perfect scaling is
-  1.0 here; the excess over 1.0 is the sharded program's own overhead
-  (psum + per-device dispatch + shard_map plumbing).  On real multi-chip
-  hardware the devices run concurrently and the target is
-  wall_s_sharded ~= wall_s_single * (1 + that overhead).
+Prints ONE JSON line:
+
+* wall_s_single: one device's wall for the sharded run's per-device work
+  (same chunking) — the serialization baseline.
+* wall_s_sharded: the 8-device mesh's wall via Scene.render(mesh=...).
+  The 8 virtual devices SERIALIZE on this host, so perfect scaling is
+  sharded == 8 x single; `sharded_vs_8x_single` is the measured ratio and
+  the excess over 1.0 is the sharded program's own overhead (psum +
+  shard_map plumbing + chunk-loop dispatch).
+* psum_s / psum_fraction: measured cost of the per-chunk psum collectives
+  alone — a jitted shard_map running JUST the chunk loop's reductions
+  (one (H*W, 3) f32 psum over the sample axis per chunk, n_chunks times),
+  timed on the same mesh.
+* chunk_loop_overhead: wall_s_sharded / (n_chunks x one warm chunk
+  execution) — what the python-side loop + accumulator updates add on top
+  of the chunk executions themselves.
+* spread: (max - min) / median over the sharded reps — the <= 5% stability
+  gate.
 
 Runs forced-CPU (the axon sitecustomize would otherwise grab the TPU);
-both timings are the SECOND identical render in-process.
+every timing is a warm re-run (compiles excluded), D2H forced.
 """
 
 import json
@@ -38,7 +47,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+W = H = 256
+SPP = 8            # x20 diffuse fan -> 160 eff samples = 20/device
+BATCH = 5          # per-device chunk spp -> 4 chunks through the loop
+REPS = 3
+
+
+def _timed(f, reps=REPS):
+    ws = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f())
+        ws.append(time.perf_counter() - t0)
+    ws.sort()
+    return ws[len(ws) // 2], ws
 
 
 def main():
@@ -46,37 +72,70 @@ def main():
 
     from raytracer_tpu.parallel.sharded import make_mesh
 
-    W = H = 64
-    SPP = 1          # Cornell's diffuse fan x20 -> 20 eff samples/device
     mesh = make_mesh(n_sample_shards=8, n_pixel_shards=1)
     sc = build_cornell(W, H)
 
-    # single chip at the sharded run's PER-DEVICE sample count
-    sc.render(samples_per_pixel=SPP, seed=0, return_stats=True)     # warm
-    t0 = time.time()
-    _, st1 = sc.render(samples_per_pixel=SPP, seed=1, return_stats=True)
-    t_single = time.time() - t0
+    # ---- sharded: the production chunk loop over the mesh -----------------
+    render_sh = lambda seed: sc.render(samples_per_pixel=SPP, seed=seed,
+                                       mesh=mesh, batch_size=BATCH,
+                                       output="linear")
+    np.asarray(render_sh(0))                                       # warm
+    t_shard, reps_sh = _timed(lambda: render_sh(1))
 
-    # 8-device mesh at 8x the samples (each device traces SPP's worth)
-    sc.render(samples_per_pixel=8 * SPP, seed=0, mesh=mesh,
-              return_stats=True)                                    # warm
-    t0 = time.time()
-    img, st8 = sc.render(samples_per_pixel=8 * SPP, seed=1, mesh=mesh,
-                         return_stats=True)
-    np.asarray(img)                                                 # D2H
-    t_shard = time.time() - t0
+    # ---- single device at the same per-device work -------------------------
+    # eff/device = SPP*20/8 = 20 samples; drive the same chunking (batch 5
+    # -> 4 chunks) through the single-chip loop.  spp=1 x fan 20 = 20 eff.
+    render_1 = lambda seed: sc.render(samples_per_pixel=1, seed=seed,
+                                      batch_size=BATCH, output="linear")
+    np.asarray(render_1(0))                                        # warm
+    t_single, _ = _timed(lambda: render_1(1))
 
+    # ---- psum-only cost on the same mesh -----------------------------------
+    n_chunks = 4
+    band = jnp.ones((H * W, 3), jnp.float32)
+
+    @jax.jit
+    def psums_only(x):
+        def per_device(x):
+            for _ in range(n_chunks):
+                x = jax.lax.psum(x, "sample")
+            return x
+        return jax.shard_map(per_device, mesh=mesh, in_specs=P(),
+                             out_specs=P(), check_vma=False)(x)
+
+    np.asarray(psums_only(band))                                   # warm
+    t_psum, _ = _timed(lambda: psums_only(band))
+
+    # ---- one warm chunk execution (for the loop-overhead ratio) ------------
+    from raytracer_tpu.core.compile import compile_scene_cached
+    from raytracer_tpu.parallel.sharded import build_sharded_chunk
+
+    static, data = compile_scene_cached(sc)
+    _, _, settings = sc._settings_for_render(False)
+    run = build_sharded_chunk(static, settings, mesh, W, H, BATCH, False)
+    cam = sc.camera.params()
+    key = jax.random.PRNGKey(7)
+    args = (key, data, cam, jnp.float32(np.inf), jnp.int32(0), jnp.int32(3))
+    np.asarray(run(*args)[0])                                      # warm
+    t_chunk, _ = _timed(lambda: run(*args)[0])
+
+    spread = (reps_sh[-1] - reps_sh[0]) / max(reps_sh[len(reps_sh) // 2],
+                                              1e-9)
     print(json.dumps({
         "mesh": "8x1 cpu-virtual",
         "frame": f"{W}x{H}",
-        "samples_per_device": int(st1["samples"]),
-        "rays_traced_sharded": int(st8["rays_traced"]),
+        "spp": SPP,
+        "eff_samples_per_device": SPP * 20 // 8,
+        "n_chunks": n_chunks,
         "wall_s_single": round(t_single, 3),
         "wall_s_sharded": round(t_shard, 3),
         "sharded_vs_8x_single": round(t_shard / (8 * t_single), 3),
-        "mrays_per_s_total": round(st8["rays_traced"] / t_shard / 1e6, 2),
-        "mrays_per_s_per_device": round(
-            st8["rays_traced"] / t_shard / 8e6, 2),
+        "sharded_reps_s": [round(w, 3) for w in reps_sh],
+        "spread": round(spread, 4),
+        "psum_s": round(t_psum, 4),
+        "psum_fraction": round(t_psum / t_shard, 4),
+        "chunk_exec_s": round(t_chunk, 3),
+        "chunk_loop_overhead": round(t_shard / (n_chunks * t_chunk), 3),
     }))
 
 
