@@ -79,7 +79,7 @@ def bench_mesh_scene():
     return {"wall_s": round(time.time() - t0, 3), "tris": 5120, "spp": 4}
 
 
-def bench_sharded_block(timeout=1200):
+def bench_sharded_block(timeout=1800):
     """Sharded-path shape numbers on a virtual 8-CPU mesh (VERDICT r2 #7).
 
     Runs in a SUBPROCESS: the host device-count flag must be set before jax

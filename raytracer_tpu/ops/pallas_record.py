@@ -138,6 +138,21 @@ def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
     return (d22 * dp1 - d12 * dp2) / det, (d11 * dp2 - d12 * dp1) / det
 
 
+def _tile_dims(width, height):
+    """(TW, TH) pixel-tile dims for the tiled record order, or None.
+
+    Picks per-axis divisors nearest 16 so tiles cover the frame EXACTLY
+    (padding lanes would inflate every replay gather).  Frames without a
+    divisor in [8, 32] on either axis fall back to the flat (sample-major)
+    order."""
+    def best(n):
+        cands = [d for d in range(8, 33) if n % d == 0]
+        return min(cands, key=lambda d: abs(d - 16)) if cands else None
+
+    tw, th = best(width), best(height)
+    return (tw, th) if tw and th else None
+
+
 def _tile_rows(max_bounces):
     """Record-kernel tile rows under the 16M scoped-VMEM budget.
 
@@ -156,13 +171,18 @@ def _tile_rows(max_bounces):
 
 def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                         lam=WAVELENGTHS_NM, sampler="iid",
-                        projection="pinhole"):
+                        projection="pinhole", spp=None, order_mode="flat"):
     records = static.obj_records
     groups, order = _shading_groups(static)
     shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
     image_slots = {(MAT_DIFFUSE, r.slot) for r in static.diffuse_tex}
     image_slots |= {(MAT_GLOSSY, r.slot) for r in static.glossy_tex}
     image_slots |= {(MAT_EMISSIVE, r.slot) for r in static.emissive_tex}
+    # shading groups that fetch from the atlas during replay — these drive
+    # the per-(program, bounce) live counts the banded replay skips by
+    fetch_gids = {gi["gid"] for key, gi in groups.items()
+                  if key[0] in (MAT_ENV, MAT_THINFILM)
+                  or (key[0], key[1]) in image_slots}
 
     tile_rows = _tile_rows(max_bounces)
 
@@ -175,15 +195,41 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
         lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         idx = (pid * tile_rows + rows) * 128 + lanes
         rng = _TileRng(idx, seed_ref[0])
-        pix = jnp.remainder(idx, n_pix)
-        py_i = pix // width
-        px_i = pix - py_i * width
+        if order_mode == "tiled":
+            # 2D-tiled pixel order: lane order is [tile, sample, in-tile
+            # pixel] over exact (TW, TH) image tiles, so each program (and
+            # each replay super-block) covers a COMPACT image region — the
+            # coherence the banded replay's skips need (sample-major order
+            # spread every program over ~40 full-width rows).  Tail lanes
+            # (idx >= spp * n_pix) decode to off-frame tiles and are sliced
+            # off by the caller, exactly as the flat order's wrapped tail.
+            TW, TH = _tile_dims(width, height)
+            P_t = TW * TH
+            n_tx = width // TW
+            t = idx // (spp * P_t)
+            r1i = idx - t * (spp * P_t)
+            s_loc = r1i // P_t
+            q = r1i - s_loc * P_t
+            qy = q // TW
+            qx = q - qy * TW
+            ty = t // n_tx
+            tx = t - ty * n_tx
+            px_i = tx * TW + qx
+            py_i = ty * TH + qy
+            pix = py_i * width + px_i
+        else:
+            pix = jnp.remainder(idx, n_pix)
+            py_i = pix // width
+            px_i = pix - py_i * width
+            s_loc = idx // n_pix
 
         cam = lambda j: cam_ref[0, j]
 
         if sampler == "r2":
-            # same R2 lattice as the jnp wavefront / trace kernel (lds.py)
-            su = (idx // n_pix + seed_ref[2]).astype(jnp.uint32)
+            # same R2 lattice as the jnp wavefront / trace kernel (lds.py);
+            # draws are keyed by (pixel, global sample) so the tiled order
+            # consumes the IDENTICAL sample set, just on different lanes
+            su = (s_loc + seed_ref[2]).astype(jnp.uint32)
             pixu = pix.astype(jnp.uint32)
             to_f = lambda b: pltpu.bitcast(
                 b >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
@@ -208,8 +254,9 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
         dcnt = jnp.zeros(shape, jnp.int32)
         scnt = jnp.zeros(shape, jnp.int32)
         # deterministic Fresnel-split pattern (see ops/pallas_trace.py)
-        pattern = jnp.remainder(idx // n_pix, 1 << split_k) if split_k else None
+        pattern = jnp.remainder(s_loc, 1 << split_k) if split_k else None
         count = jnp.zeros((), jnp.int32)
+        fetch_counts = []   # per-bounce count of lanes needing a replay fetch
 
         grow = [[geom_ref[i, j] for j in range(24)] for i in range(len(records))]
 
@@ -625,6 +672,14 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                     noz = jnp.where(gc, nuz, noz)
                     new_alive = new_alive | gc
 
+            # per-bounce fetch-lane count (drives the banded replay's
+            # super-block skips; groups that never fetch — solid glossy /
+            # refractive / diffuse — don't keep a block live)
+            fm = jnp.zeros(shape, bool)
+            for gidv in sorted(fetch_gids):
+                fm = fm | (jnp.bitwise_and(gid_out, 0xFFFF) == gidv)
+            fetch_counts.append(jnp.sum(fm.astype(jnp.int32)))
+
             # write this bounce's record
             rec_g_ref[bounce, :, :] = gid_out
             rec_f_ref[bounce, 0, :, :] = uu
@@ -648,7 +703,15 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
             dcnt = dcnt + (new_alive & inc_d).astype(jnp.int32)
             alive = new_alive
 
-        cnt_ref[...] = jnp.full((1, 8, 128), count, jnp.int32)
+        # cnt rows: [0] rays traced, [1 + b] fetch-lane count at bounce b
+        # (b < 7; deeper-bounce scenes disable banding).  Built with
+        # iota/where selects — per-sublane stores and in-kernel concatenate
+        # are shakier to legalize than one full-tile store.
+        rid = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        out_cnt = jnp.full((1, 8, 128), count, jnp.int32)
+        for b, v in enumerate(fetch_counts[:7]):
+            out_cnt = jnp.where(rid == 1 + b, v, out_cnt)
+        cnt_ref[...] = out_cnt
 
     return kernel
 
@@ -658,8 +721,58 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
 # ---------------------------------------------------------------------------
 
 
-def _replay(rec_g, rec_f, data, static, max_bounces, n):
+def _decode_words(w, s1023, e5m, any_e5):
+    """Decode packed atlas words (10-10-10 x scale / RGB9E5) -> [r, g, b]."""
+    ten = [((w >> 20) & 1023).astype(jnp.float32) * s1023,
+           ((w >> 10) & 1023).astype(jnp.float32) * s1023,
+           (w & 1023).astype(jnp.float32) * s1023]
+    if not any_e5:
+        return ten
+    es = jnp.exp2(((w >> 27) & 31).astype(jnp.float32) - 24.0)
+    e5 = [((w >> 18) & 511).astype(jnp.float32) * es,
+          ((w >> 9) & 511).astype(jnp.float32) * es,
+          (w & 511).astype(jnp.float32) * es]
+    return [jnp.where(e5m, e5[c], ten[c]) for c in range(3)]
+
+
+def _banded_take_decode(atlas, idx_full, s1023_full, e5m_full, any_e5, band):
+    """Gather + decode in per-(bounce, program-group) super-blocks, each
+    wrapped in ONE lax.cond so blocks with no fetching lane skip their
+    gather entirely.  `band` = (live (G, B) bool, B, G, L lanes/program,
+    group programs/block).  Element layout must be bounce-major
+    (element = b * G * L + lane), which is exactly `plane()`'s layout."""
+    live, B, G, L, group = band
+    NL = G * L
+    outs = [[], [], []]
+    for b in range(B):
+        for g0 in range(0, G, group):
+            gl = min(group, G - g0)
+            lo = b * NL + g0 * L
+            size = gl * L
+            idx_b = jax.lax.slice(idx_full, (lo,), (lo + size,))
+            s_b = jax.lax.slice(s1023_full, (lo,), (lo + size,))
+            e_b = (jax.lax.slice(e5m_full, (lo,), (lo + size,))
+                   if any_e5 else None)
+            pred = jnp.any(live[g0:g0 + gl, b])
+
+            def on(idx_b=idx_b, s_b=s_b, e_b=e_b):
+                w = jnp.take(atlas, idx_b, mode="clip")
+                return jnp.stack(_decode_words(w, s_b, e_b, any_e5))
+
+            rgb_blk = jax.lax.cond(
+                pred, on, lambda size=size: jnp.zeros((3, size), jnp.float32))
+            for c in range(3):
+                outs[c].append(rgb_blk[c])
+    return [jnp.concatenate(o) for o in outs]
+
+
+def _replay(rec_g, rec_f, data, static, max_bounces, n, band=None):
     """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3).
+
+    band: None for the flat replay, else (live (G, B) bool, G, L, group) —
+    the 2D-tiled order's per-super-block skip machinery (one lax.cond per
+    (bounce, program-group); see _banded_take_decode).  Banding requires
+    non-bilinear fetches (any bilinear group falls back to flat).
 
     The whole replay performs ONE gather over the (B*N) record set from the
     10-10-10-bit packed texture atlas (core/compile.py): wrap-around uv
@@ -767,25 +880,21 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
             return idx + self.off
 
         def decode(self, w):
-            s = self.scale * (1.0 / 1023.0)
-            ten = [((w >> 20) & 1023).astype(jnp.float32) * s,
-                   ((w >> 10) & 1023).astype(jnp.float32) * s,
-                   (w & 1023).astype(jnp.float32) * s]
-            if not self.any_e5:
-                return ten
-            # RGB9E5 ([e:5][r:9][g:9][b:9], value m * 2^(e-24)): the
-            # arithmetic >> then & is exact for int32 words (top bit is
-            # exponent payload, not sign)
-            es = jnp.exp2(((w >> 27) & 31).astype(jnp.float32) - 24.0)
-            e5 = [((w >> 18) & 511).astype(jnp.float32) * es,
-                  ((w >> 9) & 511).astype(jnp.float32) * es,
-                  (w & 511).astype(jnp.float32) * es]
-            return [jnp.where(self.e5m, e5[c], ten[c]) for c in range(3)]
+            # RGB9E5 note: the arithmetic >> then & is exact for int32
+            # words (top bit is exponent payload, not sign)
+            return _decode_words(w, self.scale * (1.0 / 1023.0), self.e5m,
+                                 self.any_e5)
 
         def fetch(self, atlas):
             """Gather + decode this round's texels: ONE sweep normally,
             four weighted sweeps when any group fetches bilinear (elements
-            of non-bilinear groups ride tap 0 at weight 1)."""
+            of non-bilinear groups ride tap 0 at weight 1).  Under `band`
+            the sweep splits into per-super-block lax.conds so blocks whose
+            lanes never fetch skip the gather."""
+            if band is not None and not self.any_bil:
+                return _banded_take_decode(
+                    atlas, self.uv_index(), self.scale * (1.0 / 1023.0),
+                    self.e5m, self.any_e5, (band[0], B) + band[1:])
             if not self.any_bil:
                 return self.decode(jnp.take(atlas, self.uv_index(),
                                             mode="clip"))
@@ -889,7 +998,12 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
                        + jnp.clip(th_all.astype(jnp.int32), 0, r2.W - 1)
                        + r2.off)
             idx2 = jnp.where(lut_mode, lut_idx, idx2)
-        rgb2 = r2.decode(jnp.take(data.tex_atlas, idx2, mode="clip"))
+        if band is not None:
+            rgb2 = _banded_take_decode(
+                data.tex_atlas, idx2, r2.scale * (1.0 / 1023.0), r2.e5m,
+                r2.any_e5, (band[0], B) + band[1:])
+        else:
+            rgb2 = r2.decode(jnp.take(data.tex_atlas, idx2, mode="clip"))
     tex = [ones, ones, ones]
     beta_tex = [ones, ones, ones]
     for key in order:
@@ -935,7 +1049,7 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n):
 
 def _record_call(seed, data, cam_vec, static, width, height, spp,
                  max_bounces, interpret=False, split_k=0, sampler="iid",
-                 projection="pinhole"):
+                 projection="pinhole", order_mode="flat"):
     """Run the Pallas record kernel; returns raw (rec_g, rec_f, cnt)."""
     n_pix = width * height
     n = spp * n_pix
@@ -963,7 +1077,8 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
 
     kernel = _make_record_kernel(static, width, height, max_bounces, n_pix,
                                  split_k, sampler=sampler,
-                                 projection=projection)
+                                 projection=projection, spp=spp,
+                                 order_mode=order_mode)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -1002,23 +1117,52 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
                                              "split_k", "sampler",
-                                             "projection"))
+                                             "projection", "order_mode",
+                                             "banding"))
 def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
                         max_bounces, interpret=False, split_k=0,
-                        sampler="iid", projection="pinhole"):
+                        sampler="iid", projection="pinhole",
+                        order_mode="flat", banding=0):
     """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
     first-sample index] when sampler="r2" (core/lds.py).
     split_k: deterministic Fresnel-split levels (RenderSettings.split_k);
     spp must then be a multiple of 2^split_k.
+    order_mode: "flat" (sample-major lanes) or "tiled" (lanes ordered by 2D
+    image tile so replay super-blocks cover compact regions; falls back to
+    flat when the frame has no suitable tile divisors).
+    banding: programs per replay super-block (0 = off): each (bounce,
+    super-block) atlas gather is wrapped in a lax.cond keyed on the record
+    kernel's fetch-lane counts, so blocks with nothing to fetch skip the
+    gather.  Requires max_bounces <= 7 (count rows).
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
     """
     n = spp * width * height
+    if order_mode == "tiled" and _tile_dims(width, height) is None:
+        order_mode = "flat"
+    if banding and max_bounces > 7:
+        banding = 0
     rec_g, rec_f, cnt = _record_call(seed, data, cam_vec, static, width,
                                      height, spp, max_bounces, interpret,
-                                     split_k, sampler, projection)
-    rec_g = rec_g.reshape(max_bounces, -1)[:, :n]
-    rec_f = rec_f.reshape(max_bounces, 12, -1)[:, :, :n]
-    L = _replay(rec_g, rec_f, data, static, max_bounces, n)
+                                     split_k, sampler, projection, order_mode)
+    if banding:
+        G = cnt.shape[0]
+        lanes = rec_g.shape[1] * 128 // G
+        live = cnt[:, 1:1 + max_bounces, 0] > 0          # (G, B)
+        rec_gp = rec_g.reshape(max_bounces, -1)
+        rec_fp = rec_f.reshape(max_bounces, 12, -1)
+        L = _replay(rec_gp, rec_fp, data, static, max_bounces,
+                    rec_gp.shape[1], band=(live, G, lanes, banding))[:n]
+    else:
+        rec_gp = rec_g.reshape(max_bounces, -1)[:, :n]
+        rec_fp = rec_f.reshape(max_bounces, 12, -1)[:, :, :n]
+        L = _replay(rec_gp, rec_fp, data, static, max_bounces, n)
+    if order_mode == "tiled":
+        # lane order is [tile_y, tile_x, sample, in-tile y, in-tile x];
+        # invert to the sample-major (spp, H*W) convention with one
+        # transpose (NOT a gather — the map is a pure reshape/permute)
+        TW, TH = _tile_dims(width, height)
+        L = L.reshape(height // TH, width // TW, spp, TH, TW, 3) \
+             .transpose(2, 0, 3, 1, 4, 5).reshape(n, 3)
     return L, cnt[:, 0, 0].sum()

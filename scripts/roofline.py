@@ -1,0 +1,252 @@
+"""Roofline / utilization statement for the two hot paths (VERDICT r3 #3).
+
+Produces falsifiable "% of peak" numbers for BASELINE.md:
+
+1. **VPU empirical peak** — a Pallas microkernel of chained f32 multiply-adds
+   on (8k, 128) tiles (no loads beyond the first, no stores beyond the last)
+   measures the achievable vector-op issue rate on this chip.  This is the
+   denominator for the solid path (specs would need the exact clock; a
+   measured ceiling is falsifiable).
+2. **Solid mega-kernel achieved op rate** — the Cornell kernel's unrolled
+   program is inspected via its jaxpr: every (TILE, 128)-shaped arithmetic
+   eqn is one VPU vector op, so ops/program = eqn count, achieved rate =
+   eqns x programs / device-busy time (from an xprof trace of the warm
+   render).  achieved / peak = VPU utilization.
+3. **Replay achieved gather rate** — example4's replay performs a known
+   number of atlas-gather rows per render (2 rounds x B x N); achieved
+   rows/s over the replay's device time vs the measured gather-engine
+   ceiling (~13 ns/row, scripts/probe_gather.py) = gather utilization.
+   (The engine, not HBM, is the wall: 13 ns/row of 4-byte rows is ~0.3 GB/s
+   of useful traffic on an ~800 GB/s part.)
+4. **Device-busy vs relay-idle wall fraction** for both renders, from the
+   xprof device plane.
+
+Writes ROOFLINE.json and prints the BASELINE.md block.
+"""
+import glob
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "examples"))
+
+import raytracer_tpu  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# xplane parsing (tensorflow.tsl proto shipped in this image)
+# ---------------------------------------------------------------------------
+
+
+def parse_xplane(profile_dir):
+    """(device_busy_s, trace_wall_s, top_ops {name: s}) from an xprof dir."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(str(Path(profile_dir) / "**" / "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {profile_dir}"
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(Path(sorted(paths)[-1]).read_bytes())
+    busy = 0.0
+    tops = {}
+    t_lo, t_hi = float("inf"), 0.0
+    for plane in space.planes:
+        is_dev = ("TPU" in plane.name and "XLA Op" not in plane.name
+                  and plane.name.startswith("/device"))
+        if not is_dev:
+            continue
+        evmeta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            # the per-core op line: events are non-overlapping executions
+            if line.name not in ("XLA Ops", "XLA Modules", "Steps"):
+                continue
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                dur = ev.duration_ps * 1e-12
+                busy += dur
+                nm = evmeta.get(ev.metadata_id, str(ev.metadata_id))
+                tops[nm] = tops.get(nm, 0.0) + dur
+                start = (line.timestamp_ns * 1e-9 + ev.offset_ps * 1e-12)
+                t_lo = min(t_lo, start)
+                t_hi = max(t_hi, start + dur)
+    wall = (t_hi - t_lo) if t_hi > t_lo else 0.0
+    return busy, wall, dict(sorted(tops.items(), key=lambda kv: -kv[1])[:12])
+
+
+# ---------------------------------------------------------------------------
+# 1. empirical VPU peak
+# ---------------------------------------------------------------------------
+
+
+def vpu_peak():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = 512          # chained fma per element
+    ROWS = 512
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[...]
+        b = a
+        for i in range(K):
+            b = b * a + 1.0      # one VPU fma (2 flops), serial chain broken
+            a = a + b            # by a second independent op per step
+        o_ref[...] = a
+
+    G = 64
+    x = jnp.ones((G * ROWS, 128), jnp.float32)
+    call = pl.pallas_call(
+        kernel, grid=(G,),
+        in_specs=[pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * ROWS, 128), jnp.float32))
+    f = jax.jit(call)
+    np.asarray(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append(time.perf_counter() - t0)
+    w = float(np.median(ts))
+    ops = G * ROWS * 128 * K * 2          # 2 vector ops per unrolled step
+    return ops / w                         # vector-lane-ops / s
+
+
+# ---------------------------------------------------------------------------
+# 2/3/4. workload traces
+# ---------------------------------------------------------------------------
+
+
+def kernel_vector_eqns(static, data, cam_vec, W, H, spp, B, split_k, sampler):
+    """Count (TILE, 128)-shaped arithmetic eqns in the solid kernel jaxpr."""
+    from raytracer_tpu.ops import pallas_trace as pt
+
+    seed = jnp.asarray([1, 2, 0], jnp.int32)
+    jaxpr = jax.make_jaxpr(
+        lambda s: pt.pallas_trace_chunk(s, data, cam_vec, static, W, H, spp,
+                                        B, False, split_k, sampler))(seed)
+
+    def walk(jx):
+        n = 0
+        for eq in jx.eqns:
+            if eq.primitive.name in ("pallas_call",):
+                inner = eq.params.get("jaxpr")
+                if inner is not None:
+                    n += walk(inner.jaxpr if hasattr(inner, "jaxpr")
+                              else inner)
+                continue
+            for sub in ("jaxpr", "call_jaxpr", "branches"):
+                p = eq.params.get(sub)
+                if p is None:
+                    continue
+                ps = p if isinstance(p, (list, tuple)) else [p]
+                for q in ps:
+                    n += walk(q.jaxpr if hasattr(q, "jaxpr") else q)
+            outs = eq.outvars
+            if (outs and hasattr(outs[0], "aval")
+                    and getattr(outs[0].aval, "shape", ())
+                    and outs[0].aval.shape[-1] == 128
+                    and eq.primitive.name not in (
+                        "broadcast_in_dim", "convert_element_type",
+                        "reshape", "iota", "squeeze")):
+                n += 1
+        return n
+
+    return walk(jaxpr.jaxpr)
+
+
+def trace_render(sc, spp, profile_dir, **kw):
+    sc.render(samples_per_pixel=spp, seed=1, **kw)        # warm
+    t0 = time.time()
+    img = sc.render(samples_per_pixel=spp, seed=2, profile_dir=profile_dir,
+                    **kw)
+    np.asarray(img)
+    return time.time() - t0
+
+
+def main():
+    out = {}
+    print("devices:", jax.devices())
+    peak = vpu_peak()
+    out["vpu_peak_vector_lane_ops_per_s"] = peak
+    print(f"VPU empirical peak: {peak / 1e12:.2f} T lane-ops/s")
+
+    # ---- Cornell (solid mega-kernel) ----
+    from example_cornellbox import build_cornell
+    from raytracer_tpu.core.compile import (compile_scene_cached,
+                                            derive_max_bounces,
+                                            derive_split_k)
+    from raytracer_tpu.ops.pallas_trace import TILE_ROWS
+
+    W = H = 400
+    SPP = 64                              # ~1/4 bench: short trace file
+    sc = build_cornell(W, H)
+    static, data = compile_scene_cached(sc)
+    _, _, settings = sc._settings_for_render(False)
+    B = settings.max_bounces
+    cam = sc.camera.params()
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.fwd, cam.right, cam.up,
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
+    chunk = max(1, min(SPP * 20, (1 << 22) // (W * H)))
+    eqns = kernel_vector_eqns(static, data, cam_vec, W, H, chunk, B,
+                              settings.split_k, settings.sampler)
+    wall = trace_render(sc, SPP, "/tmp/roofline_cornell")
+    busy, twall, tops = parse_xplane("/tmp/roofline_cornell")
+    n_chunks = -(-SPP * 20 // chunk)
+    programs = -(-chunk * W * H // (TILE_ROWS * 128)) * n_chunks
+    # the kernel op is the dominant busy entry; use its time if identifiable
+    kern_s = max((v for k, v in tops.items() if "custom" in k.lower()
+                  or "pallas" in k.lower() or "fusion" not in k.lower()),
+                 default=busy)
+    achieved = eqns * programs * TILE_ROWS * 128 / max(kern_s, 1e-9)
+    out["cornell"] = {
+        "wall_s": wall, "device_busy_s": busy, "busy_frac": busy / wall,
+        "kernel_vector_eqns_per_slot_program": eqns,
+        "programs": programs,
+        "achieved_lane_ops_per_s": achieved,
+        "vpu_utilization": achieved / peak,
+        "top_ops_s": tops,
+    }
+    print(json.dumps(out["cornell"], indent=1, default=float))
+
+    # ---- example4 (record + replay) ----
+    import importlib
+    m4 = importlib.import_module("example4")
+    sc4 = m4.Sc
+    wall4 = trace_render(sc4, 16, "/tmp/roofline_ex4")
+    busy4, _, tops4 = parse_xplane("/tmp/roofline_ex4")
+    st4, _ = compile_scene_cached(sc4)
+    _, _, set4 = sc4._settings_for_render(False)
+    eff = 16 * (1 << set4.split_k)
+    n = eff * 400 * 300
+    B4 = set4.max_bounces
+    gather_rows = 2 * B4 * n              # two dependent rounds (noise->LUT)
+    out["example4"] = {
+        "wall_s": wall4, "device_busy_s": busy4, "busy_frac": busy4 / wall4,
+        "gather_rows": gather_rows,
+        "achieved_ns_per_row_of_wall": wall4 / gather_rows * 1e9,
+        "gather_engine_ceiling_ns_per_row": 13.0,
+        "gather_utilization_of_wall": (gather_rows * 13e-9) / wall4,
+        "top_ops_s": tops4,
+    }
+    print(json.dumps(out["example4"], indent=1, default=float))
+
+    (ROOT / "ROOFLINE.json").write_text(json.dumps(out, indent=2,
+                                                   default=float))
+    print("wrote ROOFLINE.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -258,3 +258,59 @@ def test_bilinear_statistical_match():
     assert np.allclose(a.reshape(-1, 3).mean(0), b.reshape(-1, 3).mean(0),
                        atol=0.02)
     assert np.abs(a - b).mean() < 0.03
+
+
+def test_tiled_order_and_banding_bit_equal():
+    """2D-tiled record order + banded replay vs the flat order (round 4).
+
+    With every branch decision enumerated (split_k covers the depth) the
+    path set is deterministic and keyed by (pixel, sample), so the three
+    variants — flat, tiled, tiled + banded replay — must agree BIT-exactly:
+    the order remap is a pure permutation inverted by a transpose, and
+    banding only skips gathers for super-blocks whose lanes provably fetch
+    nothing.
+    """
+    import jax.numpy as jnp
+
+    from raytracer_tpu import Emissive, Refractive
+    from raytracer_tpu.core.compile import derive_max_bounces
+    from raytracer_tpu.ops.pallas_record import (_tile_dims,
+                                                 pallas_record_chunk)
+
+    tex = np.tile(np.linspace(0.1, 1.0, 16, dtype=np.float32)[None, :, None],
+                  (16, 1, 3))
+    sc = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    sc.add(Sphere(material=Refractive(n=vec3(1.5 + 4e-8j, 1.5, 1.5 + 4e-8j)),
+                  center=vec3(0, 0, -1.5), radius=0.5, shadow=False,
+                  max_ray_depth=3))
+    sc.add(Plane(material=Glossy(diff_color=image(tex, repeat=4.0),
+                                 roughness=0.2, spec_coeff=0.3,
+                                 diff_coeff=0.7, n=vec3(2.2, 2.2, 2.2)),
+                 center=vec3(0, -0.5, -3.0), width=12.0, height=12.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1),
+                 max_ray_depth=3))
+    sc.add(Sphere(material=Emissive(color=image(tex * 3, repeat=1.0)),
+                  center=vec3(1.5, 1.5, -1), radius=0.5))
+    sc.add_DirectionalLight(Ldir=vec3(0.3, 0.5, 0.4),
+                            color=rgb(0.4, 0.4, 0.4))
+    sc.add_Camera(look_from=vec3(0, 0.2, 1.0), look_at=vec3(0, 0, -1.5),
+                  screen_width=40, screen_height=32)
+    static, data = compile_scene(sc)
+    assert static.pallas_tex_ok
+    assert _tile_dims(40, 32) == (20, 16)
+    B = derive_max_bounces(static)
+    cam = sc.camera.params()
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.fwd, cam.right, cam.up,
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
+    seed = jnp.asarray([1234, 77, 0], jnp.int32)
+    kw = dict(interpret=True, split_k=3, sampler="r2")
+    out = {}
+    for name, om, bg in (("flat", "flat", 0), ("tiled", "tiled", 0),
+                         ("banded", "tiled", 2)):
+        L, _ = pallas_record_chunk(seed, data, cam_vec, static, 40, 32, 8, B,
+                                   order_mode=om, banding=bg, **kw)
+        out[name] = np.asarray(L)
+    assert np.array_equal(out["flat"], out["tiled"])
+    assert np.array_equal(out["tiled"], out["banded"])
