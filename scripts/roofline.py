@@ -86,20 +86,28 @@ def parse_xplane(profile_dir):
 # ---------------------------------------------------------------------------
 
 
-def vpu_peak():
+def vpu_peak(chains=8):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K = 512          # chained fma per element
+    K = 512          # fma ops per element
     ROWS = 512
 
     def kernel(x_ref, o_ref):
         a = x_ref[...]
-        b = a
-        for i in range(K):
-            b = b * a + 1.0      # one VPU fma (2 flops), serial chain broken
-            a = a + b            # by a second independent op per step
-        o_ref[...] = a
+        # `chains` INDEPENDENT fma chains: one serial chain measures
+        # latency-bound issue (1.17 T lane-ops/s measured at 2 interleaved
+        # ops); enough independent streams hide the fma latency and measure
+        # the true issue ceiling for the fma/select-heavy code the
+        # mega-kernel actually runs.  Measured: 4 chains 0.63 T (latency
+        # stalls), sweep below picks the max.
+        bs = [a + 0.1 * (j + 1) for j in range(chains)]
+        for i in range(K // chains):
+            bs = [b * a + 1.0 for b in bs]
+        r = bs[0]
+        for b in bs[1:]:
+            r = r + b
+        o_ref[...] = r
 
     G = 64
     x = jnp.ones((G * ROWS, 128), jnp.float32)
@@ -112,13 +120,24 @@ def vpu_peak():
         out_shape=jax.ShapeDtypeStruct((G * ROWS, 128), jnp.float32))
     f = jax.jit(call)
     np.asarray(f(x))
+    # one call is ~1 ms of device time — a synchronous timing would be all
+    # relay round-trip.  Chain REPS dependent calls (output feeds input, so
+    # the device can't elide any) and sync once.
+    REPS = 256
+
+    def chained(x):
+        for _ in range(REPS):
+            x = f(x)
+        return x
+
+    np.asarray(chained(x))
     ts = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(f(x))
+        np.asarray(chained(x))
         ts.append(time.perf_counter() - t0)
     w = float(np.median(ts))
-    ops = G * ROWS * 128 * K * 2          # 2 vector ops per unrolled step
+    ops = G * ROWS * 128 * (K // chains * chains) * REPS  # fma ops issued
     return ops / w                         # vector-lane-ops / s
 
 
@@ -177,9 +196,31 @@ def trace_render(sc, spp, profile_dir, **kw):
 def main():
     out = {}
     print("devices:", jax.devices())
-    peak = vpu_peak()
+    peaks = {c: vpu_peak(c) for c in (4, 8, 16)}
+    for c, p in peaks.items():
+        print(f"  vpu peak @ {c:2d} chains: {p / 1e12:.2f} T lane-ops/s",
+              flush=True)
+    peak = max(peaks.values())
     out["vpu_peak_vector_lane_ops_per_s"] = peak
+    out["vpu_peak_by_chains"] = {str(c): p for c, p in peaks.items()}
     print(f"VPU empirical peak: {peak / 1e12:.2f} T lane-ops/s")
+
+    if "--peak-only" in sys.argv:
+        # refresh just the peak + derived utilization in ROOFLINE.json
+        p = ROOT / "ROOFLINE.json"
+        prev = json.loads(p.read_text())
+        prev["vpu_peak_vector_lane_ops_per_s"] = peak
+        prev["vpu_peak_by_chains"] = out["vpu_peak_by_chains"]
+        if "cornell" in prev:
+            prev["cornell"]["vpu_utilization"] = (
+                prev["cornell"]["achieved_lane_ops_per_s"] / peak)
+        p.write_text(json.dumps(prev, indent=2, default=float))
+        print("updated ROOFLINE.json (peak only):",
+              json.dumps({k: prev[k] for k in
+                          ("vpu_peak_vector_lane_ops_per_s",)}, default=float))
+        print("cornell vpu_utilization:",
+              prev.get("cornell", {}).get("vpu_utilization"))
+        return
 
     # ---- Cornell (solid mega-kernel) ----
     from example_cornellbox import build_cornell

@@ -46,6 +46,16 @@ def timed(f, reps=2):
     return min(ws)
 
 
+def timed_cold(f):
+    """(cold_s incl. XLA:CPU compile, warm_s) — the PARITY wall is cold."""
+    t0 = time.perf_counter()
+    np.asarray(f())
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(f())
+    return cold, time.perf_counter() - t0
+
+
 def main():
     import importlib
     mod = importlib.import_module("example1")
@@ -54,9 +64,12 @@ def main():
 
     # full render, reference estimator (the PARITY.json configuration)
     sc.settings = RenderSettings(sampler="iid")
-    w_full = timed(lambda: np.asarray(sc.render(samples_per_pixel=SPP,
-                                                seed=0)), reps=1)
-    print(f"full render (iid, {SPP} spp):        {w_full:8.1f} s")
+    w_cold, w_full = timed_cold(
+        lambda: np.asarray(sc.render(samples_per_pixel=SPP, seed=0)))
+    print(f"full render COLD (incl. XLA:CPU compile): {w_cold:8.1f} s"
+          f"   (the PARITY.json regime)", flush=True)
+    print(f"full render WARM (iid, {SPP} spp):        {w_full:8.1f} s",
+          flush=True)
 
     static, data = compile_scene_cached(sc)
     _, _, settings = sc._settings_for_render(False)
@@ -121,7 +134,7 @@ def main():
 
     # alive-by-bounce (dense-cost vs live-work accounting)
     from raytracer_tpu.core.ray import first_hit, Ray
-    ray = Ray(origin=O, dir=D, n_re=n_re, n_im=n_im)
+    ray = Ray(origin=O, dir=D)
     hit = first_hit(ray, sc)
     print("bounce-0 hit fraction:",
           float(np.mean(np.asarray(hit.obj_id) >= 0)))

@@ -56,8 +56,28 @@ def scene_box():
     return sc, 16
 
 
+def scene_cornell_64():
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from example_cornellbox import build_cornell
+
+    return build_cornell(64, 64), 8
+
+
+def _example(name):
+    from _examples import load_example
+
+    return load_example(name, 64, 48)
+
+
+# the five reference workloads at 64-px frames (VERDICT r3 #8): big enough
+# that uv conventions, texture tiling and light falloff show up in-frame
 SCENES = {"cornell_mini": scene_cornell_mini, "glass": scene_glass,
-          "box": scene_box}
+          "box": scene_box,
+          "example1_64": lambda: (_example("example1"), 4),
+          "example2_64": lambda: (_example("example2"), 4),
+          "example3_64": lambda: (_example("example3"), 4),
+          "example4_64": lambda: (_example("example4"), 4),
+          "cornell_64": scene_cornell_64}
 
 
 def _render(name):
@@ -88,8 +108,29 @@ def test_golden_box():
     _check("box")
 
 
+def test_golden_example1_64():
+    _check("example1_64")
+
+
+def test_golden_example2_64():
+    _check("example2_64")
+
+
+def test_golden_example3_64():
+    _check("example3_64")
+
+
+def test_golden_example4_64():
+    _check("example4_64")
+
+
+def test_golden_cornell_64():
+    _check("cornell_64")
+
+
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "regen":
     GOLDEN_DIR.mkdir(exist_ok=True)
-    for name in SCENES:
+    only = sys.argv[2:]
+    for name in (only or SCENES):
         np.save(GOLDEN_DIR / f"{name}.npy", _render(name))
-        print("regenerated", name)
+        print("regenerated", name, flush=True)
