@@ -19,20 +19,49 @@ import numpy as np
 # Persistent XLA compilation cache: TPU compiles of the wavefront program take
 # minutes (remote-compile tunnel); caching them across processes makes every
 # re-run after the first instant.  Opt out with RAYTRACER_TPU_NO_CACHE=1.
-# CPU-forced runs (tests, bench_sharded, dryrun_multichip — they all export
-# JAX_PLATFORMS=cpu before importing this package) NEVER enable it: XLA:CPU
-# AOT executables embed the build host's machine features, and loading an
-# entry cached on a different host segfaults the process (observed: the
-# full test suite dying inside compilation_cache.get_executable_and_time
-# with cpu_aot_loader "machine type ... doesn't match" warnings).  CPU
-# compiles are fast; the cache only ever paid for the TPU tunnel anyway.
+#
+# CPU-forced runs (tests, bench_sharded, dryrun_multichip, the parity
+# report — they all export JAX_PLATFORMS=cpu before importing this package)
+# use a HOST-FINGERPRINT-KEYED directory: XLA:CPU AOT executables embed the
+# build host's machine features, and loading an entry cached on a different
+# host segfaults the process (observed: the full test suite dying inside
+# compilation_cache.get_executable_and_time with cpu_aot_loader "machine
+# type ... doesn't match" warnings, R3.13).  Keying the directory by
+# (machine, jax version, cpu model+flags) means a new VM starts a fresh
+# cache instead of crashing on the old one — and repeat CPU renders skip
+# XLA:CPU's multi-minute wavefront compiles, which measured as ~98% of the
+# cold example1 CPU wall (scripts/triage_cpu_example1.py, VERDICT r3 #4).
+
+
+def _cpu_host_fingerprint():
+    import hashlib
+    import platform
+
+    import jax as _j
+
+    lines = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith(("model name", "flags")):
+                    lines.append(ln.strip())
+                if len(lines) >= 2:
+                    break
+    except OSError:
+        lines.append(platform.processor())
+    blob = "|".join([platform.machine(), _j.__version__] + lines)
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
 _cpu_forced = _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
-if not _os.environ.get("RAYTRACER_TPU_NO_CACHE") and not _cpu_forced:
+if not _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
     import jax as _jax
 
     _cache_dir = _os.environ.get(
         "RAYTRACER_TPU_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "raytracer_tpu_xla"))
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "raytracer_tpu_xla_cpu_" + _cpu_host_fingerprint()
+                      if _cpu_forced else "raytracer_tpu_xla"))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -28,6 +28,13 @@ import tempfile
 import time
 from pathlib import Path
 
+# Both engines run on the same 1-core host CPU so the wall columns are
+# apples-to-apples (r3's PARITY.json timed our side through a COLD remote-TPU
+# compile — 246 s of XLA compile tunnel, not compute; VERDICT r3 #4).  Must
+# be set before raytracer_tpu/jax import; the axon sitecustomize overrides
+# the env var, so render_ours also calls jax.config.update.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -99,9 +106,18 @@ def render_reference(name, spp, size):
 
 
 def render_ours(name, spp, size):
-    """Render our twin example with the reference estimator (iid sampler)."""
+    """Render our twin example with the reference estimator (iid sampler).
+
+    Returns (image, cold_wall_s, warm_wall_s): cold includes the XLA:CPU
+    compile (skipped on repeat reports by the fingerprint-keyed persistent
+    cache, raytracer_tpu/__init__.py); warm is the steady-state render wall
+    the reference's numpy loop should be compared against.
+    """
     import importlib
 
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from raytracer_tpu import RenderSettings
 
     sys.path.insert(0, str(ROOT / "examples"))
@@ -114,7 +130,10 @@ def render_ours(name, spp, size):
         sc = m.Sc
     sc.settings = RenderSettings(sampler="iid")
     img = np.asarray(sc.render(samples_per_pixel=spp, seed=0))
-    return img, time.time() - t0
+    cold = time.time() - t0
+    t0 = time.time()
+    img = np.asarray(sc.render(samples_per_pixel=spp, seed=0))
+    return img, cold, time.time() - t0
 
 
 def mse(a, b):
@@ -155,7 +174,7 @@ def main():
     report = {}
     for name, spp, size in WORKLOADS:
         ref, t_ref = render_reference(name, spp, size)
-        ours, t_ours = render_ours(name, spp, size)
+        ours, t_cold, t_warm = render_ours(name, spp, size)
         assert ref.shape == ours.shape, (name, ref.shape, ours.shape)
         row = {
             "spp": spp,
@@ -163,7 +182,8 @@ def main():
             "mse_rgb": mse(ours, ref),
             "ssim": ssim(ours, ref),
             "ref_wall_s": round(t_ref, 2),
-            "ours_wall_s": round(t_ours, 2),
+            "ours_wall_cold_s": round(t_cold, 2),
+            "ours_wall_s": round(t_warm, 2),
         }
         if not args.skip_ref_repeat:
             ref2, _ = render_reference(name, spp, size)
