@@ -193,8 +193,68 @@ def trace_render(sc, spp, profile_dir, **kw):
     return time.time() - t0
 
 
+def gather_path_block(name, sc, spp):
+    """Gather-row speed-of-light accounting for a record/replay scene.
+
+    The replay's atlas gathers sweep every (bounce, ray) record element:
+    round 1 always (x4 taps when any group fetches bilinear), round 2 only
+    for thin-film slots past TF_COMP_LIMIT (pallas_record.py Round/fetch).
+    rows = taps_r1 * B * N (+ B * N for round 2); utilization compares the
+    END-TO-END wall against rows x the measured single-stream gather-engine
+    ceiling (probe_gather.py, ~13 ns/row) — "how close is the whole render
+    to the time the gather microbenchmark alone needs for this row count".
+    """
+    from raytracer_tpu.core.compile import compile_scene_cached
+    from raytracer_tpu.materials.base import MAT_THINFILM
+    from raytracer_tpu.ops.pallas_record import _shading_groups
+
+    static, _ = compile_scene_cached(sc)
+    assert static.pallas_tex_ok, f"{name} does not route the record path"
+    _, _, st = sc._settings_for_render(False)
+    W, H = sc.camera.screen_width, sc.camera.screen_height
+    eff = spp * sc._diffuse_fan() * (1 << st.split_k)
+    n = eff * W * H
+    B = st.max_bounces
+    _, order = _shading_groups(static)
+    tf_comp = {r.slot for r in static.thinfilm_comp}
+    round2 = any(mt == MAT_THINFILM and slot not in tf_comp
+                 for (mt, slot, _d, _mc) in order)
+    bil = any(r.bilinear for r in (tuple(static.diffuse_tex)
+                                   + tuple(static.glossy_tex)
+                                   + tuple(static.emissive_tex)))
+    taps = 4 if bil else 1
+    rows = (taps + (1 if round2 else 0)) * B * n
+    wall = trace_render(sc, spp, f"/tmp/roofline_{name}")
+    busy, _, tops = parse_xplane(f"/tmp/roofline_{name}")
+    blk = {
+        "wall_s": wall, "device_busy_s": busy, "busy_frac": busy / wall,
+        "eff_spp": eff, "bounces": B, "replay_rounds": 1 + int(round2),
+        "bilinear_taps": taps, "gather_rows": rows,
+        "achieved_ns_per_row_of_wall": wall / rows * 1e9,
+        "gather_engine_ceiling_ns_per_row": 13.0,
+        "gather_utilization_of_wall": (rows * 13e-9) / wall,
+        "top_ops_s": tops,
+    }
+    print(name, json.dumps({k: v for k, v in blk.items()
+                            if k != "top_ops_s"}, indent=1, default=float))
+    return blk
+
+
 def main():
     out = {}
+    if "--gather-only" in sys.argv:
+        # examples 1-3 (single-round record/replay scenes) appended to the
+        # existing ROOFLINE.json: is THEIR wall also the gather engine?
+        import importlib
+        print("devices:", jax.devices())
+        p = ROOT / "ROOFLINE.json"
+        prev = json.loads(p.read_text()) if p.exists() else {}
+        for name in ("example1", "example2", "example3"):
+            sc = importlib.import_module(name).Sc
+            prev[name] = gather_path_block(name, sc, 16)
+        p.write_text(json.dumps(prev, indent=2, default=float))
+        print("updated ROOFLINE.json (gather blocks)")
+        return
     print("devices:", jax.devices())
     peaks = {c: vpu_peak(c) for c in (4, 8, 16)}
     for c, p in peaks.items():
