@@ -19,6 +19,7 @@ can checkpoint the linear accumulator + sample counter and resume
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -415,7 +416,20 @@ class Scene:
             # fastest on example4: 2.55 s -> 2.18 s @ 16 spp (knee at ~1M;
             # 0.5M and 0.25M identical).  The solid mega-kernel path keeps
             # full chunks (13 ms per execution — no stall regime).
+            #
+            # A 2M cap for single-round B=6 scenes looked 12% faster in a
+            # bare chunk-loop probe (example3 1187 -> 1059 ms,
+            # scripts/probe_chunk_cap.py) but measured SLOWER through this
+            # production loop (1.409 vs 1.378 s, interleaved in-process
+            # A/B, TPU v5e 2026-08-20) — the per-chunk accumulate/sync
+            # structure eats the dispatch-gap saving.  Not widened.
             max_rays = 1 << 20
+            # the cap is tuned through the axon relay (the stall is a relay
+            # artifact) — override to re-measure on direct-attached TPUs
+            # (scripts/probe_chunk_cap.py is the A/B template)
+            env_cap = os.environ.get("RAYTPU_RECORD_CHUNK_RAYS")
+            if env_cap:
+                max_rays = int(env_cap)
         if data.geom.tri_cl_lo.shape[0]:
             # clustered-sweep scenes: ~4M-ray chunks measured 5.7x SLOWER
             # than the same work in ~0.5M-ray chunks (46k tris, 32 spp:

@@ -63,6 +63,16 @@ def _shading_groups(static):
     return groups, order
 
 
+def replay_rounds(static):
+    """Static replay gather-round count for a record-path scene: 1, or 2
+    when any thin-film slot past TF_COMP_LIMIT forces the dependent
+    noise->LUT second round (see Round/fetch below)."""
+    _, order = _shading_groups(static)
+    comp = {r.slot for r in static.thinfilm_comp}
+    return 1 + int(any(mt == MAT_THINFILM and slot not in comp
+                       for (mt, slot, _d, _mc) in order))
+
+
 def _uv_for(rec, g, px, py, pz, nx_r, ny_r, nz_r):
     """Texture uv per object kind (reference formulas; see geometry/attrs.py).
 
