@@ -56,11 +56,19 @@ def bench_examples():
         # fresh compile (minutes through the axon tunnel)
         sc.render(samples_per_pixel=spp, batch_size=None, seed=1,
                   return_stats=True)
-        t0 = time.time()
-        _, stats = sc.render(samples_per_pixel=spp, seed=2, return_stats=True)
-        out[name] = {"wall_s": round(time.time() - t0, 3),
+        # median of 3: a single render can eat a multi-hundred-ms relay
+        # stall (observed: example2 1.60 s one-off vs 0.76 s steady)
+        walls = []
+        for seed in (2, 3, 4):
+            t0 = time.time()
+            _, stats = sc.render(samples_per_pixel=spp, seed=seed,
+                                 return_stats=True)
+            walls.append(time.time() - t0)
+        wall = sorted(walls)[1]
+        out[name] = {"wall_s": round(wall, 3),
                      "spp": spp, "samples": int(stats["samples"]),
-                     "mrays_per_s": round(stats["mrays_per_s"], 1)}
+                     "mrays_per_s": round(
+                         stats["rays_traced"] / wall / 1e6, 1)}
     return out
 
 
@@ -70,13 +78,17 @@ def bench_mesh_scene():
     sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     from bench_mesh import build_scene
 
+    import numpy as np
+
     sc = build_scene(4)
     sc.render(samples_per_pixel=4, seed=0, return_stats=True)
-    t0 = time.time()
-    img, st = sc.render(samples_per_pixel=4, seed=1, return_stats=True)
-    import numpy as np
-    np.asarray(img)
-    return {"wall_s": round(time.time() - t0, 3), "tris": 5120, "spp": 4}
+    walls = []
+    for seed in (1, 2, 3):
+        t0 = time.time()
+        img, st = sc.render(samples_per_pixel=4, seed=seed, return_stats=True)
+        np.asarray(img)
+        walls.append(time.time() - t0)
+    return {"wall_s": round(sorted(walls)[1], 3), "tris": 5120, "spp": 4}
 
 
 def bench_sharded_block(timeout=1800):
