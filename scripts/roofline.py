@@ -291,6 +291,8 @@ def main():
 
     W = H = 400
     SPP = 64                              # ~1/4 bench: short trace file
+    if "--spp" in sys.argv:               # --spp 256 = full bench scale
+        SPP = int(sys.argv[sys.argv.index("--spp") + 1])
     sc = build_cornell(W, H)
     static, data = compile_scene_cached(sc)
     _, _, settings = sc._settings_for_render(False)
