@@ -39,34 +39,82 @@ def _cpu_host_fingerprint():
 
     import jax as _j
 
+    # x86 exposes "model name"/"flags"; ARM "CPU implementer"/"CPU part"/
+    # "Features".  If nothing matches (unknown /proc layout), fall back to
+    # platform.processor() so the fingerprint never degenerates to just
+    # (machine, jax version) — two hosts sharing a home dir with that blob
+    # would share AOT executables and re-create the R3.13 segfault.
     lines = []
     try:
         with open("/proc/cpuinfo") as f:
             for ln in f:
-                if ln.startswith(("model name", "flags")):
+                if ln.startswith(("model name", "flags", "CPU implementer",
+                                  "CPU part", "Features")):
                     lines.append(ln.strip())
                 if len(lines) >= 2:
                     break
     except OSError:
+        pass
+    if not lines:
         lines.append(platform.processor())
     blob = "|".join([platform.machine(), _j.__version__] + lines)
     return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
 
-_cpu_forced = _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
-if not _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
+def _cpu_is_forced():
+    """True when this process is pinned to XLA:CPU.
+
+    Checks the env var AND (when jax is already imported) the config value:
+    the axon sitecustomize overrides the env var, so the documented way to
+    force CPU is jax.config.update("jax_platforms", "cpu") — a process
+    doing only that must still get the fingerprint-keyed CPU cache dir, or
+    its XLA:CPU AOT executables would poison the shared TPU cache (R3.13)."""
+    import sys as _sys
+
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    _j = _sys.modules.get("jax")
+    if _j is not None:
+        try:
+            return (_j.config.jax_platforms or "").strip().lower() == "cpu"
+        except Exception:
+            pass
+    return False
+
+
+def _set_cache_dir(cpu_forced):
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
+    cache_dir = _os.environ.get(
         "RAYTRACER_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache",
                       "raytracer_tpu_xla_cpu_" + _cpu_host_fingerprint()
-                      if _cpu_forced else "raytracer_tpu_xla"))
+                      if cpu_forced else "raytracer_tpu_xla"))
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # cache is an optimization, never a hard dependency
         pass
+
+
+def _ensure_cache_matches_backend():
+    """Re-point the persistent cache if the backend diverged from the
+    import-time guess (jax.config.update("jax_platforms", "cpu") AFTER
+    importing this package).  Called from compile_scene — i.e. before the
+    first scene program is built — so a late CPU pin still lands in the
+    fingerprint-keyed CPU directory."""
+    if _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
+        return
+    global _cpu_forced
+    forced = _cpu_is_forced()
+    if forced != _cpu_forced:
+        _cpu_forced = forced
+        _set_cache_dir(forced)
+
+
+_cpu_forced = _cpu_is_forced()
+if not _os.environ.get("RAYTRACER_TPU_NO_CACHE"):
+    _set_cache_dir(_cpu_forced)
 
 from .animation import (create_animation,
                         create_animation_using_opencv, render_motion_blur)

@@ -1269,6 +1269,12 @@ def _layout_instanced(b, TV, CVN, CUV, TNM):
 
 
 def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
+    # late platform pins (jax.config.update("jax_platforms", "cpu") after
+    # the package import) must re-point the persistent XLA cache before the
+    # first program of this scene is built (see __init__._set_cache_dir)
+    from .. import _ensure_cache_matches_backend
+    _ensure_cache_matches_backend()
+
     b = _Builder()
     for prim in scene.scene_primitives:
         b.add_primitive(prim)

@@ -181,7 +181,8 @@ def _tile_rows(max_bounces):
 
 def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                         lam=WAVELENGTHS_NM, sampler="iid",
-                        projection="pinhole", spp=None, order_mode="flat"):
+                        projection="pinhole", spp=None, order_mode="flat",
+                        emit_counts=False):
     records = static.obj_records
     groups, order = _shading_groups(static)
     shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
@@ -684,11 +685,14 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
 
             # per-bounce fetch-lane count (drives the banded replay's
             # super-block skips; groups that never fetch — solid glossy /
-            # refractive / diffuse — don't keep a block live)
-            fm = jnp.zeros(shape, bool)
-            for gidv in sorted(fetch_gids):
-                fm = fm | (jnp.bitwise_and(gid_out, 0xFFFF) == gidv)
-            fetch_counts.append(jnp.sum(fm.astype(jnp.int32)))
+            # refractive / diffuse — don't keep a block live).  Only emitted
+            # when the banded replay asked for it (banding=): the default
+            # production kernel carries no counting work.
+            if emit_counts:
+                fm = jnp.zeros(shape, bool)
+                for gidv in sorted(fetch_gids):
+                    fm = fm | (jnp.bitwise_and(gid_out, 0xFFFF) == gidv)
+                fetch_counts.append(jnp.sum(fm.astype(jnp.int32)))
 
             # write this bounce's record
             rec_g_ref[bounce, :, :] = gid_out
@@ -1059,7 +1063,7 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n, band=None):
 
 def _record_call(seed, data, cam_vec, static, width, height, spp,
                  max_bounces, interpret=False, split_k=0, sampler="iid",
-                 projection="pinhole", order_mode="flat"):
+                 projection="pinhole", order_mode="flat", emit_counts=False):
     """Run the Pallas record kernel; returns raw (rec_g, rec_f, cnt)."""
     n_pix = width * height
     n = spp * n_pix
@@ -1088,7 +1092,8 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
     kernel = _make_record_kernel(static, width, height, max_bounces, n_pix,
                                  split_k, sampler=sampler,
                                  projection=projection, spp=spp,
-                                 order_mode=order_mode)
+                                 order_mode=order_mode,
+                                 emit_counts=emit_counts)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -1155,7 +1160,8 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
         banding = 0
     rec_g, rec_f, cnt = _record_call(seed, data, cam_vec, static, width,
                                      height, spp, max_bounces, interpret,
-                                     split_k, sampler, projection, order_mode)
+                                     split_k, sampler, projection, order_mode,
+                                     emit_counts=bool(banding))
     if banding:
         G = cnt.shape[0]
         lanes = rec_g.shape[1] * 128 // G

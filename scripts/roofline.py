@@ -205,8 +205,7 @@ def gather_path_block(name, sc, spp):
     to the time the gather microbenchmark alone needs for this row count".
     """
     from raytracer_tpu.core.compile import compile_scene_cached
-    from raytracer_tpu.materials.base import MAT_THINFILM
-    from raytracer_tpu.ops.pallas_record import _shading_groups
+    from raytracer_tpu.ops.pallas_record import replay_rounds
 
     static, _ = compile_scene_cached(sc)
     assert static.pallas_tex_ok, f"{name} does not route the record path"
@@ -215,10 +214,7 @@ def gather_path_block(name, sc, spp):
     eff = spp * sc._diffuse_fan() * (1 << st.split_k)
     n = eff * W * H
     B = st.max_bounces
-    _, order = _shading_groups(static)
-    tf_comp = {r.slot for r in static.thinfilm_comp}
-    round2 = any(mt == MAT_THINFILM and slot not in tf_comp
-                 for (mt, slot, _d, _mc) in order)
+    round2 = replay_rounds(static) == 2
     bil = any(r.bilinear for r in (tuple(static.diffuse_tex)
                                    + tuple(static.glossy_tex)
                                    + tuple(static.emissive_tex)))
@@ -310,8 +306,8 @@ def main():
     n_chunks = -(-SPP * 20 // chunk)
     programs = -(-chunk * W * H // (TILE_ROWS * 128)) * n_chunks
     # the kernel op is the dominant busy entry; use its time if identifiable
-    kern_s = max((v for k, v in tops.items() if "custom" in k.lower()
-                  or "pallas" in k.lower() or "fusion" not in k.lower()),
+    kern_s = max((v for k, v in tops.items()
+                  if "custom" in k.lower() or "pallas" in k.lower()),
                  default=busy)
     achieved = eqns * programs * TILE_ROWS * 128 / max(kern_s, 1e-9)
     out["cornell"] = {
@@ -330,12 +326,13 @@ def main():
     sc4 = m4.Sc
     wall4 = trace_render(sc4, 16, "/tmp/roofline_ex4")
     busy4, _, tops4 = parse_xplane("/tmp/roofline_ex4")
+    from raytracer_tpu.ops.pallas_record import replay_rounds
     st4, _ = compile_scene_cached(sc4)
     _, _, set4 = sc4._settings_for_render(False)
     eff = 16 * (1 << set4.split_k)
     n = eff * 400 * 300
     B4 = set4.max_bounces
-    gather_rows = 2 * B4 * n              # two dependent rounds (noise->LUT)
+    gather_rows = replay_rounds(st4) * B4 * n   # 2 for example4 (noise->LUT)
     out["example4"] = {
         "wall_s": wall4, "device_busy_s": busy4, "busy_frac": busy4 / wall4,
         "gather_rows": gather_rows,
