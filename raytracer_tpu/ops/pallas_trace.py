@@ -431,13 +431,26 @@ def _normal_for(rec, g, px, py, pz):
 
 
 def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
-                 lam=WAVELENGTHS_NM, sampler="iid", projection="pinhole"):
+                 lam=WAVELENGTHS_NM, sampler="iid", projection="pinhole",
+                 merge_groups=True):
     records = static.obj_records
-    # shading groups: objects sharing (material, depth-cap, mc) shade together
+    # shading groups: objects sharing (material KIND, depth-cap, mc[, static
+    # code shape]) shade together — ONE unrolled block per kind with per-lane
+    # selection of the member materials' parameters.  Same-kind materials run
+    # identical sampling/shading math (only the parameter table rows differ),
+    # so merging slots into one block removes whole duplicated blocks from
+    # the issue-bound kernel (R4.11; the kernel is VPU-issue-bound per the
+    # roofline, so equation count is the wall).  Per-lane selection is
+    # bit-identical per lane: group masks are disjoint and the RNG draws
+    # were already shared across groups.
     groups = {}
     for i, rec in enumerate(records):
-        groups.setdefault((rec.mat_type, rec.mat_slot, rec.max_depth, rec.mc),
-                          []).append(i)
+        extra = (bool(static.refr_disp[rec.mat_slot])
+                 if rec.mat_type == MAT_REFRACTIVE else None)
+        key = (rec.mat_type, rec.max_depth, rec.mc, extra)
+        if not merge_groups:      # pre-merge grouping, kept for A/B probes
+            key = key + (rec.mat_slot,)
+        groups.setdefault(key, []).append(i)
     shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
 
     def kernel(seed_ref, cam_ref, geom_ref, dif_ref, glo_ref, refr_ref,
@@ -550,21 +563,44 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             # each ray belongs to exactly one group)
             ru = [rng.uniform() for _ in range(6)]
 
-            for (mt, slot, maxd, mc), ids in groups.items():
-                g = obj == ids[0]
-                for i in ids[1:]:
-                    g = g | (obj == i)
+            for gkey, ids in groups.items():
+                mt, maxd, mc, extra = gkey[:4]
+                mmasks = [obj == i for i in ids]
+                g = mmasks[0]
+                for m_i in mmasks[1:]:
+                    g = g | m_i
                 g = g & hit
+                # unique member slots + their lane masks for per-lane
+                # parameter selection; single-slot groups read plain scalars
+                # (identical code to the pre-merge per-slot kernel)
+                slots, slot_masks = [], []
+                for i, m_i in zip(ids, mmasks):
+                    s = records[i].mat_slot
+                    if s in slots:
+                        ks = slots.index(s)
+                        slot_masks[ks] = slot_masks[ks] | m_i
+                    else:
+                        slots.append(s)
+                        slot_masks.append(m_i)
+
+                def param(ref, j, _slots=slots, _masks=slot_masks):
+                    v = ref[_slots[0], j]
+                    if len(_slots) == 1:
+                        return v
+                    out = jnp.full(shape, v)
+                    for s, ms in zip(_slots[1:], _masks[1:]):
+                        out = jnp.where(ms, ref[s, j], out)
+                    return out
 
                 if mt == MAT_EMISSIVE:
-                    col = [emi_ref[slot, k] for k in range(3)]
+                    col = [param(emi_ref, k) for k in range(3)]
                     for k in range(3):
                         add[k] = jnp.where(g, col[k], add[k])
                     # terminal: new_alive stays False for g
 
                 elif mt == MAT_DIFFUSE:
-                    col = [dif_ref[slot, k] for k in range(3)]
-                    aw = dif_ref[slot, 3]
+                    col = [param(dif_ref, k) for k in range(3)]
+                    aw = param(dif_ref, 3)
                     nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
                     ax_u, ax_v = _orthobasis(nx, ny, nz)
                     # stratified lattice draws override the hash draws at
@@ -653,8 +689,8 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     new_alive = new_alive | gc
 
                 elif mt == MAT_REFRACTIVE:
-                    m_re = [refr_ref[slot, k] for k in range(3)]
-                    m_im = [refr_ref[slot, k + 3] for k in range(3)]
+                    m_re = [param(refr_ref, k) for k in range(3)]
+                    m_im = [param(refr_ref, k + 3) for k in range(3)]
                     cos_i = -(dx * nx + dy * ny + dz * nz)          # V.N
                     entering = orient > 0
                     F = []
@@ -684,7 +720,7 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     # paths refract at ONE uniformly-chosen channel's IoR
                     # and carry 3x that channel's throughput — the same
                     # hero-wavelength estimator as shade_refractive
-                    disp = bool(static.refr_disp[slot])
+                    disp = bool(extra)  # static per merged group (key)
                     if disp:
                         hu = rng.uniform()
                         h0 = hu < (1.0 / 3.0)
@@ -758,12 +794,12 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     new_alive = new_alive | gc
 
                 elif mt == MAT_GLOSSY:
-                    col = [glo_ref[slot, k] for k in range(3)]
-                    g_re = [glo_ref[slot, 3 + k] for k in range(3)]
-                    g_im = [glo_ref[slot, 6 + k] for k in range(3)]
-                    rough = glo_ref[slot, 9]
-                    spec_c = glo_ref[slot, 10]
-                    diff_c = glo_ref[slot, 11]
+                    col = [param(glo_ref, k) for k in range(3)]
+                    g_re = [param(glo_ref, 3 + k) for k in range(3)]
+                    g_im = [param(glo_ref, 6 + k) for k in range(3)]
+                    rough = param(glo_ref, 9)
+                    spec_c = param(glo_ref, 10)
+                    diff_c = param(glo_ref, 11)
                     dc = [col[k] * diff_c for k in range(3)]
                     vx, vy, vz = -dx, -dy, -dz
                     nux, nuy, nuz = px + nx * eps, py + ny * eps, pz + nz * eps
@@ -916,10 +952,11 @@ def _light_table(lt):
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
                                              "split_k", "sampler",
-                                             "projection"))
+                                             "projection", "merge_groups"))
 def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                        max_bounces, interpret=False, split_k=0,
-                       sampler="iid", projection="pinhole"):
+                       sampler="iid", projection="pinhole",
+                       merge_groups=True):
     """Trace one spp-chunk with the mega-kernel.
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
@@ -954,7 +991,8 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                               jnp.zeros(7, jnp.float32)])[None, :]
 
     kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
-                          split_k, sampler=sampler, projection=projection)
+                          split_k, sampler=sampler, projection=projection,
+                          merge_groups=merge_groups)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(

@@ -68,6 +68,53 @@ def _timed(f, reps=REPS):
     return ws[len(ws) // 2], ws
 
 
+def scale_curve():
+    """Overhead-vs-device-count curve (weak scaling on the serialized host).
+
+    For n in {2, 4, 8} sample shards: render Cornell through the full
+    `Scene.render(mesh=...)` chunk loop at spp chosen so per-device work is
+    CONSTANT (n * 20/8 eff samples per device nominal -> spp = n).  The 8
+    virtual devices serialize on this 1-core host, so ideal weak scaling is
+    wall_n == n x wall_single(same per-device work); `overhead_n` is the
+    measured ratio — the sharded program's own cost (psum + shard_map
+    plumbing + chunk-loop dispatch) as a function of device count.  This is
+    the scaling SHAPE a real pod run would inherit (its psum additionally
+    rides ICI, measured separately as psum_s in the main block).
+    """
+    from example_cornellbox import build_cornell
+
+    from raytracer_tpu.parallel.sharded import make_mesh
+
+    sc = build_cornell(W, H)
+
+    # single-device baseline at the matched per-device work (spp=1 x fan 20)
+    render_1 = lambda seed: sc.render(samples_per_pixel=1, seed=seed,
+                                      batch_size=BATCH, output="linear")
+    np.asarray(render_1(0))
+    t_single, _ = _timed(lambda: render_1(1))
+
+    curve = []
+    for n in (2, 4, 8):
+        mesh = make_mesh(n_sample_shards=n, n_pixel_shards=1)
+        render_n = lambda seed: sc.render(samples_per_pixel=n, seed=seed,
+                                          mesh=mesh, batch_size=BATCH,
+                                          output="linear")
+        np.asarray(render_n(0))                                    # warm
+        t_n, _ = _timed(lambda: render_n(1), reps=3)
+        curve.append({
+            "n_devices": n,
+            "spp": n,
+            "wall_s": round(t_n, 3),
+            "overhead_n": round(t_n / (n * t_single), 3),
+        })
+    print(json.dumps({
+        "mode": "scale_curve",
+        "frame": f"{W}x{H}",
+        "wall_s_single": round(t_single, 3),
+        "curve": curve,
+    }))
+
+
 def main():
     from example_cornellbox import build_cornell
 
@@ -146,4 +193,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale-curve" in sys.argv:
+        scale_curve()
+    else:
+        main()

@@ -155,3 +155,66 @@ def test_deterministic_split_kernel_matches_jnp():
     # interior pixels see the furnace almost exactly via both trees
     assert np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max() < 0.02, (
         np.abs(a[2:6, 2:6] - b[2:6, 2:6]).max())
+
+
+def test_merged_groups_match_per_slot_blocks():
+    """Merged same-kind shading groups (R4.11) vs the pre-merge per-slot
+    blocks: per-lane parameter selection must reproduce the per-slot
+    kernel's estimator lane-for-lane (identical draws, identical math) —
+    only FMA/fusion-level rounding may differ (<= a few ulps observed).
+
+    Scene mixes every mergeable kind with multiple slots: 3 diffuse,
+    2 glossy, 2 emissive, 2 refractive materials."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu import Glossy
+    from raytracer_tpu.core.compile import compile_scene
+    from raytracer_tpu.ops.pallas_trace import pallas_trace_chunk
+
+    sc = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    sc.add_Camera(look_from=vec3(0, 0.5, 2.5), look_at=vec3(0, 0.3, 0),
+                  screen_width=16, screen_height=16, field_of_view=45)
+    sc.add_DirectionalLight(Ldir=vec3(0.3, -1, -0.4), color=rgb(1, 1, 1))
+    sc.add(Plane(material=Diffuse(diff_color=rgb(0.7, 0.7, 0.7)),
+                 center=vec3(0, 0, 0), width=8.0, height=8.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1)))
+    sc.add(Sphere(material=Diffuse(diff_color=rgb(0.8, 0.2, 0.2)),
+                  center=vec3(-0.9, 0.3, 0), radius=0.3))
+    sc.add(Sphere(material=Diffuse(diff_color=rgb(0.2, 0.2, 0.8),
+                                   ambient_weight=0.3),
+                  center=vec3(-0.3, 0.3, 0), radius=0.3))
+    sc.add(Sphere(material=Glossy(diff_color=rgb(0.4, 0.6, 0.4),
+                                  n=vec3(1.5, 1.5, 1.5), roughness=0.3,
+                                  spec_coeff=0.3, diff_coeff=0.7),
+                  center=vec3(0.3, 0.3, 0), radius=0.3))
+    sc.add(Sphere(material=Glossy(diff_color=rgb(0.6, 0.4, 0.2),
+                                  n=vec3(2.0, 2.0, 2.0), roughness=0.0,
+                                  spec_coeff=0.5, diff_coeff=0.5),
+                  center=vec3(0.9, 0.3, 0), radius=0.3))
+    sc.add(Sphere(material=Refractive(n=vec3(1.5, 1.5, 1.5)),
+                  center=vec3(-0.6, 0.9, -0.6), radius=0.25, shadow=False))
+    sc.add(Sphere(material=Refractive(n=vec3(1.3, 1.3, 1.3)),
+                  center=vec3(0.6, 0.9, -0.6), radius=0.25, shadow=False))
+    sc.add(Sphere(material=Emissive(color=rgb(2, 2, 1.8)),
+                  center=vec3(0, 2.5, 0), radius=0.4, shadow=False))
+    sc.add(Sphere(material=Emissive(color=rgb(0.5, 1.5, 2.0)),
+                  center=vec3(2, 2.0, -2), radius=0.4, shadow=False))
+
+    static, data = compile_scene(sc)
+    assert static.pallas_ok
+    _, _, settings = sc._settings_for_render(False)
+    cam = sc.camera.params()
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.fwd, cam.right, cam.up,
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
+    seed = jnp.array([77, 778, 0], jnp.int32)
+    out = {}
+    for merge in (True, False):
+        L, _ = pallas_trace_chunk(
+            seed, data, cam_vec, static, 16, 16, 4, 6, True,
+            settings.split_k, settings.sampler, settings.projection,
+            merge_groups=merge)
+        out[merge] = np.asarray(L)
+    assert np.allclose(out[True], out[False], atol=1e-5), (
+        np.abs(out[True] - out[False]).max())
