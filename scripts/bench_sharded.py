@@ -95,7 +95,8 @@ def scale_curve():
 
     curve = []
     for n in (2, 4, 8):
-        mesh = make_mesh(n_sample_shards=n, n_pixel_shards=1)
+        mesh = make_mesh(n_sample_shards=n, n_pixel_shards=1,
+                         devices=jax.devices()[:n])
         render_n = lambda seed: sc.render(samples_per_pixel=n, seed=seed,
                                           mesh=mesh, batch_size=BATCH,
                                           output="linear")
