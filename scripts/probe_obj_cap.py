@@ -67,6 +67,7 @@ def main(sizes, n_materials=None):
     for n in sizes:
         sc = build(n, n_materials)
         C.PALLAS_MAX_OBJECTS = 10 ** 6
+        C.PALLAS_MAX_GROUPS = 10 ** 6
         static, _ = compile_scene(sc)
         route = "pallas" if static.pallas_ok else "jnp"
         t0 = time.time()
@@ -81,6 +82,7 @@ def main(sizes, n_materials=None):
         sc2 = build(n, n_materials)
         w_jnp = timed_render(sc2, spp)
         C.PALLAS_MAX_OBJECTS = 48
+        C.PALLAS_MAX_GROUPS = 36
         pal = (f"{w_pal:6.2f}s (compile+warm {compile_s:5.1f}s)"
                if w_pal else "   --")
         print(f"N={n:4d} objects  route={route:6s} pallas {pal}   "
