@@ -17,7 +17,10 @@ over the numpy reference's total-ray throughput measured on this host
 Timing: median of REPS identical renders (first render per process pays
 executable-load/warmup and is excluded); IQR reported so round-over-round
 deltas are attributable.  Set RAYTPU_BENCH_EXAMPLES=0 to skip the
-per-example timings (examples 1-4, one render each at 16 spp).
+per-example timings (examples 1-4, one render each at 16 spp), and
+RAYTPU_BENCH_FEATURES=0 to skip the feature-path block (instancing,
+smooth+normal-mapped mesh, env-IS, ODS — one timed render each so every
+production render path has a round-over-round number, VERDICT r4 #4).
 """
 
 import json
@@ -89,6 +92,67 @@ def bench_mesh_scene():
         np.asarray(img)
         walls.append(time.time() - t0)
     return {"wall_s": round(sorted(walls)[1], 3), "tris": 5120, "spp": 4}
+
+
+def bench_feature_paths():
+    """One timed render per non-reference feature path (VERDICT r4 #4):
+    instanced meshes, smooth+normal-mapped mesh, env-importance-sampled
+    panorama, ODS stereo — the paths test_instances/test_mesh_attrs/
+    test_env_is/test_vr prove correct but no bench ever timed.  All four
+    ride the jnp wavefront (their gates); each is warm + median of 3."""
+    import importlib
+
+    import numpy as np
+
+    def timed(render_fn):
+        np.asarray(render_fn(0))                 # compile + warm
+        walls = []
+        for seed in (1, 2, 3):
+            t0 = time.time()
+            np.asarray(render_fn(seed))
+            walls.append(time.time() - t0)
+        return round(sorted(walls)[1], 3)
+
+    out = {}
+
+    # 1) instanced meshes (two-level instancing over the clustered sweep)
+    inst = importlib.import_module("example_instances")
+    out["instances"] = {
+        "wall_s": timed(lambda s: inst.Sc.render(samples_per_pixel=4,
+                                                 seed=s, output="linear")),
+        "spp": 4, "w": 400, "h": 300}
+
+    # 2) smooth + normal-mapped textured mesh (vertex attrs + tangent frames)
+    mt = importlib.import_module("example_mesh_textured")
+    bump = 0.5 + 0.3 * np.sin(
+        np.linspace(0, 40 * np.pi, 64, dtype=np.float32))[None, :, None]
+    nm = np.concatenate([np.broadcast_to(bump, (64, 64, 1)),
+                         np.full((64, 64, 1), 0.5, np.float32),
+                         np.full((64, 64, 1), 1.0, np.float32)], axis=2)
+    mt.ball.set_normalmap(np.ascontiguousarray(nm))
+    out["mesh_smooth_normalmap"] = {
+        "wall_s": timed(lambda s: mt.Sc.render(samples_per_pixel=4,
+                                               seed=s, output="linear")),
+        "spp": 4, "w": 400, "h": 300}
+
+    # 3) environment-map importance sampling (alias-table env mixture)
+    envm = importlib.import_module("example_env_is")
+    env_sc = envm.build_scene()
+    out["env_is"] = {
+        "wall_s": timed(lambda s: env_sc.render(samples_per_pixel=8,
+                                                seed=s, output="linear")),
+        "spp": 8, "w": 400, "h": 300}
+
+    # 4) ODS stereo 360 (both eyes, one executable)
+    from raytracer_tpu.vr import render_ods
+    vrm = importlib.import_module("example_vr")
+    vr_sc = vrm.build_scene(256, 128)
+    out["ods_stereo"] = {
+        "wall_s": timed(lambda s: render_ods(vr_sc, samples_per_pixel=4,
+                                             ipd=0.2, seed=s,
+                                             output="linear")),
+        "spp": 4, "w": 256, "h": 128, "layout": "top-bottom"}
+    return out
 
 
 def bench_sharded_block(timeout=1800):
@@ -187,6 +251,11 @@ def main():
             result["mesh_icosphere"] = bench_mesh_scene()
         except Exception as e:
             result["mesh_error"] = f"{type(e).__name__}: {e}"
+        if os.environ.get("RAYTPU_BENCH_FEATURES", "1") != "0":
+            try:
+                result["feature_paths"] = bench_feature_paths()
+            except Exception as e:
+                result["feature_paths_error"] = f"{type(e).__name__}: {e}"
         try:
             result["sharded_virtual8"] = bench_sharded_block()
         except Exception as e:

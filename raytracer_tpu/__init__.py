@@ -64,22 +64,23 @@ def _cpu_host_fingerprint():
 def _cpu_is_forced():
     """True when this process is pinned to XLA:CPU.
 
-    Checks the env var AND (when jax is already imported) the config value:
-    the axon sitecustomize overrides the env var, so the documented way to
-    force CPU is jax.config.update("jax_platforms", "cpu") — a process
-    doing only that must still get the fingerprint-keyed CPU cache dir, or
-    its XLA:CPU AOT executables would poison the shared TPU cache (R3.13)."""
+    When jax is already imported, its config value is authoritative — the
+    axon sitecustomize OVERRIDES the JAX_PLATFORMS env var, so a process
+    with the env set but actually running on TPU must NOT key its cache
+    into the per-host CPU directory (it would bypass the shared TPU cache
+    and recompile for minutes).  The env var is only consulted before jax
+    import, where it is the best available guess; the documented way to
+    force CPU is jax.config.update("jax_platforms", "cpu"), which the
+    config check sees (R3.13 / ADVICE r4)."""
     import sys as _sys
 
-    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        return True
     _j = _sys.modules.get("jax")
     if _j is not None:
         try:
             return (_j.config.jax_platforms or "").strip().lower() == "cpu"
         except Exception:
             pass
-    return False
+    return _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
 
 
 def _set_cache_dir(cpu_forced):

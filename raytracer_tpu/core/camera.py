@@ -54,8 +54,9 @@ class Camera:
         self.aperture = float(aperture)
         self.focal_distance = float(focal_distance)
         # Projections beyond the reference's pinhole + thin lens
-        # (camera.py:8-49); all render on the jnp wavefront (the Pallas
-        # kernels' in-kernel raygen is pinhole):
+        # (camera.py:8-49); every projection renders on every execution
+        # path (the Pallas kernels raygen all of these in-kernel since
+        # R3.3 — see ops/pallas_trace.py _raygen):
         #  "equirect"     — full 360x180 panorama; pixel (u, v) maps to
         #                   azimuth/elevation, image center at look_at's
         #                   azimuth.

@@ -179,6 +179,43 @@ def _texture_atlas(arrs):
     return hit[1], hit[2], hit[3], hit[4], hit[5]
 
 
+_ATLAS_QUAD_CACHE = {}
+
+
+def _texture_atlas_quad(arrs):
+    """(total, 4) int32 QUAD atlas: row t of a texture (H, W) holds the four
+    bilinear taps of storage texel t=(r, c) —
+    [w(r,c), w(r,(c+1)%W), w((r-1)%H,c), w((r-1)%H,(c+1)%W)] —
+    in Round.fetch's tap order ((dx,dy) taps with col=(ix+dx)%W,
+    row=(-(iy+dy))%H: the dy=1 tap is storage row MINUS one, wrapped).
+
+    One gather ROW per bilinear fetch instead of four: the TPU gather
+    engine charges ~13 ns per row regardless of width <= 16 words
+    (scripts/probe_gather.py), so 4-word rows cost the same as 1-word rows
+    and the bilinear replay round drops to 1/4 of its gather rows
+    (VERDICT r4 #6; hardware A/B in scripts/probe_quad_rows.py).  Built
+    on-device from the already-uploaded packed words (jnp.roll) — no extra
+    H2D; 4x atlas memory, only materialized when the scene has a bilinear
+    texture."""
+    key = tuple(id(a) for a in arrs)
+    hit = _ATLAS_QUAD_CACHE.get(key)
+    if hit is None:
+        parts = []
+        for a in arrs:
+            p, _s, (H, W), _enc = _texture_packed(a)
+            A = jnp.reshape(p, (H, W))
+            q0 = A
+            q1 = jnp.roll(A, -1, axis=1)
+            q2 = jnp.roll(A, 1, axis=0)
+            q3 = jnp.roll(q2, -1, axis=1)
+            parts.append(jnp.stack([q0, q1, q2, q3], axis=-1).reshape(-1, 4))
+        quad = (jnp.concatenate(parts) if parts
+                else jnp.zeros((1, 4), jnp.int32))
+        hit = (arrs, quad)
+        _ATLAS_QUAD_CACHE[key] = hit
+    return hit[1]
+
+
 # Environment importance sampling: alias tables over an equirect map's
 # luminance, cached per source array (HDR envs are the big win — the
 # reference has no way to importance-sample an environment at all).
@@ -429,6 +466,10 @@ class SceneData:
     scene_n_im: Any      # (3,)
     pallas_geom: Any = None   # (O, 24) packed per-object geometry params
     tex_atlas: Any = None     # (total,) int32 10-10-10-packed texels
+    # (total, 4) int32 quad atlas (the four bilinear taps per texel, one
+    # gather row per fetch — _texture_atlas_quad); None unless the scene
+    # has a bilinear texture
+    tex_atlas_quad: Any = None
     tex_scale: Any = None     # (T,) f32 per-texture decode scale
     # environment importance sampling (alias tables; empty when off)
     env_is_prob: Any = None   # (Hs*Ws,) f32 alias acceptance probabilities
@@ -832,6 +873,12 @@ def compile_scene_cached(scene) -> Tuple[SceneStatic, "SceneData"]:
     unmutated scene skip table construction AND the device upload (~155 ms
     per render at 20k triangles; every animation frame for static geometry).
     """
+    # a cache HIT skips compile_scene, which is where the persistent-cache
+    # backend re-point lives — run it here too so a scene compiled before a
+    # late jax.config.update("jax_platforms", "cpu") still lands its jit
+    # compiles in the fingerprint-keyed CPU directory (ADVICE r4)
+    from .. import _ensure_cache_matches_backend
+    _ensure_cache_matches_backend()
     fp = scene_fingerprint(scene)
     cache = getattr(scene, "_compile_cache", None)
     if cache is not None and cache[0] == fp:
@@ -1622,27 +1669,55 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
 
     _PALLAS_TYPES = {MAT_EMISSIVE, MAT_GLOSSY, MAT_DIFFUSE, MAT_REFRACTIVE}
     _PALLAS_TEX_TYPES = _PALLAS_TYPES | {MAT_THINFILM, MAT_ENV}
-    n_groups = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
-                    for r in obj_records})
+    # The group cap is a COMPILER wall, not a semantics limit: each group is
+    # one unrolled shading block, and ~46+ blocks kill the TPU compiler
+    # subprocess (scripts/probe_obj_cap.py, r2).  Two group counts because
+    # the two kernels compile different block sets:
+    #  - the RECORD kernel keeps one block per (kind, slot, depth, mc) —
+    #    its gid stream routes the replay's fetches (STATUS R4.11);
+    #  - the SOLID kernel merges same-KIND groups into one block with
+    #    per-lane parameter selection (R4.11), so a 48-object scene with 40
+    #    distinct solid materials of 4 kinds compiles ~4 blocks.  Counting
+    #    the merged key here (same keying as _make_kernel) is what lets
+    #    many-material solid scenes ride the kernel (R5; hardware
+    #    compile-time probe scripts/probe_group_gate.py).  NOTE: the
+    #    probe-only merge_groups=False kernel variant compiles PER-SLOT
+    #    blocks — A/B probes on scenes past the per-slot cap must not
+    #    force it.
+    n_groups_slot = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
+                         for r in obj_records})
+    n_groups_merged = len(
+        {(r.mat_type, r.max_depth, r.mc,
+          bool(getattr(ref[r.mat_slot], "dispersion", False))
+          if r.mat_type == MAT_REFRACTIVE else None)
+         for r in obj_records})
     has_dispersion = any(getattr(m, "dispersion", False) for m in ref)
     _common_ok = (0 < n_obj_total <= PALLAS_MAX_OBJECTS
-                  and n_groups <= PALLAS_MAX_GROUPS
                   and len(scene.importance_sampled_list) <= 8
                   and not b.mesh_groups  # instanced scenes: jnp wavefront
                   and CVN is None)   # vertex-attr meshes shade on the
                                      # jnp wavefront (interp in attrs.py)
-    pallas_ok = (_common_ok and not needs_uv and set(present) <= _PALLAS_TYPES)
+    pallas_ok = (_common_ok and n_groups_merged <= PALLAS_MAX_GROUPS
+                 and not needs_uv and set(present) <= _PALLAS_TYPES)
     # path-recording variant: image textures / env maps / thin-film LUTs are
     # applied in a jnp pass over the recorded path vertices; normal maps
     # perturb sampling directions and cannot be deferred.  HDR envs ride the
     # RGB9E5 atlas encoding; bilinear textures take a 4-tap replay round
     # (ops/pallas_record.py) — neither forces the wavefront anymore (r3).
-    pallas_tex_ok = (_common_ok and not pallas_ok and not nmaps
+    pallas_tex_ok = (_common_ok and n_groups_slot <= PALLAS_MAX_GROUPS
+                     and not pallas_ok and not nmaps
                      and not _is_envs    # env-IS mixture: jnp wavefront only
                      and set(present) <= _PALLAS_TEX_TYPES)
 
     (atlas, tex_scale, tex_shapes, tex_offsets,
      tex_enc) = _texture_atlas(tuple(b.textures))
+    # quad atlas only when a replay-eligible bilinear texture exists (the
+    # 4x memory + device build buy nothing otherwise)
+    _any_bil = any(r.bilinear for r in (tuple(b.diffuse_tex)
+                                        + tuple(b.glossy_tex)
+                                        + tuple(b.emissive_tex)))
+    atlas_quad = (_texture_atlas_quad(tuple(b.textures))
+                  if _any_bil else None)
 
     # triangle object-id space is VIRTUAL under instancing: region-0 rows
     # then one id per (instance, row) — see _layout_instanced
@@ -1692,6 +1767,7 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
         scene_n_im=_f(np.imag(scene.n)),
         pallas_geom=pallas_geom,
         tex_atlas=atlas,
+        tex_atlas_quad=atlas_quad,
         tex_scale=tex_scale,
         env_is_prob=(env_is_tabs[0] if env_is_tabs
                      else np.zeros((0,), F32)),

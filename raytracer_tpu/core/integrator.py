@@ -65,9 +65,12 @@ class RenderSettings:
     # lattice (core/lds.py, ~2.2x lower image MSE at equal spp), "iid" = the
     # reference's independent uniforms
     sampler: str = "r2"
-    # camera projection ("pinhole" or "equirect" 360 panorama); derived from
-    # Camera.projection by Scene._settings_for_render.  Equirect renders on
-    # the jnp wavefront (the kernels' in-raygen is pinhole).
+    # camera projection ("pinhole", "fisheye", "orthographic" or "equirect"
+    # 360 panorama); derived from Camera.projection by
+    # Scene._settings_for_render.  ALL projections ride every execution
+    # path — the Pallas kernels raygen every projection in-kernel since
+    # R3.3 (ops/pallas_trace.py _raygen); routing is decided solely by
+    # compile.py's pallas_ok/pallas_tex_ok gate.
     projection: str = "pinhole"
     # collect per-bounce ray counts for the Mrays/s metric
     collect_stats: bool = False

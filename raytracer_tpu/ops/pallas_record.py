@@ -722,7 +722,11 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
         # iota/where selects — per-sublane stores and in-kernel concatenate
         # are shakier to legalize than one full-tile store.
         rid = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
-        out_cnt = jnp.full((1, 8, 128), count, jnp.int32)
+        # row 0 carries the rays-traced count; rows 1..7 carry fetch-lane
+        # counts only when counting ran, else 0 — so a consumer reading
+        # lane counts from a non-banded record call sees empty, not a copy
+        # of row 0 (ADVICE r4)
+        out_cnt = jnp.where(rid == 0, count, 0)
         for b, v in enumerate(fetch_counts[:7]):
             out_cnt = jnp.where(rid == 1 + b, v, out_cnt)
         cnt_ref[...] = out_cnt
@@ -780,13 +784,20 @@ def _banded_take_decode(atlas, idx_full, s1023_full, e5m_full, any_e5, band):
     return [jnp.concatenate(o) for o in outs]
 
 
-def _replay(rec_g, rec_f, data, static, max_bounces, n, band=None):
+def _replay(rec_g, rec_f, data, static, max_bounces, n, band=None,
+            quad=None):
     """rec_g: (B, N), rec_f: (B, 12, N) -> radiance (N, 3).
 
     band: None for the flat replay, else (live (G, B) bool, G, L, group) —
     the 2D-tiled order's per-super-block skip machinery (one lax.cond per
     (bounce, program-group); see _banded_take_decode).  Banding requires
     non-bilinear fetches (any bilinear group falls back to flat).
+
+    quad: bilinear rounds fetch from the (total, 4) QUAD atlas
+    (core/compile.py _texture_atlas_quad) — ONE gather row per fetch
+    instead of four, bit-identical taps/weights (R5, VERDICT r4 #6).
+    None = auto (use it when data.tex_atlas_quad exists), False = force
+    the 4-tap path (A/B probes).
 
     The whole replay performs ONE gather over the (B*N) record set from the
     10-10-10-bit packed texture atlas (core/compile.py): wrap-around uv
@@ -921,11 +932,32 @@ def _replay(rec_g, rec_f, data, static, max_bounces, n, band=None):
             iy = y0.astype(jnp.int32)
             idx_n = self.uv_index()
             one = jnp.ones((M,), jnp.float32)
+            wgts = ((1 - fx) * (1 - fy), fx * (1 - fy),
+                    (1 - fx) * fy, fx * fy)
+            use_quad = (quad is not False
+                        and data.tex_atlas_quad is not None)
+            if use_quad:
+                # ONE gather over the quad atlas: row word k IS tap k in
+                # the loop order below (see _texture_atlas_quad), so the
+                # sum is bit-identical to the 4-gather path; non-bilinear
+                # lanes read their texel from word 0 at weight 1.  The
+                # gather engine charges per ROW (width <= 16 words free),
+                # so this is 1/4 the gather rows (R5, VERDICT r4 #6).
+                col = jnp.remainder(ix, self.W)
+                row = jnp.remainder(-iy, self.H)
+                idx = jnp.where(self.bilm, row * self.W + col + self.off,
+                                idx_n)
+                q = jnp.take(data.tex_atlas_quad, idx, axis=0, mode="clip")
+                out = [f0, f0, f0]
+                for k in range(4):
+                    rgb = self.decode(q[:, k])
+                    w_el = jnp.where(self.bilm, wgts[k],
+                                     one if k == 0 else f0)
+                    out = [out[c] + w_el * rgb[c] for c in range(3)]
+                return out
             out = [f0, f0, f0]
-            for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
-                                (1, 0, fx * (1 - fy)),
-                                (0, 1, (1 - fx) * fy),
-                                (1, 1, fx * fy)):
+            for (dx, dy), wgt in zip(((0, 0), (1, 0), (0, 1), (1, 1)),
+                                     wgts):
                 col = jnp.remainder(ix + dx, self.W)
                 row = jnp.remainder(-(iy + dy), self.H)
                 idx = jnp.where(self.bilm, row * self.W + col + self.off,
@@ -1133,11 +1165,11 @@ def _record_call(seed, data, cam_vec, static, width, height, spp,
                                              "spp", "max_bounces", "interpret",
                                              "split_k", "sampler",
                                              "projection", "order_mode",
-                                             "banding"))
+                                             "banding", "quad_fetch"))
 def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
                         max_bounces, interpret=False, split_k=0,
                         sampler="iid", projection="pinhole",
-                        order_mode="flat", banding=0):
+                        order_mode="flat", banding=0, quad_fetch=None):
     """Trace one spp-chunk of a textured scene: record (Pallas) + replay (jnp).
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
@@ -1151,6 +1183,9 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
     super-block) atlas gather is wrapped in a lax.cond keyed on the record
     kernel's fetch-lane counts, so blocks with nothing to fetch skip the
     gather.  Requires max_bounces <= 7 (count rows).
+    quad_fetch: None = bilinear rounds use the quad atlas when the scene
+    compiled one (bit-identical, 1/4 the gather rows); False = force the
+    4-tap gathers (A/B probes, scripts/probe_quad_rows.py).
     Returns (L (spp*H*W, 3) float32, rays_traced int32 scalar).
     """
     n = spp * width * height
@@ -1169,11 +1204,13 @@ def pallas_record_chunk(seed, data, cam_vec, static, width, height, spp,
         rec_gp = rec_g.reshape(max_bounces, -1)
         rec_fp = rec_f.reshape(max_bounces, 12, -1)
         L = _replay(rec_gp, rec_fp, data, static, max_bounces,
-                    rec_gp.shape[1], band=(live, G, lanes, banding))[:n]
+                    rec_gp.shape[1], band=(live, G, lanes, banding),
+                    quad=quad_fetch)[:n]
     else:
         rec_gp = rec_g.reshape(max_bounces, -1)[:, :n]
         rec_fp = rec_f.reshape(max_bounces, 12, -1)[:, :, :n]
-        L = _replay(rec_gp, rec_fp, data, static, max_bounces, n)
+        L = _replay(rec_gp, rec_fp, data, static, max_bounces, n,
+                    quad=quad_fetch)
     if order_mode == "tiled":
         # lane order is [tile_y, tile_x, sample, in-tile y, in-tile x];
         # invert to the sample-major (spp, H*W) convention with one

@@ -245,8 +245,10 @@ def _isect_plane(g, ox, oy, oz, dx, dy, dz):
     mx, my, mz = ox + dx * tt - cx, oy + dy * tt - cy, oz + dz * tt - cz
     uu = ux * mx + uy * my + uz * mz
     vv = vx * mx + vy * my + vz * mz
+    # inside implies ndco*ndd > 0 implies tt > 0 — no abs needed on the
+    # selected branch (bit-identical, one fewer tile op per plane)
     inside = (jnp.abs(uu) <= w2) & (jnp.abs(vv) <= h2) & (ndco * ndd > 0)
-    t = jnp.where(inside, jnp.abs(tt), FARAWAY)
+    t = jnp.where(inside, tt, FARAWAY)
     orient = jnp.where(ndd < 0, 1.0, -1.0)
     return t, orient
 
@@ -296,7 +298,7 @@ def _isect_tri(g, ox, oy, oz, dx, dy, dz):
         & (n23[0] * (mx - p3[0]) + n23[1] * (my - p3[1]) + n23[2] * (mz - p3[2]) >= 0)
         & (ndco * ndd > 0)
     )
-    t = jnp.where(inside, jnp.abs(tt), FARAWAY)
+    t = jnp.where(inside, tt, FARAWAY)   # inside => tt > 0 (as _isect_plane)
     orient = jnp.where(ndd < 0, 1.0, -1.0)
     return t, orient
 
@@ -315,7 +317,7 @@ def _isect_disc(g, ox, oy, oz, dx, dy, dz):
     rho2 = mx * mx + my * my + mz * mz
     hit = ((rho2 <= r_out * r_out) & (rho2 >= r_in * r_in)
            & (ndco * ndd > 0))
-    t = jnp.where(hit, jnp.abs(tt), FARAWAY)
+    t = jnp.where(hit, tt, FARAWAY)      # hit => tt > 0 (as _isect_plane)
     orient = jnp.where(ndd < 0, 1.0, -1.0)
     return t, orient
 
@@ -432,7 +434,7 @@ def _normal_for(rec, g, px, py, pz):
 
 def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                  lam=WAVELENGTHS_NM, sampler="iid", projection="pinhole",
-                 merge_groups=True):
+                 merge_groups=True, diet=True):
     records = static.obj_records
     # shading groups: objects sharing (material KIND, depth-cap, mc[, static
     # code shape]) shade together — ONE unrolled block per kind with per-lane
@@ -526,6 +528,15 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             return best_t, best_o, best_id
 
         for bounce in range(max_bounces):
+            # the FINAL bounce's continuation state (sampled directions,
+            # throughput updates, new origins/media) is dead — the loop
+            # ends and only `add` reaches L.  Whole blocks whose sole
+            # effect is the continuation (diffuse, refractive) are skipped
+            # on it, as are the normals when no block left needs them
+            # (R5 eqn diet; Mosaic DCE would remove SOME of this after
+            # lowering, but the traced-eqn count is also the compile-time
+            # and scheduling wall)
+            last = diet and (bounce == max_bounces - 1)
             t, orient, obj = nearest(ox, oy, oz, dx, dy, dz)
             miss = t >= MISS_THRESHOLD
             hit = alive & ~miss
@@ -535,16 +546,21 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             py = oy + dy * t
             pz = oz + dz * t
 
+            # on the last bounce, normals only matter to glossy's direct
+            # lighting (emissive reads none; diffuse/refractive are dead)
+            need_normals = (not last) or any(
+                k[0] == MAT_GLOSSY for k in groups)
             nx = jnp.zeros(shape, jnp.float32)
             ny = jnp.zeros(shape, jnp.float32)
             nz = jnp.zeros(shape, jnp.float32)
-            for i, rec in enumerate(records):
-                nxi, nyi, nzi = _normal_for(rec, grow[i], px, py, pz)
-                m = obj == i
-                nx = jnp.where(m, nxi, nx)
-                ny = jnp.where(m, nyi, ny)
-                nz = jnp.where(m, nzi, nz)
-            nx, ny, nz = nx * orient, ny * orient, nz * orient
+            if need_normals:
+                for i, rec in enumerate(records):
+                    nxi, nyi, nzi = _normal_for(rec, grow[i], px, py, pz)
+                    m = obj == i
+                    nx = jnp.where(m, nxi, nx)
+                    ny = jnp.where(m, nyi, ny)
+                    nz = jnp.where(m, nzi, nz)
+                nx, ny, nz = nx * orient, ny * orient, nz * orient
 
             eps = 1e-6 * jnp.maximum(
                 1.0, jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz))))
@@ -560,11 +576,15 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             inc_d = jnp.zeros(shape, bool)
 
             # pre-draw the per-bounce random numbers (shared across groups —
-            # each ray belongs to exactly one group)
-            ru = [rng.uniform() for _ in range(6)]
+            # each ray belongs to exactly one group).  The last bounce's
+            # draws feed only the skipped continuation blocks; skipping
+            # them moves no other draw (the counter is per-draw static).
+            ru = [None] * 6 if last else [rng.uniform() for _ in range(6)]
 
             for gkey, ids in groups.items():
                 mt, maxd, mc, extra = gkey[:4]
+                if last and mt in (MAT_DIFFUSE, MAT_REFRACTIVE):
+                    continue     # contribution is continuation-only
                 mmasks = [obj == i for i in ids]
                 g = mmasks[0]
                 for m_i in mmasks[1:]:
@@ -620,8 +640,9 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     phi = u_phi1 * (2.0 * math.pi)
                     r2 = u_r21
                     zc = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
-                    xc = jnp.cos(phi) * jnp.sqrt(r2)
-                    yc = jnp.sin(phi) * jnp.sqrt(r2)
+                    sr2 = jnp.sqrt(r2)       # hoisted (was traced twice)
+                    xc = jnp.cos(phi) * sr2
+                    yc = jnp.sin(phi) * sr2
                     cdx = ax_u[0] * xc + ax_v[0] * yc + nx * zc
                     cdy = ax_u[1] * xc + ax_v[1] * yc + ny * zc
                     cdz = ax_u[2] * xc + ax_v[2] * yc + nz * zc
@@ -652,9 +673,12 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         phi2 = u_phi2 * (2.0 * math.pi)
                         zq = 1.0 + u_r22 * (scm - 1.0)
                         sq = jnp.sqrt(jnp.maximum(1.0 - zq * zq, 0.0))
-                        qdx = cu[0] * (jnp.cos(phi2) * sq) + cv[0] * (jnp.sin(phi2) * sq) + swx * zq
-                        qdy = cu[1] * (jnp.cos(phi2) * sq) + cv[1] * (jnp.sin(phi2) * sq) + swy * zq
-                        qdz = cu[2] * (jnp.cos(phi2) * sq) + cv[2] * (jnp.sin(phi2) * sq) + swz * zq
+                        # hoisted: cos/sin(phi2)*sq were traced 3x each
+                        cps = jnp.cos(phi2) * sq
+                        sps = jnp.sin(phi2) * sq
+                        qdx = cu[0] * cps + cv[0] * sps + swx * zq
+                        qdy = cu[1] * cps + cv[1] * sps + swy * zq
+                        qdz = cu[2] * cps + cv[2] * sps + swz * zq
                         use_cos = u_mixv < aw
                         sdx = jnp.where(use_cos, cdx, qdx)
                         sdy = jnp.where(use_cos, cdy, qdy)
@@ -706,13 +730,29 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         cos_t = _csqrt((1.0 - r2[0] * s2, -r2[1] * s2))
                         a = (n1[0] * cos_i, n1[1] * cos_i)
                         bt = _cmul(n2, cos_t)
-                        r_per = _cdiv((a[0] - bt[0], a[1] - bt[1]),
-                                      (a[0] + bt[0], a[1] + bt[1]))
                         at = _cmul(n1, cos_t)
                         bb = (n2[0] * cos_i, n2[1] * cos_i)
-                        r_par = _cdiv((bb[0] - at[0], bb[1] - at[1]),
-                                      (at[0] + bb[0], at[1] + bb[1]))
-                        F.append((_cabs2(r_per) + _cabs2(r_par)) * 0.5)
+                        if diet:
+                            # |num/den|^2 == |num|^2 / |den|^2 — skip the
+                            # two complex divisions (12 tile-ops each); the
+                            # kernel is VPU-issue-bound so traced tile ops
+                            # ARE the wall (R5 eqn diet; estimator-exact,
+                            # rounding-level difference only)
+                            F_per = (_cabs2((a[0] - bt[0], a[1] - bt[1]))
+                                     / jnp.maximum(_cabs2((a[0] + bt[0],
+                                                           a[1] + bt[1])),
+                                                   1e-30))
+                            F_par = (_cabs2((bb[0] - at[0], bb[1] - at[1]))
+                                     / jnp.maximum(_cabs2((at[0] + bb[0],
+                                                           at[1] + bb[1])),
+                                                   1e-30))
+                            F.append((F_per + F_par) * 0.5)
+                        else:
+                            r_per = _cdiv((a[0] - bt[0], a[1] - bt[1]),
+                                          (a[0] + bt[0], a[1] + bt[1]))
+                            r_par = _cdiv((bb[0] - at[0], bb[1] - at[1]),
+                                          (at[0] + bb[0], at[1] + bb[1]))
+                            F.append((_cabs2(r_per) + _cabs2(r_par)) * 0.5)
                         n2r_l.append(n2r)
                         n2i_l.append(n2i)
                     T = [1.0 - F[k] for k in range(3)]
@@ -749,8 +789,18 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     T_avg = (T[0] + T[1] + T[2]) / 3.0
                     p_refr = jnp.where(non_tir, jnp.clip(T_avg, 0.0, 1.0), 0.0)
                     take_refr = (ru[0] < p_refr) & non_tir
-                    absorb = [jnp.exp(-2.0 * nim[k] * (2.0 * math.pi / lam[k]) * 1e9 * t)
-                              for k in range(3)]
+                    if diet:
+                        # fold the python-float constant chain (-2 * 2pi/lam
+                        # * 1e9) before it touches a tile: 3 tile-ops per
+                        # channel instead of 5
+                        absorb = [jnp.exp(nim[k]
+                                          * ((-4.0 * math.pi / lam[k]) * 1e9
+                                             * t))
+                                  for k in range(3)]
+                    else:
+                        absorb = [jnp.exp(-2.0 * nim[k]
+                                          * (2.0 * math.pi / lam[k]) * 1e9 * t)
+                                  for k in range(3)]
                     cont = depth < maxd
                     if split_k and not mc:
                         # deterministic branch from the pattern bit, weight
@@ -867,6 +917,8 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                             acc[k] = acc[k] + Fk * sw * lv[k]
                     for k in range(3):
                         add[k] = jnp.where(g, acc[k], add[k])
+                    if last:
+                        continue     # mirror continuation is dead here
                     # mirror continuation vs the scene medium (glossy.py:87-104)
                     cos_vn = jnp.clip(vx * nx + vy * ny + vz * nz, 0.0, 1.0)
                     p5r = (1.0 - cos_vn) ** 5
@@ -890,10 +942,13 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     noz = jnp.where(gc, nuz, noz)
                     new_alive = new_alive | gc
 
-            # radiance + state update
+            # radiance + state update (post-loop, only L and the cnt sum
+            # are read — the final bounce's ray-state update is dead)
             Lx = Lx + jnp.where(hit, bx * add[0], 0.0)
             Ly = Ly + jnp.where(hit, by * add[1], 0.0)
             Lz = Lz + jnp.where(hit, bz_ * add[2], 0.0)
+            if last:
+                continue
             bx = jnp.where(new_alive, bx * bmul[0], bx)
             by = jnp.where(new_alive, by * bmul[1], by)
             bz_ = jnp.where(new_alive, bz_ * bmul[2], bz_)
@@ -952,11 +1007,12 @@ def _light_table(lt):
 @functools.partial(jax.jit, static_argnames=("static", "width", "height",
                                              "spp", "max_bounces", "interpret",
                                              "split_k", "sampler",
-                                             "projection", "merge_groups"))
+                                             "projection", "merge_groups",
+                                             "diet"))
 def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                        max_bounces, interpret=False, split_k=0,
                        sampler="iid", projection="pinhole",
-                       merge_groups=True):
+                       merge_groups=True, diet=True):
     """Trace one spp-chunk with the mega-kernel.
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
@@ -992,7 +1048,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
 
     kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
                           split_k, sampler=sampler, projection=projection,
-                          merge_groups=merge_groups)
+                          merge_groups=merge_groups, diet=diet)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(

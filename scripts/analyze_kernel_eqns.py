@@ -97,6 +97,7 @@ def main():
 
     by_func = Counter()
     by_prim = Counter()
+    by_line = Counter()
     total = 0
     # flatten nested jaxprs inside the kernel (scans/conds), though the
     # solid kernel body is python-unrolled and should be flat
@@ -107,6 +108,12 @@ def main():
             total += 1
             by_func[_bucket(eqn)] += 1
             by_prim[eqn.primitive.name] += 1
+            if "--lines" in sys.argv:
+                for fname, func, line in _frames(eqn):
+                    if "raytracer_tpu" in fname:
+                        mod = fname.rsplit("raytracer_tpu/", 1)[-1]
+                        by_line[f"{mod}:{line}:{func}"] += 1
+                        break
             for v in eqn.params.values():
                 innerj = getattr(v, "jaxpr", None)
                 if innerj is not None:
@@ -140,6 +147,13 @@ def main():
     print("\nper-function (top 40):")
     for key, n in by_func.most_common(40):
         print(f"  {n:6d}  {key}")
+    if by_line:
+        # caveat: jax caches jit tracings of jnp helpers (where, sqrt, ...)
+        # — the cached jaxpr's source lines point at the FIRST call site,
+        # so helper-heavy lines aggregate other call sites' eqns too
+        print("\nper-line (top 60, --lines):")
+        for key, n in by_line.most_common(60):
+            print(f"  {n:6d}  {key}")
 
 
 if __name__ == "__main__":

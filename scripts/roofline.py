@@ -2,16 +2,20 @@
 
 Produces falsifiable "% of peak" numbers for BASELINE.md:
 
-1. **VPU empirical peak** — a Pallas microkernel of chained f32 multiply-adds
-   on (8k, 128) tiles (no loads beyond the first, no stores beyond the last)
-   measures the achievable vector-op issue rate on this chip.  This is the
-   denominator for the solid path (specs would need the exact clock; a
-   measured ceiling is falsifiable).
-2. **Solid mega-kernel achieved op rate** — the Cornell kernel's unrolled
-   program is inspected via its jaxpr: every (TILE, 128)-shaped arithmetic
-   eqn is one VPU vector op, so ops/program = eqn count, achieved rate =
-   eqns x programs / device-busy time (from an xprof trace of the warm
-   render).  achieved / peak = VPU utilization.
+1. **VPU issue-bound peak + per-op costs** — scripts/vpu_peak.py measures
+   balanced register-fused expression trees (VPU_PEAK.json): the fma-tree
+   rate is the denominator, and swapping the leaf op calibrates the slot
+   cost of div/sqrt/exp/sin/select ON THIS CHIP.  (The r4 chained-FMA
+   loop is kept as `vmem_stream_*` — its loop-carried values round-trip
+   VMEM, so it measures bandwidth, not issue; dividing by it produced the
+   invalid 854% utilization VERDICT r4 #2 flagged.)
+2. **Solid mega-kernel achieved slot rate** — the Cornell kernel's jaxpr is
+   COSTED per primitive (kernel_costed_ops: 1 slot per single-cycle ALU
+   eqn, measured slots for div/sqrt/exp/sin, 0 for layout) in the SAME
+   units as the denominator (fma = mul+add = 2 slots on both sides, so
+   the contraction factor cancels).  achieved = slots x programs /
+   kernel device time (xprof); achieved / peak = VPU utilization, an
+   upper bound (the numerator assumes no CSE).
 3. **Replay achieved gather rate** — example4's replay performs a known
    number of atlas-gather rows per render (2 rounds x B x N); achieved
    rows/s over the replay's device time vs the measured gather-engine
@@ -146,23 +150,78 @@ def vpu_peak(chains=8):
 # ---------------------------------------------------------------------------
 
 
-def kernel_vector_eqns(static, data, cam_vec, W, H, spp, B, split_k, sampler):
-    """Count (TILE, 128)-shaped arithmetic eqns in the solid kernel jaxpr."""
+# jaxpr-level slot cost model for the MFU numerator (VERDICT r4 #2).
+# Units: "1 slot" = one single-cycle vector ALU op AT THE JAXPR LEVEL — an
+# fma counts as mul + add = 2 slots, in BOTH the numerator (kernel jaxpr)
+# and the denominator (scripts/vpu_peak.py counts its x*c+d leaves as 2),
+# so the unknown fma-contraction factor cancels.  Multi-cycle ops (div,
+# sqrt, exp, sin, ...) carry the slot cost MEASURED by vpu_peak.py's
+# calibration trees on this chip.  Layout ops that move no lanes are 0.
+# Stated limitation: the numerator assumes no CSE across duplicate
+# subexpressions (Mosaic does CSE some — R4.11), so achieved slots/s is an
+# upper bound and the utilization an upper bound accordingly.
+_ZERO_SLOT = {"broadcast_in_dim", "reshape", "squeeze", "transpose",
+              "copy", "bitcast_convert_type", "stop_gradient", "iota"}
+_DEFAULT_SPECIAL = {"div": 4.0, "rem": 4.0, "sqrt": 4.0, "rsqrt": 4.0,
+                    "exp": 6.0, "log": 6.0, "sin": 8.0, "cos": 8.0,
+                    "tan": 12.0, "atan2": 12.0}
+
+
+def _slot_costs():
+    """Calibrated per-op slot costs from VPU_PEAK.json (scripts/vpu_peak.py)
+    when present, conservative defaults otherwise."""
+    costs = dict(_DEFAULT_SPECIAL)
+    p = ROOT / "VPU_PEAK.json"
+    if p.exists():
+        cal = json.loads(p.read_text())
+        for op, keys in (("div", ("div",)), ("rem", ("div",)),
+                         ("sqrt", ("sqrt",)), ("rsqrt", ("rsqrt",)),
+                         ("exp", ("exp",)), ("log", ("exp",)),
+                         ("sin", ("sin",)), ("cos", ("sin",))):
+            for k in keys:
+                v = cal.get(k, {}).get("slots_per_op")
+                if v:
+                    costs[op] = float(v)
+    return costs
+
+
+def kernel_costed_ops(static, data, cam_vec, W, H, spp, B, split_k, sampler):
+    """(costed_slots, raw_eqns) per slot-program of the solid kernel jaxpr.
+
+    Every eqn whose output is (TILE, 128)-shaped is costed by primitive via
+    _slot_costs(); integer_pow y is a log2(y) multiply chain; reductions
+    over the tile cost log2(width) combine steps."""
+    import math as _m
+
     from raytracer_tpu.ops import pallas_trace as pt
 
+    costs = _slot_costs()
     seed = jnp.asarray([1, 2, 0], jnp.int32)
     jaxpr = jax.make_jaxpr(
         lambda s: pt.pallas_trace_chunk(s, data, cam_vec, static, W, H, spp,
                                         B, False, split_k, sampler))(seed)
 
+    def eqn_cost(eq):
+        name = eq.primitive.name
+        if name in _ZERO_SLOT:
+            return 0.0
+        if name == "integer_pow":
+            y = abs(int(eq.params.get("y", 2)))
+            return float(max(1, _m.ceil(_m.log2(max(y, 2))) + bin(y).count("1") - 1))
+        if name.startswith("reduce_") or name == "reduce_precision":
+            return 8.0          # log2(128) combine steps, sublane-parallel
+        return costs.get(name, 1.0)
+
     def walk(jx):
-        n = 0
+        slots, eqns = 0.0, 0
         for eq in jx.eqns:
             if eq.primitive.name in ("pallas_call",):
                 inner = eq.params.get("jaxpr")
                 if inner is not None:
-                    n += walk(inner.jaxpr if hasattr(inner, "jaxpr")
-                              else inner)
+                    s, n = walk(inner.jaxpr if hasattr(inner, "jaxpr")
+                                else inner)
+                    slots += s
+                    eqns += n
                 continue
             for sub in ("jaxpr", "call_jaxpr", "branches"):
                 p = eq.params.get(sub)
@@ -170,16 +229,18 @@ def kernel_vector_eqns(static, data, cam_vec, W, H, spp, B, split_k, sampler):
                     continue
                 ps = p if isinstance(p, (list, tuple)) else [p]
                 for q in ps:
-                    n += walk(q.jaxpr if hasattr(q, "jaxpr") else q)
+                    s, n = walk(q.jaxpr if hasattr(q, "jaxpr") else q)
+                    slots += s
+                    eqns += n
             outs = eq.outvars
             if (outs and hasattr(outs[0], "aval")
                     and getattr(outs[0].aval, "shape", ())
-                    and outs[0].aval.shape[-1] == 128
-                    and eq.primitive.name not in (
-                        "broadcast_in_dim", "convert_element_type",
-                        "reshape", "iota", "squeeze")):
-                n += 1
-        return n
+                    and outs[0].aval.shape[-1] == 128):
+                c = eqn_cost(eq)
+                slots += c
+                if c > 0:
+                    eqns += 1
+        return slots, eqns
 
     return walk(jaxpr.jaxpr)
 
@@ -252,28 +313,51 @@ def main():
         print("updated ROOFLINE.json (gather blocks)")
         return
     print("devices:", jax.devices())
+    # the r4 chained-FMA microkernel measures the VMEM-STREAMING regime
+    # (loop-carried values round-trip VMEM at ~7.2 TB/s) — kept as
+    # bandwidth evidence, NOT the MFU denominator (that quotient produced
+    # the invalid 854% of r4).  The issue-bound peak + per-op slot costs
+    # come from scripts/vpu_peak.py -> VPU_PEAK.json.
     peaks = {c: vpu_peak(c) for c in (4, 8, 16)}
     for c, p in peaks.items():
-        print(f"  vpu peak @ {c:2d} chains: {p / 1e12:.2f} T lane-ops/s",
-              flush=True)
-    peak = max(peaks.values())
-    out["vpu_peak_vector_lane_ops_per_s"] = peak
-    out["vpu_peak_by_chains"] = {str(c): p for c, p in peaks.items()}
-    print(f"VPU empirical peak: {peak / 1e12:.2f} T lane-ops/s")
+        print(f"  vmem-stream rate @ {c:2d} chains: {p / 1e12:.2f} T "
+              f"lane-ops/s", flush=True)
+    out["vmem_stream_lane_ops_per_s"] = max(peaks.values())
+    out["vmem_stream_by_chains"] = {str(c): p for c, p in peaks.items()}
+
+    issue_peak = None
+    pk = ROOT / "VPU_PEAK.json"
+    if pk.exists():
+        cal = json.loads(pk.read_text())
+        issue_peak = cal.get("fma", {}).get("lane_ops_per_s")
+        out["vpu_issue_peak_lane_slots_per_s"] = issue_peak
+        out["vpu_slot_costs"] = {k: v.get("slots_per_op")
+                                 for k, v in cal.items()
+                                 if isinstance(v, dict)
+                                 and "slots_per_op" in v}
+        print(f"VPU issue-bound peak (vpu_peak.py): "
+              f"{issue_peak / 1e12:.2f} T lane-slots/s")
+    else:
+        print("VPU_PEAK.json missing — run scripts/vpu_peak.py first; "
+              "utilization will be omitted, not faked")
 
     if "--peak-only" in sys.argv:
-        # refresh just the peak + derived utilization in ROOFLINE.json
+        # refresh just the peaks + derived utilization in ROOFLINE.json
         p = ROOT / "ROOFLINE.json"
         prev = json.loads(p.read_text())
-        prev["vpu_peak_vector_lane_ops_per_s"] = peak
-        prev["vpu_peak_by_chains"] = out["vpu_peak_by_chains"]
-        if "cornell" in prev:
-            prev["cornell"]["vpu_utilization"] = (
-                prev["cornell"]["achieved_lane_ops_per_s"] / peak)
+        prev["vmem_stream_lane_ops_per_s"] = out["vmem_stream_lane_ops_per_s"]
+        prev["vmem_stream_by_chains"] = out["vmem_stream_by_chains"]
+        prev.pop("vpu_peak_vector_lane_ops_per_s", None)
+        prev.pop("vpu_peak_by_chains", None)
+        if issue_peak:
+            prev["vpu_issue_peak_lane_slots_per_s"] = issue_peak
+            prev["vpu_slot_costs"] = out["vpu_slot_costs"]
+            if "cornell" in prev and "achieved_lane_slots_per_s" in prev.get(
+                    "cornell", {}):
+                prev["cornell"]["vpu_utilization"] = (
+                    prev["cornell"]["achieved_lane_slots_per_s"] / issue_peak)
         p.write_text(json.dumps(prev, indent=2, default=float))
-        print("updated ROOFLINE.json (peak only):",
-              json.dumps({k: prev[k] for k in
-                          ("vpu_peak_vector_lane_ops_per_s",)}, default=float))
+        print("updated ROOFLINE.json (peaks only)")
         print("cornell vpu_utilization:",
               prev.get("cornell", {}).get("vpu_utilization"))
         return
@@ -299,8 +383,8 @@ def main():
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
                    cam.half_fov])])
     chunk = max(1, min(SPP * 20, (1 << 22) // (W * H)))
-    eqns = kernel_vector_eqns(static, data, cam_vec, W, H, chunk, B,
-                              settings.split_k, settings.sampler)
+    slots, eqns = kernel_costed_ops(static, data, cam_vec, W, H, chunk, B,
+                                    settings.split_k, settings.sampler)
     wall = trace_render(sc, SPP, "/tmp/roofline_cornell")
     busy, twall, tops = parse_xplane("/tmp/roofline_cornell")
     n_chunks = -(-SPP * 20 // chunk)
@@ -309,13 +393,17 @@ def main():
     kern_s = max((v for k, v in tops.items()
                   if "custom" in k.lower() or "pallas" in k.lower()),
                  default=busy)
-    achieved = eqns * programs * TILE_ROWS * 128 / max(kern_s, 1e-9)
+    achieved = slots * programs * TILE_ROWS * 128 / max(kern_s, 1e-9)
     out["cornell"] = {
         "wall_s": wall, "device_busy_s": busy, "busy_frac": busy / wall,
         "kernel_vector_eqns_per_slot_program": eqns,
+        "kernel_costed_slots_per_slot_program": slots,
         "programs": programs,
-        "achieved_lane_ops_per_s": achieved,
-        "vpu_utilization": achieved / peak,
+        # slots/s in the SAME units as the vpu_peak.py denominator (fma =
+        # 2 slots, specials at measured cost) — see kernel_costed_ops; an
+        # upper bound (no-CSE assumption), so utilization <= printed value
+        "achieved_lane_slots_per_s": achieved,
+        "vpu_utilization": (achieved / issue_peak) if issue_peak else None,
         "top_ops_s": tops,
     }
     print(json.dumps(out["cornell"], indent=1, default=float))

@@ -79,15 +79,17 @@ def test_rotation_lowering():
 
 
 def test_pallas_gate_bounds_shading_groups():
-    # 46 spheres with DISTINCT materials = 48 shading groups: measured to
-    # kill the TPU compiler subprocess outright (scripts/probe_obj_cap.py),
-    # so the gate must route such scenes to the jnp wavefront even though
-    # the object count is under PALLAS_MAX_OBJECTS.  The same scene sharing
-    # 4 materials (6 groups) stays on the kernel path.
+    # The compiler wall is the number of unrolled shading BLOCKS: ~46+
+    # blocks kill the TPU compiler subprocess (scripts/probe_obj_cap.py).
+    # Since R4.11 the solid kernel compiles one block per MERGED group
+    # (kind x depth x mc), and since R5 the gate counts those — so 46
+    # spheres with 46 distinct same-kind materials (2 merged groups) now
+    # RIDE the kernel, while 46 distinct MERGED keys (max_ray_depth varied
+    # per object) still route to the wavefront.
     from raytracer_tpu import Emissive, Sphere
     from raytracer_tpu.materials.base import Diffuse as DiffuseMat
 
-    def build(n_materials):
+    def build(n_materials, vary_depth=False):
         sc = Scene()
         sc.add_Camera(look_from=vec3(0, 0, 5), look_at=vec3(0, 0, 0),
                       screen_width=8, screen_height=8)
@@ -95,12 +97,15 @@ def test_pallas_gate_bounds_shading_groups():
                            diffuse_rays=1) for i in range(n_materials)]
         for i in range(46):
             sc.add(Sphere(material=mats[i % n_materials],
-                          center=vec3(i * 1.0, 0, 0), radius=0.4))
+                          center=vec3(i * 1.0, 0, 0), radius=0.4,
+                          max_ray_depth=2 + (i if vary_depth else 0)))
         sc.add(Sphere(material=Emissive(color=rgb(1, 1, 1)),
                       center=vec3(0, 0, 0), radius=200.0, shadow=False))
         return sc
 
-    static_many, _ = compile_scene(build(46))     # 48 groups
-    assert not static_many.pallas_ok and not static_many.pallas_tex_ok
-    static_few, _ = compile_scene(build(4))       # 6 groups
+    static_many, _ = compile_scene(build(46))     # 47 slots, 2 merged
+    assert static_many.pallas_ok                  # R5 widened gate
+    static_deep, _ = compile_scene(build(46, vary_depth=True))  # 47 merged
+    assert not static_deep.pallas_ok and not static_deep.pallas_tex_ok
+    static_few, _ = compile_scene(build(4))       # 6 groups either way
     assert static_few.pallas_ok

@@ -142,3 +142,80 @@ def test_disc_cylinder_route_through_kernel(textured):
     a, b = both_linear(build, 48)
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 2e-3, rel
+
+
+# ---------------------------------------------------------------------------
+# R5: post-merge group gate — many distinct materials of few KINDS ride the
+# solid kernel (the kernel compiles one block per merged group since R4.11;
+# the gate now counts merged groups, core/compile.py).  Reference analogue:
+# arbitrarily many materials in the collider loop (ray.py:131-146).
+# ---------------------------------------------------------------------------
+
+
+def _many_material_scene(n_spheres=40):
+    # diffuse-only (no glossy): a glossy group would sweep 40 shadow
+    # objects per light per bounce — minutes in the Pallas interpreter;
+    # the gate logic under test is the same either way
+    def build():
+        sc = Scene(ambient_color=(0.03, 0.03, 0.03))
+        rng = np.random.default_rng(11)
+        for i in range(n_spheres):
+            c = rng.uniform(0.2, 0.9, 3)
+            x = (i % 8 - 3.5) * 0.9
+            z = 0.1 * (i % 3)
+            # every sphere gets its OWN material instance: 40 distinct
+            # slots, but only 2 merged groups (diffuse + emissive)
+            mat = Diffuse(diff_color=rgb(*c), diffuse_rays=1)
+            sc.add(Sphere(material=mat,
+                          center=vec3(x, (i // 8 - 2.0) * 0.9, -4 + z),
+                          radius=0.4, max_ray_depth=1))
+        sc.add(Sphere(material=Emissive(color=rgb(2, 2, 2.2)),
+                      center=vec3(0, 0, 0), radius=40.0, shadow=False))
+        sc.add_Camera(look_from=vec3(0, 1.5, 2), look_at=vec3(0, 0, -4),
+                      screen_width=16, screen_height=12)
+        return sc
+    return build
+
+
+def test_many_materials_route_through_solid_kernel():
+    build = _many_material_scene()
+    static, _ = compile_scene(build())
+    # 41 per-slot groups (> the 36 cap) but only 2 merged groups
+    n_slot = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
+                  for r in static.obj_records})
+    assert n_slot > 36, n_slot
+    assert static.pallas_ok
+    # spp 32 still traces ONE interpreter tile (16x12x32 < 16384 lanes);
+    # the second diffuse bounce draws from per-path streams, so the
+    # kernel/wavefront difference is MC noise ~1/sqrt(spp)
+    a, b = both_linear(build, 32)
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 3e-3, rel
+
+
+def test_many_slot_groups_still_gate_record_kernel():
+    # the record kernel keeps per-slot blocks — a textured scene past the
+    # per-slot cap must stay on the wavefront even though its merged count
+    # is tiny
+    def build():
+        sc = Scene(ambient_color=(0.03, 0.03, 0.03))
+        rng = np.random.default_rng(3)
+        from raytracer_tpu.textures import image
+        tex = np.tile(np.linspace(0.1, 1.0, 8, dtype=np.float32)[None, :, None],
+                      (8, 1, 3))
+        sc.add(Sphere(material=Diffuse(diff_color=image(tex)),
+                      center=vec3(0, 0, -3), radius=0.5))
+        for i in range(38):
+            c = rng.uniform(0.2, 0.9, 3)
+            sc.add(Sphere(material=Diffuse(diff_color=rgb(*c), diffuse_rays=1),
+                          center=vec3((i % 8 - 3.5) * 0.9, 1.5, -4),
+                          radius=0.3, max_ray_depth=2))
+        sc.add_Camera(look_from=vec3(0, 0, 1), look_at=vec3(0, 0, -3),
+                      screen_width=16, screen_height=12)
+        return sc
+    static, _ = compile_scene(build())
+    n_slot = len({(r.mat_type, r.mat_slot, r.max_depth, r.mc)
+                  for r in static.obj_records})
+    assert n_slot > 36, n_slot
+    assert not static.pallas_ok          # texture => solid kernel ineligible
+    assert not static.pallas_tex_ok      # per-slot blocks past the wall

@@ -314,3 +314,40 @@ def test_tiled_order_and_banding_bit_equal():
         out[name] = np.asarray(L)
     assert np.array_equal(out["flat"], out["tiled"])
     assert np.array_equal(out["tiled"], out["banded"])
+
+
+def test_quad_atlas_bit_equal():
+    """R5 quad-row fetch (VERDICT r4 #6): the bilinear replay's single
+    quad-atlas gather is BIT-identical to the 4-tap gathers — the quad row
+    stores exactly the four tap words in the loop's tap order, weights and
+    accumulation order unchanged."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.core.compile import derive_max_bounces
+    from raytracer_tpu.ops.pallas_record import pallas_record_chunk
+
+    sc = _bilinear_scene()
+    static, data = compile_scene(sc)
+    assert static.pallas_tex_ok
+    assert data.tex_atlas_quad is not None     # bilinear scene -> quads
+    B = derive_max_bounces(static)
+    cam = sc.camera.params()
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.fwd, cam.right, cam.up,
+        jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
+                   cam.half_fov])])
+    seed = jnp.asarray([99, 7, 0], jnp.int32)
+    outs = {}
+    for qf in (None, False):
+        L, _ = pallas_record_chunk(seed, data, cam_vec, static, 20, 16, 8, B,
+                                   interpret=True, sampler="r2",
+                                   quad_fetch=qf)
+        outs[qf] = np.asarray(L)
+    assert np.array_equal(outs[None], outs[False])
+
+
+def test_no_quad_atlas_without_bilinear():
+    """Scenes without bilinear textures must not pay the 4x quad atlas."""
+    static, data = compile_scene(textured_scene())
+    assert static.pallas_tex_ok
+    assert data.tex_atlas_quad is None
