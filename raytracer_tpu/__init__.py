@@ -159,7 +159,7 @@ sRGB_linear_to_sRGB = srgb_linear_to_srgb
 sRGB_to_sRGB_linear = srgb_to_srgb_linear
 load_image_as_linear_sRGB = load_image_as_linear_srgb
 
-__version__ = "0.7.2"
+__version__ = "0.8.0"
 
 __all__ = [
     "Scene", "Camera", "vec3", "rgb", "np", "Ray", "Hit", "get_raycolor",

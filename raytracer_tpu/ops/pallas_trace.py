@@ -120,8 +120,32 @@ def _asin(x):
     return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
 
 
+def _sincos_2pi(u):
+    """(sin, cos) of 2*pi*u for u in [0, 1) — quarter-wave polynomials.
+
+    Mosaic's sin/cos lowering measured 33.7 slot-equivalents EACH on this
+    chip (scripts/vpu_peak.py, VPU_PEAK.json) — it pays for large-argument
+    range reduction that phases drawn as uniforms never need.  One fold
+    serves both outputs: ~30 single-cycle ops for the pair (sin |err| <=
+    1.3e-8, cos <= 1.1e-7 — tighter than the kernels' existing polynomial
+    atan2 at ~1e-5 rad).  R5 eqn diet."""
+    t = u - jnp.floor(u)
+    x4 = t * 4.0
+    q = jnp.floor(x4)
+    r = x4 - q                  # quarter-phase fraction in [0, 1)
+    r2 = r * r
+    s = r * (1.57079632 + r2 * (-0.64596375 + r2 * (0.07968996
+             + r2 * (-0.00467430 + r2 * 0.00015179))))
+    c = 0.99999996 + r2 * (-1.23369862 + r2 * (0.25365306
+        + r2 * (-0.02081478 + r2 * 0.00086048)))
+    q1, q2, q3 = q == 1.0, q == 2.0, q == 3.0
+    sin_v = jnp.where(q1, c, jnp.where(q2, -s, jnp.where(q3, -c, s)))
+    cos_v = jnp.where(q1, -s, jnp.where(q2, -c, jnp.where(q3, s, c)))
+    return sin_v, cos_v
+
+
 def _raygen(cam, px_i, py_i, width, height, u1, u2, u3, u4, projection,
-            shape):
+            shape, diet=True):
     """Per-lane camera ray generation, all projections (core/camera.py
     generate_rays twin — same pixel/jitter conventions per projection, so
     kernels and the jnp wavefront consume the identical sample set; the
@@ -180,9 +204,13 @@ def _raygen(cam, px_i, py_i, width, height, u1, u2, u3, u4, projection,
         return ox, oy, oz, zf + fwx, zf + fwy, zf + fwz
     # pinhole + thin lens
     r_d = jnp.sqrt(u3)
-    phi_d = u4 * (2.0 * math.pi)
-    rx = r_d * jnp.cos(phi_d) * lens_r
-    ry = r_d * jnp.sin(phi_d) * lens_r
+    if diet:
+        sp_d, cp_d = _sincos_2pi(u4)      # u4 IS the phase fraction
+    else:
+        phi_d = u4 * (2.0 * math.pi)
+        cp_d, sp_d = jnp.cos(phi_d), jnp.sin(phi_d)
+    rx = r_d * cp_d * lens_r
+    ry = r_d * sp_d * lens_r
     ox = o0x + rix * rx + upx * ry
     oy = o0y + riy * rx + upy * ry
     oz = o0z + riz * rx + upz * ry
@@ -490,7 +518,8 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             u4 = rng.uniform()
             sb_mix = sb_phi = sb_r2 = None
         ox, oy, oz, dx, dy, dz = _raygen(cam, px_i, py_i, width, height,
-                                         u1, u2, u3, u4, projection, shape)
+                                         u1, u2, u3, u4, projection, shape,
+                                         diet=diet)
 
         c = lambda j: const_ref[0, j]
         ambient = (c(0), c(1), c(2))
@@ -637,12 +666,16 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         u_r22 = jnp.where(fd, sb_r2, u_r22)
                         u_mixv = jnp.where(fd, sb_mix, u_mixv)
                     # cosine lobe sample
-                    phi = u_phi1 * (2.0 * math.pi)
                     r2 = u_r21
                     zc = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
                     sr2 = jnp.sqrt(r2)       # hoisted (was traced twice)
-                    xc = jnp.cos(phi) * sr2
-                    yc = jnp.sin(phi) * sr2
+                    if diet:
+                        sphi, cphi = _sincos_2pi(u_phi1)
+                    else:
+                        phi = u_phi1 * (2.0 * math.pi)
+                        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+                    xc = cphi * sr2
+                    yc = sphi * sr2
                     cdx = ax_u[0] * xc + ax_v[0] * yc + nx * zc
                     cdy = ax_u[1] * xc + ax_v[1] * yc + ny * zc
                     cdz = ax_u[2] * xc + ax_v[2] * yc + nz * zc
@@ -670,12 +703,17 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                             swz = jnp.where(m, wxs[kk][2], swz)
                             scm = jnp.where(m, cms[kk], scm)
                         (cu, cv) = _orthobasis(swx, swy, swz)
-                        phi2 = u_phi2 * (2.0 * math.pi)
                         zq = 1.0 + u_r22 * (scm - 1.0)
                         sq = jnp.sqrt(jnp.maximum(1.0 - zq * zq, 0.0))
                         # hoisted: cos/sin(phi2)*sq were traced 3x each
-                        cps = jnp.cos(phi2) * sq
-                        sps = jnp.sin(phi2) * sq
+                        if diet:
+                            sphi2, cphi2 = _sincos_2pi(u_phi2)
+                        else:
+                            phi2 = u_phi2 * (2.0 * math.pi)
+                            cphi2 = jnp.cos(phi2)
+                            sphi2 = jnp.sin(phi2)
+                        cps = cphi2 * sq
+                        sps = sphi2 * sq
                         qdx = cu[0] * cps + cv[0] * sps + swx * zq
                         qdy = cu[1] * cps + cv[1] * sps + swy * zq
                         qdz = cu[2] * cps + cv[2] * sps + swz * zq

@@ -177,10 +177,12 @@ def _slot_costs():
         for op, keys in (("div", ("div",)), ("rem", ("div",)),
                          ("sqrt", ("sqrt",)), ("rsqrt", ("rsqrt",)),
                          ("exp", ("exp",)), ("log", ("exp",)),
-                         ("sin", ("sin",)), ("cos", ("sin",))):
+                         ("sin", ("sin",)), ("cos", ("sin",)),
+                         ("convert_element_type", ("convert",)),
+                         ("mask_logical", ("mask",))):
             for k in keys:
                 v = cal.get(k, {}).get("slots_per_op")
-                if v:
+                if v is not None:
                     costs[op] = float(v)
     return costs
 
@@ -210,39 +212,113 @@ def kernel_costed_ops(static, data, cam_vec, W, H, spp, B, split_k, sampler):
             return float(max(1, _m.ceil(_m.log2(max(y, 2))) + bin(y).count("1") - 1))
         if name.startswith("reduce_") or name == "reduce_precision":
             return 8.0          # log2(128) combine steps, sublane-parallel
+        if name in ("and", "or", "xor", "not"):
+            # boolean mask-register ops (i1 operands) run on bit-packed
+            # masks — calibrated separately from full-width ALU ops
+            try:
+                if all(str(getattr(v.aval, "dtype", "")) == "bool"
+                       for v in eq.invars if hasattr(v, "aval")):
+                    return costs.get("mask_logical", 1.0)
+            except Exception:
+                pass
         return costs.get(name, 1.0)
 
-    def walk(jx):
-        slots, eqns = 0.0, 0
-        for eq in jx.eqns:
-            if eq.primitive.name in ("pallas_call",):
-                inner = eq.params.get("jaxpr")
-                if inner is not None:
-                    s, n = walk(inner.jaxpr if hasattr(inner, "jaxpr")
-                                else inner)
-                    slots += s
-                    eqns += n
-                continue
-            for sub in ("jaxpr", "call_jaxpr", "branches"):
-                p = eq.params.get(sub)
-                if p is None:
-                    continue
-                ps = p if isinstance(p, (list, tuple)) else [p]
-                for q in ps:
-                    s, n = walk(q.jaxpr if hasattr(q, "jaxpr") else q)
-                    slots += s
-                    eqns += n
-            outs = eq.outvars
-            if (outs and hasattr(outs[0], "aval")
-                    and getattr(outs[0].aval, "shape", ())
-                    and outs[0].aval.shape[-1] == 128):
-                c = eqn_cost(eq)
-                slots += c
-                if c > 0:
-                    eqns += 1
-        return slots, eqns
+    # Global value numbering + CSE over the kernel body: Mosaic CSEs
+    # identical subexpressions (measured in R4.11 — merged-group dedup
+    # bought far less than its eqn delta), so counting duplicates as
+    # executed ops overstates the numerator.  Model it at jaxpr
+    # granularity: value-number every eqn by (prim, params, operand value
+    # numbers), substituting call operands through jit boundaries so
+    # cached jnp-helper jaxprs don't alias distinct call sites; count
+    # each distinct computation once.  (Mosaic's real CSE runs
+    # post-lowering and may differ in both directions; stated method.)
+    state = {"raw": 0.0, "cse": 0.0, "eqns": 0, "next": [0]}
+    seen = {}
 
-    return walk(jaxpr.jaxpr)
+    def go(jx, argvns, constvns):
+        local = {}
+        for v, a in zip(jx.invars, argvns):
+            local[v] = a
+        for v, a in zip(jx.constvars, constvns):
+            local[v] = a
+
+        def vnum(v):
+            if not hasattr(v, "aval") or hasattr(v, "val"):   # Literal
+                return ("lit", str(getattr(v, "val", v)))
+            if v not in local:
+                # unseen free var (shouldn't happen) — unique number
+                local[v] = ("free", state["next"][0])
+                state["next"][0] += 1
+            return local[v]
+
+        for eq in jx.eqns:
+            ins = tuple(vnum(v) for v in eq.invars)
+            sub = None
+            for name in ("jaxpr", "call_jaxpr"):
+                if eq.params.get(name) is not None:
+                    sub = eq.params[name]
+                    break
+            if sub is not None:
+                sj = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+                cvn = [("const", state["next"][0] + i)
+                       for i in range(len(sj.constvars))]
+                state["next"][0] += len(sj.constvars)
+                outs = go(sj, list(ins), cvn)
+                for o, ovn in zip(eq.outvars, outs):
+                    local[o] = ovn
+                continue
+            if eq.params.get("branches") is not None:
+                # no lax.cond/scan inside the unrolled kernel body; if one
+                # appears, count its eqns without cross-branch CSE
+                for q in eq.params["branches"]:
+                    qj = q.jaxpr if hasattr(q, "jaxpr") else q
+                    go(qj, [("br", state["next"][0] + i)
+                            for i in range(len(qj.invars))],
+                       [("brc", state["next"][0] + 9000 + i)
+                        for i in range(len(qj.constvars))])
+                state["next"][0] += 20000
+            try:
+                pkey = str(sorted(
+                    (k, str(v)) for k, v in eq.params.items()
+                    if k not in ("jaxpr", "call_jaxpr", "branches")))
+            except Exception:
+                pkey = str(eq.params)
+            key = (eq.primitive.name, pkey, ins)
+            fresh = key not in seen
+            if fresh:
+                seen[key] = ("v", state["next"][0])
+                state["next"][0] += 1
+            for i, o in enumerate(eq.outvars):
+                local[o] = seen[key] + (i,)
+            ov = eq.outvars
+            if (ov and hasattr(ov[0], "aval")
+                    and getattr(ov[0].aval, "shape", ())
+                    and ov[0].aval.shape[-1] == 128):
+                c = eqn_cost(eq)
+                state["raw"] += c
+                if fresh:
+                    state["cse"] += c
+                if c > 0:
+                    state["eqns"] += 1
+        return [vnum(v) for v in jx.outvars]
+
+    def find_pallas(jx, acc):
+        for eq in jx.eqns:
+            if eq.primitive.name == "pallas_call":
+                acc.append(eq.params["jaxpr"])
+            for v in eq.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None:
+                    find_pallas(inner, acc)
+        return acc
+
+    inner = find_pallas(jaxpr.jaxpr, [])
+    assert inner, "no pallas_call in the traced chunk"
+    kj = inner[0].jaxpr if hasattr(inner[0], "jaxpr") else inner[0]
+    args = [("arg", i) for i in range(len(kj.invars))]
+    consts = [("kconst", i) for i in range(len(kj.constvars))]
+    go(kj, args, consts)
+    return state["cse"], state["raw"], state["eqns"]
 
 
 def trace_render(sc, spp, profile_dir, **kw):
@@ -329,7 +405,8 @@ def main():
     pk = ROOT / "VPU_PEAK.json"
     if pk.exists():
         cal = json.loads(pk.read_text())
-        issue_peak = cal.get("fma", {}).get("lane_ops_per_s")
+        issue_peak = (cal.get("fma_peak_lane_ops_per_s")
+                      or cal.get("fma", {}).get("lane_ops_per_s"))
         out["vpu_issue_peak_lane_slots_per_s"] = issue_peak
         out["vpu_slot_costs"] = {k: v.get("slots_per_op")
                                  for k, v in cal.items()
@@ -383,8 +460,9 @@ def main():
         jnp.stack([cam.cam_w, cam.cam_h, cam.lens_radius, cam.focal,
                    cam.half_fov])])
     chunk = max(1, min(SPP * 20, (1 << 22) // (W * H)))
-    slots, eqns = kernel_costed_ops(static, data, cam_vec, W, H, chunk, B,
-                                    settings.split_k, settings.sampler)
+    slots, slots_raw, eqns = kernel_costed_ops(
+        static, data, cam_vec, W, H, chunk, B,
+        settings.split_k, settings.sampler)
     wall = trace_render(sc, SPP, "/tmp/roofline_cornell")
     busy, twall, tops = parse_xplane("/tmp/roofline_cornell")
     n_chunks = -(-SPP * 20 // chunk)
@@ -398,10 +476,12 @@ def main():
         "wall_s": wall, "device_busy_s": busy, "busy_frac": busy / wall,
         "kernel_vector_eqns_per_slot_program": eqns,
         "kernel_costed_slots_per_slot_program": slots,
+        "kernel_costed_slots_no_cse": slots_raw,
+        "kernel_time_s": kern_s,
         "programs": programs,
         # slots/s in the SAME units as the vpu_peak.py denominator (fma =
-        # 2 slots, specials at measured cost) — see kernel_costed_ops; an
-        # upper bound (no-CSE assumption), so utilization <= printed value
+        # 2 slots, specials at measured cost), after jaxpr-level value
+        # numbering/CSE — see kernel_costed_ops for the stated method
         "achieved_lane_slots_per_s": achieved,
         "vpu_utilization": (achieved / issue_peak) if issue_peak else None,
         "top_ops_s": tops,

@@ -79,6 +79,12 @@ def _leaves(x, op):
             out.append(1.0 + 0.1 * jnp.sin(x * c + d))
         elif op == "select":                  # 1 cmp + 1 select + 1 add
             out.append(jnp.where(x > c, x + d, c + d))
+        elif op == "convert":                 # 2 converts + 3 muls + 1 add
+            iv = ((x * c + d) * 256.0).astype(jnp.int32)
+            out.append(iv.astype(jnp.float32) * (1.0 / 256.0))
+        elif op == "mask":                    # 2 cmps + 2 mask-ands + select
+            m = (x > c) & (x < c + 0.5) & (x > d)
+            out.append(jnp.where(m, x, c))
         else:
             raise ValueError(op)
     return out
@@ -88,7 +94,9 @@ def _leaves(x, op):
 # transcendental as ONE slot here — the RELATIVE rate vs fma gives its
 # true slot cost)
 _OPS_PER_LEAF = {"fma": 2, "div": 2, "sqrt": 2, "rsqrt": 2, "exp": 2,
-                 "sin": 4, "select": 3}
+                 "sin": 4, "select": 3, "convert": 6, "mask": 6}
+# how many of those leaf ops are the special op being calibrated
+_N_SPECIAL = {"convert": 2, "mask": 2}
 
 
 def make_kernel(op, statements):
@@ -129,24 +137,95 @@ def measure(op, reps, grid, statements):
     return lane_ops / med, med, ops_el
 
 
+def make_chain_kernel(K, D, statements):
+    """K independent fma chains of depth D per statement, summed — ILP=K
+    sustained at every tree level (the product tree's ILP narrows to 1 at
+    its root, which stalls issue near the end of each statement)."""
+    rng = np.random.default_rng(7)
+    cs = 1.0 + 0.01 * rng.standard_normal((K, D))
+    ds = 0.01 * rng.standard_normal((K, D))
+
+    def kernel(x_ref, o_ref):
+        y = x_ref[...]
+        for s in range(statements):
+            chains = []
+            for k in range(K):
+                v = y
+                for d in range(D):
+                    v = v * float(cs[k, d]) + float(ds[k, d])
+                chains.append(v)
+            t = _tree_reduce_add(chains)
+            y = 1.0 + (t * (1.0 / K) - 1.0) * 0.125
+        o_ref[...] = y
+    return kernel, statements * (K * D * 2 + (K - 1) + 3)
+
+
+def _tree_reduce_add(vals):
+    while len(vals) > 1:
+        nxt = []
+        for i in range(0, len(vals) - 1, 2):
+            nxt.append(vals[i] + vals[i + 1])
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
+
+
+def measure_kernel(kernel, ops_el, reps, grid):
+    x = jnp.ones((TILE[0], TILE[1]), jnp.float32) * 1.0001
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(TILE, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(TILE, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(TILE, jnp.float32),
+    )
+    f = jax.jit(lambda x: call(x).sum())
+    np.asarray(f(x))
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        walls.append(time.perf_counter() - t0)
+    med = sorted(walls)[len(walls) // 2]
+    return grid * LANES * ops_el / med, med
+
+
 def main(reps=7, grid=4096, statements=64):
     out = {"P": P, "grid": grid, "statements": statements}
+    # fma peak = max over tree/chain shapes (each shape has a different
+    # ILP-vs-depth profile; the ceiling is whichever issues best)
+    best = None
+    for K, D in ((8, 8), (16, 8), (16, 16), (32, 4)):
+        kern, ops_el = make_chain_kernel(K, D, statements)
+        rate, med = measure_kernel(kern, ops_el, reps, grid)
+        out[f"fma_chains_{K}x{D}"] = {"lane_ops_per_s": rate,
+                                      "wall_ms": med * 1e3}
+        best = max(best or 0.0, rate)
     base = None
-    for op in ("fma", "select", "div", "sqrt", "rsqrt", "exp", "sin"):
+    for op in ("fma", "select", "div", "sqrt", "rsqrt", "exp", "sin",
+               "convert", "mask"):
         rate, med, ops_el = measure(op, reps, grid, statements)
         out[op] = {"lane_ops_per_s": rate, "wall_ms": med * 1e3,
                    "ops_per_element": ops_el}
         if op == "fma":
             base = rate
+            best = max(best or 0.0, rate)
+            out["fma_peak_lane_ops_per_s"] = best
         else:
             # slot cost of the special op relative to a 1-slot ALU op:
             # solve rate ratio for the per-leaf extra cost
-            n_1slot = P * (_OPS_PER_LEAF[op] - 1) + (P - 1) + 2
+            ns = _N_SPECIAL.get(op, 1)
+            n_1slot = P * (_OPS_PER_LEAF[op] - ns) + (P - 1) + 2
             per_stmt_slots_eq = base / rate * (P * _OPS_PER_LEAF["fma"]
                                                + (P - 1) + 2)
-            extra = (per_stmt_slots_eq - n_1slot) / P
+            extra = (per_stmt_slots_eq - n_1slot) / (P * ns)
             out[op]["slots_per_op"] = round(max(extra, 0.0), 2)
     print(json.dumps(out))
+    (Path(__file__).resolve().parent.parent / "VPU_PEAK.json").write_text(
+        json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
