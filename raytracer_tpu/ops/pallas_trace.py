@@ -45,6 +45,21 @@ TILE_ROWS = 128            # rays per program = TILE_ROWS * 128
 _INV_2_24 = lds.INV_2_24
 
 
+def solid_tile_rows(static):
+    """Rays-per-program rows for the solid kernel.
+
+    128 rows for small scenes; 64 past 16 objects: the unrolled
+    intersection sweep + shading blocks' live tile temporaries scale with
+    the object count, and a 48-object glossy+refractive scene measured
+    16.31M of scoped VMEM at 128 rows — 2% past Mosaic's 16M stack limit
+    (R5 scripts/probe_group_gate.py; the r2 probe_obj_cap scene passed at
+    the r2 kernel, the r5 kernel's extra live values tipped it).  Halving
+    rows is estimator-identical (the global ray index is
+    partition-independent) and measured perf-flat (probe_tile_rows r2:
+    64/128/256 rows within 2%)."""
+    return TILE_ROWS if static.n_objects <= 16 else TILE_ROWS // 2
+
+
 # ---------------------------------------------------------------------------
 # tile helpers
 # ---------------------------------------------------------------------------
@@ -462,7 +477,7 @@ def _normal_for(rec, g, px, py, pz):
 
 def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                  lam=WAVELENGTHS_NM, sampler="iid", projection="pinhole",
-                 merge_groups=True, diet=True):
+                 merge_groups=True, diet=True, tile_rows=None):
     records = static.obj_records
     # shading groups: objects sharing (material KIND, depth-cap, mc[, static
     # code shape]) shade together — ONE unrolled block per kind with per-lane
@@ -482,15 +497,16 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             key = key + (rec.mat_slot,)
         groups.setdefault(key, []).append(i)
     shadow_ids = [i for i, rec in enumerate(records) if rec.shadow]
+    t_rows = tile_rows if tile_rows is not None else TILE_ROWS
 
     def kernel(seed_ref, cam_ref, geom_ref, dif_ref, glo_ref, refr_ref,
                emi_ref, light_ref, is_ref, const_ref, L_ref, cnt_ref):
         pid = pl.program_id(0)
-        shape = (TILE_ROWS, 128)
+        shape = (t_rows, 128)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = (pid * TILE_ROWS + rows) * 128 + lanes
+        idx = (pid * t_rows + rows) * 128 + lanes
         rng = _TileRng(idx, seed_ref[0])
         pix = jnp.remainder(idx, n_pix)
         py_i = pix // width
@@ -1064,7 +1080,8 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
     n_pix = width * height
     n = spp * n_pix
     R = -(-n // 128)
-    G = -(-R // TILE_ROWS)
+    TR = solid_tile_rows(static)
+    G = -(-R // TR)
 
     mats = data.mats
     dif = jnp.concatenate([_pad_rows(mats.diffuse_color),
@@ -1086,7 +1103,8 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
 
     kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
                           split_k, sampler=sampler, projection=projection,
-                          merge_groups=merge_groups, diet=diet)
+                          merge_groups=merge_groups, diet=diet,
+                          tile_rows=TR)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -1100,7 +1118,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
             rep(*lights.shape), rep(*is_tab.shape), rep(1, 16),
         ],
         out_specs=[
-            pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TR, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             # per-program ray counter, replicated across one (8, 128) tile
             # (SMEM scalar outputs don't lower on hardware)
@@ -1108,7 +1126,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, G * TILE_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, G * TR, 128), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
         ],
         # TPU-semantics interpreter (supports prng_seed etc.) runs the CPU
@@ -1121,5 +1139,5 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                                                 seed.dtype)])
     L, cnt = call(seed, cam_vec[None, :], data.pallas_geom, dif,
                   glo, refr, emi, lights, is_tab, consts)
-    L = L.reshape(3, G * TILE_ROWS * 128)[:, :n].T
+    L = L.reshape(3, G * TR * 128)[:, :n].T
     return L, cnt[:, 0, 0].sum()
