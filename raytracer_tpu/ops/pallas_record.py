@@ -276,7 +276,7 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
             best_o = jnp.ones(shape, jnp.float32)
             best_id = jnp.full(shape, -1, jnp.int32)
             for i, rec in enumerate(records):
-                t_i, o_i = _ISECT[rec.kind](grow[i], ox, oy, oz, dx, dy, dz)
+                t_i, o_i = _isect_for(rec)(grow[i], ox, oy, oz, dx, dy, dz)
                 better = t_i < best_t
                 best_t = jnp.where(better, t_i, best_t)
                 best_o = jnp.where(better, o_i, best_o)
@@ -636,7 +636,7 @@ def _make_record_kernel(static, width, height, max_bounces, n_pix, split_k=0,
                             lv = [lr * ndl, lg * ndl, lb * ndl]
                         occ = jnp.zeros(shape, bool)
                         for si in shadow_ids:
-                            t_s, _ = _ISECT[records[si].kind](
+                            t_s, _ = _isect_for(records[si])(
                                 grow[si], nux, nuy, nuz, lxn, lyn, lzn)
                             occ = occ | (t_s < dist)
                         see = 1.0 - occ.astype(jnp.float32)

@@ -275,12 +275,32 @@ def _isect_sphere(g, ox, oy, oz, dx, dy, dz):
     return t, orient
 
 
-def _isect_plane(g, ox, oy, oz, dx, dy, dz):
+def _isect_plane(g, ox, oy, oz, dx, dy, dz, aa=None):
     cx, cy, cz = g[0], g[1], g[2]
+    w2, h2 = g[12], g[13]
+    if aa is not None:
+        # axis-aligned frame (ObjRecord.aa): statically select components
+        # instead of three full dot products — bit-identical to the
+        # generic path (the dropped terms are exact *0/+0; |uu| makes the
+        # u/v signs irrelevant).  ~22 tile-ops instead of ~48.
+        (nax, nsg), (uax, usg), (vax, vsg) = aa
+        o = (ox, oy, oz)
+        d = (dx, dy, dz)
+        c = (cx, cy, cz)
+        ndd = d[nax] if nsg > 0 else -d[nax]
+        ndd = jnp.where(ndd == 0.0, ndd + 1e-4, ndd)
+        ndco = (c[nax] - o[nax]) if nsg > 0 else (o[nax] - c[nax])
+        tt = ndco / ndd
+        uu = o[uax] + d[uax] * tt - c[uax]
+        vv = o[vax] + d[vax] * tt - c[vax]
+        inside = ((jnp.abs(uu) <= w2) & (jnp.abs(vv) <= h2)
+                  & (ndco * ndd > 0))
+        t = jnp.where(inside, tt, FARAWAY)
+        orient = jnp.where(ndd < 0, 1.0, -1.0)
+        return t, orient
     ux, uy, uz = g[3], g[4], g[5]
     vx, vy, vz = g[6], g[7], g[8]
     nx, ny, nz = g[9], g[10], g[11]
-    w2, h2 = g[12], g[13]
     ndd = nx * dx + ny * dy + nz * dz
     ndd = jnp.where(ndd == 0.0, ndd + 1e-4, ndd)
     ndco = nx * (cx - ox) + ny * (cy - oy) + nz * (cz - oz)
@@ -430,6 +450,16 @@ _ISECT = {"sphere": _isect_sphere, "plane": _isect_plane,
           "disc": _isect_disc, "cyl": _isect_cyl}
 
 
+def _isect_for(rec, aa_planes=True):
+    """Per-record intersector: planes with an axis-aligned frame take the
+    static component-selected fast path (ObjRecord.aa).  aa_planes=False
+    keeps the generic formula for A/B probes (bit-identical either way)."""
+    if (aa_planes and rec.kind == "plane"
+            and getattr(rec, "aa", None) is not None):
+        return functools.partial(_isect_plane, aa=rec.aa)
+    return _ISECT[rec.kind]
+
+
 def _normal_for(rec, g, px, py, pz):
     if rec.kind == "sphere":
         inv_r = 1.0 / g[3]
@@ -477,7 +507,8 @@ def _normal_for(rec, g, px, py, pz):
 
 def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                  lam=WAVELENGTHS_NM, sampler="iid", projection="pinhole",
-                 merge_groups=True, diet=True, tile_rows=None):
+                 merge_groups=True, diet=True, tile_rows=None,
+                 aa_planes=True):
     records = static.obj_records
     # shading groups: objects sharing (material KIND, depth-cap, mc[, static
     # code shape]) shade together — ONE unrolled block per kind with per-lane
@@ -565,7 +596,7 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             best_o = jnp.ones(shape, jnp.float32)
             best_id = jnp.full(shape, -1, jnp.int32)
             for i, rec in enumerate(records):
-                t_i, o_i = _ISECT[rec.kind](grow[i], ox, oy, oz, dx, dy, dz)
+                t_i, o_i = _isect_for(rec, aa_planes)(grow[i], ox, oy, oz, dx, dy, dz)
                 better = t_i < best_t
                 best_t = jnp.where(better, t_i, best_t)
                 best_o = jnp.where(better, o_i, best_o)
@@ -945,7 +976,7 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         # shadow: any shadow-flagged object closer than the light
                         occ = jnp.zeros(shape, bool)
                         for si in shadow_ids:
-                            t_s, _ = _ISECT[records[si].kind](
+                            t_s, _ = _isect_for(records[si], aa_planes)(
                                 grow[si], nux, nuy, nuz, lxn, lyn, lzn)
                             occ = occ | (t_s < dist)
                         see = 1.0 - occ.astype(jnp.float32)
@@ -1062,11 +1093,11 @@ def _light_table(lt):
                                              "spp", "max_bounces", "interpret",
                                              "split_k", "sampler",
                                              "projection", "merge_groups",
-                                             "diet"))
+                                             "diet", "aa_planes"))
 def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
                        max_bounces, interpret=False, split_k=0,
                        sampler="iid", projection="pinhole",
-                       merge_groups=True, diet=True):
+                       merge_groups=True, diet=True, aa_planes=True):
     """Trace one spp-chunk with the mega-kernel.
 
     seed: int32 scalar array, or (3,) [chunk seed, R2 rotation seed, global
@@ -1104,7 +1135,7 @@ def pallas_trace_chunk(seed, data, cam_vec, static, width, height, spp,
     kernel = _make_kernel(static, width, height, spp, max_bounces, n_pix,
                           split_k, sampler=sampler, projection=projection,
                           merge_groups=merge_groups, diet=diet,
-                          tile_rows=TR)
+                          tile_rows=TR, aa_planes=aa_planes)
     rep = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
