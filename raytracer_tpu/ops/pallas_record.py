@@ -46,7 +46,7 @@ from ..utils.constants import MISS_THRESHOLD, SKYBOX_DISTANCE, WAVELENGTHS_NM
 from ..core import lds
 from .pallas_trace import (FARAWAY, TILE_ROWS, _INV_2_24, _ISECT, _TileRng,
                            _asin, _atan2, _cabs2, _cdiv, _cmul, _csqrt,
-                           _cyl_local, _light_table, _normal_for,
+                           _cyl_local, _isect_for, _light_table, _normal_for,
                            _normalize3, _orthobasis, _pad_rows, _raygen)
 
 
