@@ -276,3 +276,67 @@ def test_merged_dispersive_pair_statistical():
     m_f = out[False].mean(axis=0)
     assert np.all(np.isfinite(out[True])) and np.all(np.isfinite(out[False]))
     assert np.allclose(m_t, m_f, rtol=0.05, atol=0.01), (m_t, m_f)
+
+
+def test_aa_plane_isect_bit_equal_generic():
+    """R5 axis-aligned plane fast path: for every +-unit-axis frame, the
+    statically component-selected formula must match the generic
+    three-dot-product formula BIT-exactly on random rays (the dropped
+    terms are exact *0/+0 in f32)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.pallas_trace import _isect_plane
+
+    rng = np.random.default_rng(5)
+    N = 4096
+    O = rng.uniform(-3, 3, (3, N)).astype(np.float32)
+    D = rng.normal(size=(3, N)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    for nax, nsg in itertools.product(range(3), (1.0, -1.0)):
+        uax = (nax + 1) % 3
+        vax = (nax + 2) % 3
+        for usg, vsg in ((1.0, -1.0), (-1.0, 1.0), (1.0, 1.0)):
+            n = np.zeros(3, np.float32)
+            u = np.zeros(3, np.float32)
+            v = np.zeros(3, np.float32)
+            n[nax], u[uax], v[vax] = nsg, usg, vsg
+            c = rng.uniform(-2, 2, 3).astype(np.float32)
+            g = [jnp.float32(x) for x in
+                 list(c) + list(u) + list(v) + list(n) + [1.5, 0.8]]
+            args = [jnp.asarray(x) for x in (*O, *D)]
+            t_gen, o_gen = _isect_plane(g, *args)
+            t_aa, o_aa = _isect_plane(
+                g, *args, aa=((nax, nsg), (uax, usg), (vax, vsg)))
+            assert np.array_equal(np.asarray(t_gen), np.asarray(t_aa)), (
+                nax, nsg, usg, vsg)
+            assert np.array_equal(np.asarray(o_gen), np.asarray(o_aa))
+
+
+def test_aa_detection_on_cornell():
+    """All six Cornell walls carry exact unit-axis frames -> ObjRecord.aa
+    set; a rotated plane must stay generic."""
+    import sys as _s
+    from pathlib import Path as _P
+    _s.path.insert(0, str(_P(__file__).resolve().parent.parent / "examples"))
+    from example_cornellbox import build_cornell
+
+    from raytracer_tpu.core.compile import compile_scene
+
+    static, _ = compile_scene(build_cornell(32, 32))
+    aa_planes = [r for r in static.obj_records
+                 if r.kind == "plane" and r.aa is not None]
+    assert len(aa_planes) == 6
+
+    sc = Scene()
+    sc.add_Camera(look_from=vec3(0, 0, 2), look_at=vec3(0, 0, 0),
+                  screen_width=8, screen_height=8)
+    p = Plane(material=Diffuse(diff_color=rgb(0.5, 0.5, 0.5)),
+              center=vec3(0, 0, 0), width=2.0, height=2.0,
+              u_axis=vec3(1, 0, 0), v_axis=vec3(0, 1, 0))
+    p.rotate(θ=30, u=vec3(0, 0, 1))
+    sc.add(p)
+    static2, _ = compile_scene(sc)
+    rot = [r for r in static2.obj_records if r.kind == "plane"]
+    assert rot and all(r.aa is None for r in rot)
