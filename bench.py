@@ -152,6 +152,43 @@ def bench_feature_paths():
                                              ipd=0.2, seed=s,
                                              output="linear")),
         "spp": 4, "w": 256, "h": 128, "layout": "top-bottom"}
+
+    # 5) bilinear-filtered texture on the record path — the quad-atlas
+    # fetch (one gather row per 2x2 tap set, R5 / probe_quad_rows.py 2.61x)
+    from raytracer_tpu import (Glossy, Plane, Scene, Sphere, procedural_sky,
+                               rgb, vec3)
+    from raytracer_tpu.core.compile import compile_scene
+    from raytracer_tpu.textures import image
+    from raytracer_tpu.textures.procedural import checkerboard
+
+    bl = Scene(ambient_color=rgb(0.05, 0.05, 0.05))
+    bl.add_Camera(look_from=vec3(0, 0.25, 1), look_at=vec3(0, 0.25, -3),
+                  screen_width=400, screen_height=300)
+    bl.add_DirectionalLight(Ldir=vec3(0.52, 0.45, -0.5),
+                            color=rgb(0.15, 0.15, 0.15))
+    bl.add(Sphere(material=Glossy(diff_color=rgb(1.0, 0.572, 0.184),
+                                  n=vec3(0.15 + 3.58j, 0.4 + 2.37j,
+                                         1.54 + 1.91j),
+                                  roughness=0.0, spec_coeff=0.2,
+                                  diff_coeff=0.8),
+                  center=vec3(-0.5, 0.1, -3.0), radius=0.6,
+                  max_ray_depth=3))
+    bl.add(Plane(material=Glossy(diff_color=image(checkerboard(64),
+                                                  repeat=40.0,
+                                                  filter="bilinear"),
+                                 n=vec3(1.2 + 0.3j, 1.2 + 0.3j, 1.1 + 0.3j),
+                                 roughness=0.2, spec_coeff=0.3,
+                                 diff_coeff=0.9),
+                 center=vec3(0, -0.5, -3.0), width=120.0, height=120.0,
+                 u_axis=vec3(1, 0, 0), v_axis=vec3(0, 0, -1),
+                 max_ray_depth=3))
+    bl.add_Background(procedural_sky(128, 96))
+    st, dat = compile_scene(bl)
+    assert st.pallas_tex_ok and dat.tex_atlas_quad is not None
+    out["bilinear_quad"] = {
+        "wall_s": timed(lambda s: bl.render(samples_per_pixel=8, seed=s,
+                                            output="linear")),
+        "spp": 8, "w": 400, "h": 300}
     return out
 
 

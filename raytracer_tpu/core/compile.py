@@ -1722,7 +1722,8 @@ def compile_scene(scene) -> Tuple[SceneStatic, SceneData]:
     # path-recording variant: image textures / env maps / thin-film LUTs are
     # applied in a jnp pass over the recorded path vertices; normal maps
     # perturb sampling directions and cannot be deferred.  HDR envs ride the
-    # RGB9E5 atlas encoding; bilinear textures take a 4-tap replay round
+    # RGB9E5 atlas encoding; bilinear textures fetch their 2x2 taps as ONE
+    # quad-atlas gather row (R5; 4 separate taps pre-quad)
     # (ops/pallas_record.py) — neither forces the wavefront anymore (r3).
     pallas_tex_ok = (_common_ok and n_groups_slot <= PALLAS_MAX_GROUPS
                      and not pallas_ok and not nmaps
