@@ -661,6 +661,15 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                 mt, maxd, mc, extra = gkey[:4]
                 if last and mt in (MAT_DIFFUSE, MAT_REFRACTIVE):
                     continue     # contribution is continuation-only
+                if diet and mt == MAT_REFRACTIVE and bounce >= maxd:
+                    # alive lanes at bounce b carry depth == b EXACTLY
+                    # (depth increments once per survived transition), so
+                    # the depth-cap test `depth < maxd` is python-static —
+                    # past the cap this block's only effect (the
+                    # continuation) is provably dead for every lane.
+                    # Cornell: the glass sphere's maxd=3 kills its block
+                    # on bounces 3+ (R5 eqn diet).
+                    continue
                 mmasks = [obj == i for i in ids]
                 g = mmasks[0]
                 for m_i in mmasks[1:]:
@@ -886,7 +895,10 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         absorb = [jnp.exp(-2.0 * nim[k]
                                           * (2.0 * math.pi / lam[k]) * 1e9 * t)
                                   for k in range(3)]
-                    cont = depth < maxd
+                    # depth == bounce for alive lanes (see the static
+                    # group skip above), so under diet the cap test is
+                    # free: this block only traces when bounce < maxd
+                    cont = None if diet else (depth < maxd)
                     if split_k and not mc:
                         # deterministic branch from the pattern bit, weight
                         # 2F / 2T (half of each pattern block takes each
@@ -898,8 +910,9 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         # between mixed-width bool vectors (i8 vs i1)
                         take_refr = ((det & bit & non_tir)
                                      | (~det & take_refr))
-                        cont = cont & ~(det & bit & ~non_tir)
-                    gc = g & cont
+                        kill = det & bit & ~non_tir
+                        cont = ~kill if cont is None else (cont & ~kill)
+                    gc = g if cont is None else (g & cont)
                     if split_k and not mc:
                         scnt = scnt + (gc & det).astype(jnp.int32)
                     for k in range(3):
@@ -1004,6 +1017,8 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                         add[k] = jnp.where(g, acc[k], add[k])
                     if last:
                         continue     # mirror continuation is dead here
+                    if diet and bounce >= maxd:
+                        continue     # depth == bounce: statically capped
                     # mirror continuation vs the scene medium (glossy.py:87-104)
                     cos_vn = jnp.clip(vx * nx + vy * ny + vz * nz, 0.0, 1.0)
                     p5r = (1.0 - cos_vn) ** 5
@@ -1011,8 +1026,7 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
                     rlx, rly, rlz = _normalize3(dx - nx * 2.0 * ddn,
                                                 dy - ny * 2.0 * ddn,
                                                 dz - nz * 2.0 * ddn)
-                    cont = depth < maxd
-                    gc = g & cont
+                    gc = g if diet else (g & (depth < maxd))
                     for k in range(3):
                         num = _cabs2((scene_nre[k] - g_re[k], scene_nim[k] - g_im[k]))
                         den = jnp.maximum(
@@ -1046,7 +1060,10 @@ def _make_kernel(static, width, height, spp, max_bounces, n_pix, split_k=0,
             for k in range(3):
                 nre[k] = jnp.where(new_alive, new_nre[k], nre[k])
                 nim[k] = jnp.where(new_alive, new_nim[k], nim[k])
-            depth = depth + new_alive.astype(jnp.int32)
+            if not diet:
+                # under diet the depth-cap tests are python-static (depth
+                # == bounce for alive lanes) and nothing reads `depth`
+                depth = depth + new_alive.astype(jnp.int32)
             dcnt = dcnt + (new_alive & inc_d).astype(jnp.int32)
             alive = new_alive
 
